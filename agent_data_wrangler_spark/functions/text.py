@@ -1,0 +1,97 @@
+"""Text-analysis scalar helpers for the training-data-pipeline tier
+(SURVEY §2.7): token counting, quality scoring, language-ID heuristic, and
+document fingerprinting. All pure Column expressions — at 100 TB of documents
+these run inside the parquet scan stage with zero shuffle and zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+#: Deliberately small and deterministic — a real deployment would swap in a
+#: fastText-style model behind the same column signature.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "los", "las", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization after trim; empty string → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the "token counting" text-analysis op)."""
+    return F.size(tokens(col)).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """A BPE-flavoured proxy: count word pieces + standalone punctuation via a
+    regex split (words, numbers, and each punctuation mark count separately).
+    Deterministic and SQL-expressible; a real tokenizer would be a pandas_udf
+    with the same signature."""
+    c = F.col(col) if isinstance(col, str) else col
+    # Remove everything that is not a token boundary, then count matches of
+    # word-ish runs and punctuation marks.
+    words = F.size(F.filter(F.split(c, r"[^A-Za-z0-9]+"), lambda x: x != ""))
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return (words + punct).cast("bigint")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    return punct.cast("double") / F.nullif(F.length(c).cast("double"), F.lit(0.0))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return hits.cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite quality score in [0, 1]: length sweet-spot, low punctuation
+    noise, presence of stopwords (prose-ness). Mirrors the heuristic filters
+    used by public LLM-data pipelines (C4/Gopher-style rules)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c).cast("double")
+    length_component = F.least(n / F.lit(200.0), F.lit(1.0))
+    punct_component = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(c) * 5.0, F.lit(1.0))
+    score = (length_component + punct_component + stop_component) / F.lit(3.0)
+    return F.round(score, 6)
+
+
+def lang_id(col: Column | str) -> Column:
+    """Stopword-marker language-ID heuristic over {en,es,de,fr}, 'und' if no
+    marker hits. Ties break by language code ascending (deterministic)."""
+    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    scores = [
+        (code, F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))))
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    best = scores[0][1]
+    for _, s in scores[1:]:
+        best = F.greatest(best, s)
+    result = F.lit("und")
+    # Walk descending so earlier (ascending-code) assignment wins ties.
+    for code, s in reversed(scores):
+        result = F.when((s == best) & (best > 0), F.lit(code)).otherwise(result)
+    return result
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of case-folded,
+    whitespace-collapsed text. Used for exact near-normalized dedup; md5 keeps
+    oracle parity (DuckDB md5 produces identical hex)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)

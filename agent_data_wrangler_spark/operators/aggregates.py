@@ -1,0 +1,44 @@
+"""Aggregation operators A1-A7 (SURVEY §2.5) plus grouped-analysis helpers.
+
+Evidence in the reference: describe() global stats (tool_call_agent.py:136),
+department-level analysis (tool_call_agent.py:148;
+dirty_hr_further_clean_report.txt:21), value counts / mode (§2.2 P8, §2.4 T3),
+correlation analysis (stash/dirty_hr_clean_report.txt:22).
+
+Scale notes: every group-by here is Spark's partial+final hash aggregate (map-
+side combine shrinks the shuffle to ~|groups|·|aggs| rows). Correlation is a
+single-pass co-moment aggregate. Nothing collects more than the group results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_stats(df: DataFrame, column: str) -> DataFrame:
+    """A1: count/mean/std(sample)/min/max/median for one column, one pass."""
+    c = F.col(column).cast("double")
+    return df.agg(
+        F.count(c).alias("n"),
+        F.avg(c).alias("mean"),
+        F.stddev_samp(c).alias("std"),
+        F.min(c).alias("min"),
+        F.percentile(c, 0.5).alias("median"),
+        F.max(c).alias("max"),
+    )
+
+
+def group_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
+    """A2: per-group aggregates (hash aggregate, partial+final)."""
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def null_count_agg(df: DataFrame, column: str) -> Column:
+    """A5: conditional null-count aggregate expression."""
+    return F.sum(F.col(column).isNull().cast("bigint"))
+
+
+def correlation(df: DataFrame, c1: str, c2: str) -> float:
+    """A7: Pearson correlation (sample, matching pandas/DuckDB corr)."""
+    return df.agg(F.corr(F.col(c1).cast("double"), F.col(c2).cast("double"))).first()[0]

@@ -1,0 +1,141 @@
+"""Profiling / metadata operators P1-P9 (SURVEY §2.2) — the reference's
+"DESCRIBE" surface, mandated in one prompt sentence (reference:
+graph_proj/src/agent/tool_call_agent.py:136: "print the columns, print the
+number of rows and columns, print df.head(5), show df.dtypes, print basic
+statistics with df.describe(), and print counts of missing/null values per
+column") plus the ``basic_info`` catalog cache (reference: system.txt:2).
+
+Scale notes: every profile statistic here is a single partial+final aggregate
+over the table (one shuffle of a handful of rows); ``describe_numeric`` and
+``null_counts`` compute ALL columns in one pass rather than one job per column.
+Percentiles use exact ``percentile`` (required for oracle parity — SURVEY §4);
+at 100 TB a caller can flip ``approx=True`` to get ``percentile_approx`` which
+is a single-pass sketch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
+
+
+def numeric_columns(df: DataFrame) -> list[str]:
+    return [f.name for f in df.schema.fields if f.dataType.simpleString().startswith(_NUMERIC_TYPES)]
+
+
+def shape(df: DataFrame) -> tuple[int, int]:
+    """P2: (rows, cols)."""
+    return df.count(), len(df.columns)
+
+
+def head(df: DataFrame, n: int = 5) -> DataFrame:
+    """P3: limit-n preview — TakeOrderedAndProject-free, reads ~1 partition."""
+    return df.limit(n)
+
+
+def dtypes(df: DataFrame) -> list[tuple[str, str]]:
+    """P4: (column, type) pairs straight from the analyzed schema (no job)."""
+    return df.dtypes
+
+
+def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """P6: per-column null counts in ONE aggregate pass.
+
+    Output: one row per column — (column, null_count) — long format so the
+    result is stable under column-set changes and easy to oracle-check.
+    """
+    cols = columns or df.columns
+    agg = df.agg(
+        *[F.sum(F.col(c).isNull().cast("bigint")).alias(c) for c in cols]
+    )
+    # unpivot to long form: (column, null_count)
+    stacked = agg.select(
+        F.expr(
+            "stack({n}, {args}) as (column, null_count)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', `{c}`" for c in cols),
+            )
+        )
+    )
+    return stacked
+
+
+def describe_numeric(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
+    """P5: count/mean/std/min/25%/50%/75%/max for numeric columns, one pass.
+
+    pandas ``describe()`` uses sample stddev (ddof=1) → ``stddev_samp``
+    (SURVEY §4 parity rule). Output long format: one row per column.
+    """
+    cols = columns or numeric_columns(df)
+    pct = (lambda c, p: F.percentile_approx(c, p)) if approx else (lambda c, p: F.percentile(c, p))
+    aggs = []
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs.extend(
+            [
+                F.count(col).alias(f"{c}__count"),
+                F.avg(col).alias(f"{c}__mean"),
+                F.stddev_samp(col).alias(f"{c}__std"),
+                F.min(col).alias(f"{c}__min"),
+                pct(col, 0.25).alias(f"{c}__p25"),
+                pct(col, 0.5).alias(f"{c}__p50"),
+                pct(col, 0.75).alias(f"{c}__p75"),
+                F.max(col).alias(f"{c}__max"),
+            ]
+        )
+    wide = df.agg(*aggs)
+    stats = ["count", "mean", "std", "min", "p25", "p50", "p75", "max"]
+    rows = ", ".join(
+        "'{c}', {vals}".format(c=c, vals=", ".join(f"`{c}__{s}`" for s in stats)) for c in cols
+    )
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {rows}) as (column, {', '.join(stats)})")
+    )
+
+
+def value_counts(df: DataFrame, column: str) -> DataFrame:
+    """P8/A3: ordered value counts of a categorical (typo discovery in the
+    reference — 'Germny', 'enginr'). Deterministic order: count desc, value asc."""
+    return (
+        df.groupBy(F.col(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.asc_nulls_first("value"))
+    )
+
+
+def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> int:
+    """P9: number of surplus duplicate rows (count - distinct count)."""
+    cols = subset or df.columns
+    total = df.count()
+    distinct = df.dropDuplicates(cols).count()
+    return total - distinct
+
+
+@dataclass
+class TableProfile:
+    """P7: the ``basic_info`` catalog cache (reference: system.txt:2) — computed
+    once per source version, reused across pipeline stages instead of
+    re-profiling (reference: tool_call_agent.py:143-145 mandates not repeating
+    exploration)."""
+
+    n_rows: int
+    n_cols: int
+    columns: list[str]
+    dtypes: list[tuple[str, str]]
+    null_counts: dict[str, int] = field(default_factory=dict)
+
+    @classmethod
+    def of(cls, df: DataFrame) -> "TableProfile":
+        rows, cols = shape(df)
+        nulls = {r["column"]: r["null_count"] for r in null_counts(df).collect()}
+        return cls(
+            n_rows=rows,
+            n_cols=cols,
+            columns=list(df.columns),
+            dtypes=df.dtypes,
+            null_counts=nulls,
+        )

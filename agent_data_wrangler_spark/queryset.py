@@ -1,0 +1,838 @@
+"""Oracle-checked query registry — one entry per SURVEY §2 operator.
+
+Each query is a thin composition over the operator library (operators/,
+functions/) so the registry doubles as the engine's integration-test surface.
+Every entry has a DuckDB-equivalent ANSI SQL string in ``ORACLE``; column
+names and rounding are kept IDENTICAL on both sides (the driver hashes values
+after sorting columns by name).
+
+Determinism rules applied throughout (FIXTURES.md):
+- sums of doubles rounded to 2 decimals, means/ratios to 4, correlations to 6
+  (cross-engine float noise is ~1e-9 relative; fewer decimals = safer hash);
+- running/window sums computed on integer cents (bit-exact in any engine);
+- mode/top-k ties broken by ascending value;
+- sample stddev everywhere; exact (interpolating) percentiles everywhere;
+- no wall-clock: date cutoffs are literals.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.functions.dates import to_date_multi
+from agent_data_wrangler_spark.functions.strings import normalize_phone
+from agent_data_wrangler_spark.operators import (
+    aggregates,
+    filters,
+    impute,
+    joins,
+    pivot,
+    profile,
+    transform,
+    windows,
+)
+from agent_data_wrangler_spark.sources.readers import read_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A1/A2 — flagship aggregation (TPC-H Q1-shaped pricing summary on lineitem).
+# Scale: predicate pushes to the parquet scan; partial+final hash agg shrinks
+# the shuffle to |groups| rows. This is the entry() smoke query.
+# ---------------------------------------------------------------------------
+@query(
+    "a1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           round(avg(l_quantity), 4)                                        AS avg_qty,
+           round(avg(l_extendedprice), 4)                                   AS avg_price,
+           round(avg(l_discount), 4)                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li = filters.predicate_filter(li, F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return aggregates.group_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — shape (rows x cols).
+# ---------------------------------------------------------------------------
+@query(
+    "p2_shape_lineitem",
+    oracle="SELECT count(*) AS n_rows, CAST(11 AS BIGINT) AS n_cols FROM lineitem",
+)
+def p2_shape_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(len(li.columns)).cast("bigint").alias("n_cols"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/A1 — describe(): count/mean/std/min/p25/p50/p75/max per numeric column,
+# ONE aggregate pass for all columns (long format).
+# ---------------------------------------------------------------------------
+_DESCRIBE_COLS = ["l_discount", "l_extendedprice", "l_quantity"]
+
+
+@query(
+    "p5_describe_lineitem",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS col_name,
+               count({c})                              AS n,
+               round(avg({c}), 4)                      AS mean,
+               round(stddev_samp({c}), 4)              AS std,
+               round(min({c}), 4)                      AS min_v,
+               round(quantile_cont({c}, 0.25), 4)      AS p25,
+               round(quantile_cont({c}, 0.50), 4)      AS p50,
+               round(quantile_cont({c}, 0.75), 4)      AS p75,
+               round(max({c}), 4)                      AS max_v
+        FROM lineitem
+        """
+        for c in _DESCRIBE_COLS
+    ),
+)
+def p5_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    d = profile.describe_numeric(li, _DESCRIBE_COLS)
+    return d.select(
+        F.col("column").alias("col_name"),
+        F.col("count").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("min", 4).alias("min_v"),
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+        F.round("max", 4).alias("max_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6/A5 — null counts per column, one pass (events table).
+# ---------------------------------------------------------------------------
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+@query(
+    "p6_null_counts_events",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count FROM events"
+        for c in _EVENT_COLS
+    ),
+)
+def p6_null_counts_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return profile.null_counts(ev, _EVENT_COLS).select(
+        F.col("column").alias("col_name"), F.col("null_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8/A3 — value counts of a categorical (typo-discovery pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "p8_value_counts_priority",
+    oracle="SELECT o_orderpriority AS val, count(*) AS cnt FROM orders GROUP BY o_orderpriority",
+)
+def p8_value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return profile.value_counts(o, "o_orderpriority").select(
+        F.col("value").alias("val"), F.col("count").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 — duplicate-row count (documents, keyed by text).
+# ---------------------------------------------------------------------------
+@query(
+    "p9_duplicate_count_documents",
+    oracle="SELECT count(*) - count(DISTINCT text) AS dup_rows FROM documents",
+)
+def p9_duplicate_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return d.agg((F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_rows"))
+
+
+# ---------------------------------------------------------------------------
+# F1+F2 — drop-null rows then 3-sigma outlier filter (fit-then-transform:
+# stats computed once, applied as scan-filter literals).
+# ---------------------------------------------------------------------------
+@query(
+    "f1_f2_dropnull_sigma_events",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events
+    ), nn AS (
+      SELECT v FROM base WHERE v IS NOT NULL
+    ), s AS (
+      SELECT avg(v) AS m, stddev_samp(v) AS sd FROM nn
+    )
+    SELECT count(*) AS n, round(avg(v), 4) AS avg_v, round(sum(v), 2) AS sum_v
+    FROM nn, s WHERE v >= m - 3 * sd AND v <= m + 3 * sd
+    """,
+)
+def f1_f2_dropnull_sigma_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v")
+    )
+    nn = filters.drop_null_rows(ev, ["v"])
+    kept = filters.sigma_outlier_filter(nn, ["v"], k=3.0)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+        F.round(F.sum("v"), 2).alias("sum_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T1 — median fill (fit on non-null, apply as literal), grouped check.
+# ---------------------------------------------------------------------------
+@query(
+    "t1_median_fill_events",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v FROM events
+    ), med AS (
+      SELECT quantile_cont(v, 0.5) AS m FROM base
+    )
+    SELECT event_type, count(*) AS n, round(avg(coalesce(v, m)), 4) AS avg_filled
+    FROM base, med GROUP BY event_type, m
+    """,
+)
+def t1_median_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")).alias("v"),
+    )
+    filled = impute.fill_median(base, ["v"])
+    return filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("v"), 4).alias("avg_filled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2 — mean fill; the reference's exact-mean artifact invariant
+# (stash/dirty_hr_clean.csv:2) re-expressed: filled mean == original mean.
+# ---------------------------------------------------------------------------
+@query(
+    "t2_mean_fill_events",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN event_type = 'signup' THEN NULL ELSE value END AS v FROM events
+    ), mu AS (
+      SELECT avg(v) AS m FROM base
+    )
+    SELECT count(*) AS n,
+           round(avg(coalesce(v, m)), 4) AS avg_filled,
+           round(sum(coalesce(v, m)), 2) AS sum_filled
+    FROM base, mu
+    """,
+)
+def t2_mean_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "signup", F.lit(None)).otherwise(F.col("value")).alias("v")
+    )
+    filled = impute.fill_mean(base, ["v"])
+    return filled.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("v"), 4).alias("avg_filled"),
+        F.round(F.sum("v"), 2).alias("sum_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T3/A4 — deterministic mode (highest count, ties -> ascending value).
+# ---------------------------------------------------------------------------
+@query(
+    "a4_mode_priority",
+    oracle="""
+    SELECT o_orderpriority AS mode_value FROM orders
+    GROUP BY o_orderpriority ORDER BY count(*) DESC, o_orderpriority ASC LIMIT 1
+    """,
+)
+def a4_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    mode = impute.fit_mode(o, "o_orderpriority")
+    return spark.createDataFrame([(mode,)], "mode_value string")
+
+
+# ---------------------------------------------------------------------------
+# T4 — fill with derived placeholder: min(o_orderdate) for synthesized nulls.
+# ---------------------------------------------------------------------------
+@query(
+    "t4_fill_min_date_orders",
+    oracle="""
+    WITH base AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderdate END AS d FROM orders
+    ), mn AS (
+      SELECT min(d) AS m FROM base
+    )
+    SELECT CAST(coalesce(d, m) AS DATE) AS d_filled, count(*) AS n
+    FROM base, mn GROUP BY 1
+    """,
+)
+def t4_fill_min_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = read_table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(F.col("o_orderdate")).alias("d")
+    )
+    filled = impute.fill_min_of(base, target="d", source="d")
+    return filled.groupBy(F.col("d").cast("date").alias("d_filled")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 — outliers -> null -> median impute (the stash pipeline), 2-sigma to
+# actually trip on the data.
+# ---------------------------------------------------------------------------
+@query(
+    "t5_outlier_null_impute_orders",
+    oracle="""
+    WITH s AS (
+      SELECT avg(o_totalprice) AS m, stddev_samp(o_totalprice) AS sd FROM orders
+    ), nulled AS (
+      SELECT CASE WHEN o_totalprice >= m - 2 * sd AND o_totalprice <= m + 2 * sd
+                  THEN o_totalprice ELSE NULL END AS v
+      FROM orders, s
+    ), med AS (
+      SELECT quantile_cont(v, 0.5) AS md FROM nulled
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(avg(coalesce(v, md)), 4) AS avg_imputed
+    FROM nulled, med
+    """,
+)
+def t5_outlier_null_impute_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
+    nulled = impute.outliers_to_null(o, ["v"], k=2.0)
+    n_outliers = aggregates.null_count_agg(nulled, "v").alias("n_outliers")
+    filled = impute.fill_median(nulled, ["v"])
+    stats = nulled.agg(F.count(F.lit(1)).alias("n"), n_outliers)
+    avg_imputed = filled.agg(F.round(F.avg("v"), 4).alias("avg_imputed"))
+    return stats.crossJoin(avg_imputed)
+
+
+# ---------------------------------------------------------------------------
+# T6 — percentile cap (winsorize at p95, exact percentile).
+# ---------------------------------------------------------------------------
+@query(
+    "t6_cap_p95_orders",
+    oracle="""
+    WITH p AS (SELECT quantile_cont(o_totalprice, 0.95) AS cap FROM orders)
+    SELECT count(*) AS n,
+           round(sum(least(o_totalprice, cap)), 2) AS sum_capped,
+           round(max(least(o_totalprice, cap)), 4) AS max_capped
+    FROM orders, p
+    """,
+)
+def t6_cap_p95_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    capped = impute.cap_percentile(o, ["o_totalprice"], p=0.95)
+    return capped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_capped"),
+        F.round(F.max("o_totalprice"), 4).alias("max_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T7+T8+T9 — trim, case-normalize, dictionary canonicalization (nation names;
+# dirt synthesized in-query so both engines see identical input).
+# ---------------------------------------------------------------------------
+@query(
+    "t7t8t9_string_clean_nation",
+    oracle="""
+    WITH dirty AS (
+      SELECT n_nationkey, concat('  ', n_name, ' ') AS raw, n_name FROM nation
+    )
+    SELECT n_nationkey,
+           lower(trim(raw)) AS name_norm,
+           CASE WHEN trim(lower(raw)) = 'united states' THEN 'USA'
+                WHEN trim(lower(raw)) = 'united kingdom' THEN 'UK'
+                ELSE n_name END AS name_canon
+    FROM dirty
+    """,
+)
+def t7t8t9_string_clean_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        F.concat(F.lit("  "), F.col("n_name"), F.lit(" ")).alias("raw"),
+        "n_name",
+    )
+    trimmed = transform.trim_columns(n.withColumn("name_norm", F.col("raw")), ["name_norm"])
+    lowered = transform.normalize_case(trimmed, ["name_norm"], style="lower")
+    canon = transform.canonicalize_map(
+        lowered.withColumn("name_canon", F.col("raw")),
+        "name_canon",
+        {"united states": "USA", "united kingdom": "UK"},
+        case_insensitive=True,
+    )
+    # unmapped values fall back to the clean original (mirrors oracle CASE).
+    canon = canon.withColumn(
+        "name_canon",
+        F.when(F.col("name_canon").isin("USA", "UK"), F.col("name_canon")).otherwise(
+            F.col("n_name")
+        ),
+    )
+    return canon.select("n_nationkey", "name_norm", "name_canon")
+
+
+# ---------------------------------------------------------------------------
+# T10 — dual-format date parsing (strings synthesized in two formats, parsed
+# back with the multi-format coalesce helper).
+# ---------------------------------------------------------------------------
+@query(
+    "t10_dual_format_dates",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                  ELSE strftime(o_orderdate, '%m/%d/%Y') END AS str
+      FROM orders
+    ), p AS (
+      SELECT CAST(coalesce(try_strptime(str, '%Y-%m-%d'), try_strptime(str, '%m/%d/%Y')) AS DATE) AS d
+      FROM s
+    )
+    SELECT CAST(year(d) AS INTEGER) AS yr, count(*) AS n FROM p GROUP BY 1
+    """,
+)
+def t10_dual_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    s = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.date_format("o_orderdate", "yyyy-MM-dd")
+        )
+        .otherwise(F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .alias("str")
+    )
+    parsed = s.select(to_date_multi(F.col("str")).alias("d"))
+    return parsed.groupBy(F.year("d").alias("yr")).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# T11 — phone normalization over synthesized mixed-format numbers.
+# ---------------------------------------------------------------------------
+@query(
+    "t11_phone_normalize",
+    oracle="""
+    WITH s AS (
+      SELECT concat('+1-', lpad(CAST(user_id AS VARCHAR), 3, '0'), '-555-',
+                    lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'),
+                    'x', CAST(user_id + 1 AS VARCHAR)) AS raw
+      FROM events
+    ), n AS (
+      SELECT concat(regexp_replace(regexp_extract(raw, '^([^xX]*)', 1), '[^0-9]', '', 'g'),
+                    'x', regexp_extract(raw, '[xX]([0-9]+)$', 1)) AS ph
+      FROM s
+    )
+    SELECT count(DISTINCT ph) AS n_distinct, CAST(sum(length(ph)) AS BIGINT) AS total_len FROM n
+    """,
+)
+def t11_phone_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    raw = F.concat(
+        F.lit("+1-"),
+        F.lpad(F.col("user_id").cast("string"), 3, "0"),
+        F.lit("-555-"),
+        F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+        F.lit("x"),
+        (F.col("user_id") + 1).cast("string"),
+    )
+    normed = ev.select(normalize_phone(raw).alias("ph"))
+    return normed.agg(
+        F.countDistinct("ph").alias("n_distinct"),
+        F.sum(F.length("ph")).cast("bigint").alias("total_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# T13 — NA-sentinel strings -> null -> numeric cast.
+# ---------------------------------------------------------------------------
+@query(
+    "t13_na_sentinel_events",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN value < 10 THEN 'N/A' ELSE CAST(round(value, 2) AS VARCHAR) END AS raw
+      FROM events
+    ), c AS (
+      SELECT CAST(CASE WHEN trim(raw) IN ('N/A','NA','null','') THEN NULL ELSE raw END AS DOUBLE) AS v
+      FROM s
+    )
+    SELECT count(*) AS n,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           round(avg(v), 4) AS avg_v
+    FROM c
+    """,
+)
+def t13_na_sentinel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    raw = F.when(F.col("value") < 10, F.lit("N/A")).otherwise(
+        F.round(F.col("value"), 2).cast("string")
+    )
+    base = ev.select(raw.alias("v"))
+    cleaned = transform.strip_na_sentinels(base, ["v"], cast_to="double")
+    return cleaned.agg(
+        F.count(F.lit(1)).alias("n"),
+        aggregates.null_count_agg(cleaned, "v").alias("n_null"),
+        F.round(F.avg("v"), 4).alias("avg_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — per-group stats (the reference's department-level analysis shape).
+# ---------------------------------------------------------------------------
+@query(
+    "a2_group_stats_events",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           round(avg(value), 4) AS avg_v,
+           round(stddev_samp(value), 4) AS std_v,
+           round(sum(value), 2) AS sum_v,
+           round(min(value), 4) AS min_v,
+           round(max(value), 4) AS max_v
+    FROM events GROUP BY event_type
+    """,
+)
+def a2_group_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return aggregates.group_agg(
+        ev,
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_v"),
+            F.round(F.stddev_samp("value"), 4).alias("std_v"),
+            F.round(F.sum("value"), 2).alias("sum_v"),
+            F.round(F.min("value"), 4).alias("min_v"),
+            F.round(F.max("value"), 4).alias("max_v"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7 — correlation (single-pass co-moment aggregate).
+# ---------------------------------------------------------------------------
+@query(
+    "a7_corr_lineitem",
+    oracle="SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price FROM lineitem",
+)
+def a7_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"))
+
+
+# ---------------------------------------------------------------------------
+# Joins — equi (broadcast dim), semi, anti, star-schema multi-join.
+# ---------------------------------------------------------------------------
+@query(
+    "j1_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def j1_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    # customer is the small side of the star: broadcast it so the fact tables
+    # join without shuffling customer; orders<->lineitem shuffles once on the
+    # order key (AQE may still broadcast o at small SF).
+    enriched = joins.equi_join(
+        o, c.select("c_custkey", "c_mktsegment"), on=o.o_custkey == F.col("c_custkey"), how="inner",
+        broadcast_right=True,
+    )
+    full = joins.equi_join(li, enriched.select("o_orderkey", "c_mktsegment"),
+                           on=F.col("l_orderkey") == F.col("o_orderkey"), how="inner")
+    return full.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "j2_customers_without_orders",
+    oracle="""
+    SELECT c_mktsegment AS segment, count(*) AS n
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+    """,
+)
+def j2_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    missing = joins.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey")
+    return missing.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "j3_customers_with_1997_orders",
+    oracle="""
+    SELECT c_nationkey AS nk, count(*) AS n
+    FROM customer WHERE c_custkey IN (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+    )
+    GROUP BY c_nationkey
+    """,
+)
+def j3_customers_with_1997_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1997)
+    hit = joins.semi_join(c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey")
+    return hit.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "j4_revenue_by_region",
+    oracle="""
+    SELECT r.r_name AS region,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+    JOIN nation n ON r.r_regionkey = n.n_regionkey
+    JOIN customer c ON n.n_nationkey = c.c_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY r.r_name
+    """,
+)
+def j4_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region")
+    n = read_table(spark, sf_dir, "nation")
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    # dims collapse to a single broadcastable (custkey -> region) map; the only
+    # real shuffle is orders<->lineitem on the order key.
+    dim = (
+        joins.equi_join(n, r, on=n.n_regionkey == r.r_regionkey, broadcast_right=True)
+        .select("n_nationkey", "r_name")
+    )
+    cust = joins.equi_join(
+        c, dim, on=c.c_nationkey == dim.n_nationkey, broadcast_right=True
+    ).select("c_custkey", "r_name")
+    ord_dim = joins.equi_join(
+        o.select("o_orderkey", "o_custkey"), cust, on=F.col("o_custkey") == F.col("c_custkey"),
+        broadcast_right=True,
+    ).select("o_orderkey", "r_name")
+    full = joins.equi_join(
+        li.select("l_orderkey", "l_extendedprice", "l_discount"),
+        ord_dim,
+        on=F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return full.groupBy(F.col("r_name").alias("region")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows — ranking, cumulative (integer cents for bit-exact parity), lag.
+# ---------------------------------------------------------------------------
+@query(
+    "w1_top_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t WHERE rn = 1
+    """,
+)
+def w1_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    top = windows.top_per_group(
+        o, ["o_custkey"], [F.desc("o_totalprice"), F.asc("o_orderkey")], n=1
+    )
+    return top.select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+
+
+@query(
+    "w2_cumulative_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+    FROM orders
+    """,
+)
+def w2_cumulative_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
+    cum = windows.cumulative(
+        o, F.sum("cents"), ["o_custkey"], [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        alias="cum_cents",
+    )
+    return cum.select("o_custkey", "o_orderkey", "cum_cents")
+
+
+@query(
+    "w3_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS gap_us
+    FROM events
+    """,
+)
+def w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn("us", F.unix_micros("ts"))
+    lagged = windows.with_lag(
+        ev, "us", ["user_id"], [F.asc("ts"), F.asc("event_id")], alias="us_prev"
+    )
+    return lagged.select(
+        "user_id", "event_id", (F.col("us") - F.col("us_prev")).alias("gap_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — except/intersect on customer activity across years.
+# ---------------------------------------------------------------------------
+@query(
+    "s1_setops_active_customers",
+    oracle="""
+    WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+         y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+    SELECT CAST((SELECT count(*) FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y97) a) AS BIGINT) AS n_96_only,
+           CAST((SELECT count(*) FROM (SELECT * FROM y96 INTERSECT SELECT * FROM y97) b) AS BIGINT) AS n_both,
+           CAST((SELECT count(*) FROM (SELECT * FROM y96 UNION SELECT * FROM y97) c) AS BIGINT) AS n_either
+    """,
+)
+def s1_setops_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import setops
+
+    o = read_table(spark, sf_dir, "orders")
+    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
+    n_only = setops.diff_rows(y96, y97, keep_duplicates=False).count()
+    n_both = setops.intersect_rows(y96, y97).count()
+    n_either = setops.union_all(y96, y97).distinct().count()
+    return spark.createDataFrame(
+        [(n_only, n_both, n_either)], "n_96_only bigint, n_both bigint, n_either bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / rollup / cube.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "pv1_pivot_events",
+    oracle="""
+    SELECT user_id % 10 AS bucket,
+           {cols}
+    FROM events GROUP BY user_id % 10
+    """.format(
+        cols=", ".join(
+            f"round(sum(value) FILTER (WHERE event_type = '{t}'), 2) AS {t}" for t in _EVENT_TYPES
+        )
+    ),
+)
+def pv1_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn("bucket", F.col("user_id") % 10)
+    return pivot.pivoted(
+        ev, ["bucket"], "event_type", _EVENT_TYPES, F.round(F.sum("value"), 2)
+    )
+
+
+@query(
+    "r1_rollup_orders",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def r1_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return pivot.rollup_agg(
+        o.select(
+            F.col("o_orderstatus").alias("status"), F.col("o_orderpriority").alias("priority"),
+            "o_totalprice",
+        ),
+        ["status", "priority"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")],
+    )
+
+
+@query(
+    "c1_cube_orders",
+    oracle="""
+    SELECT o_orderstatus AS status, CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INTEGER))
+    """,
+)
+def c1_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"), F.year("o_orderdate").alias("yr")
+    )
+    return pivot.cube_agg(o, ["status", "yr"], [F.count(F.lit(1)).alias("n")])
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k (TakeOrderedAndProject — no global sort shuffle).
+# ---------------------------------------------------------------------------
+@query(
+    "k1_top10_orders",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS price
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def k1_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    top = windows.top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10)
+    return top.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))

@@ -1,0 +1,107 @@
+"""Source scans (S1, S3, S6).
+
+Reference behaviour being re-expressed:
+- S1: ``pd.read_csv(path)`` with header + dtype inference, mandated by the
+  system prompt (reference: graph_proj/src/agent/tool_call_agent.py:132);
+- S3: each pipeline stage re-reads the latest ``*_clean`` version
+  (tool_call_agent.py:140);
+- S6: file-existence guard before the pipeline starts
+  (tool_call_agent.py:81-89, raises FileNotFoundError).
+
+Scale notes: parquet is the primary format (columnar, predicate/column
+pushdown, splittable); CSV is supported for reference parity and as an export
+format. ``inferSchema`` on CSV costs an extra pass — callers at scale pass an
+explicit schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def require_exists(path: str) -> str:
+    """S6 pre-flight guard: fail fast with a clear error before building a
+    plan against a missing source (mirrors tool_call_agent.py:86-87)."""
+    probe = path
+    # Spark paths may be globs/directories; only guard plain local paths.
+    if not any(ch in path for ch in "*?[") and not path.startswith(("s3:", "hdfs:", "gs:", "abfs:")):
+        if not os.path.exists(probe):
+            raise FileNotFoundError(f"source not found: {path}")
+    return path
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    null_values: tuple[str, ...] = ("", "N/A", "NA", "null"),
+    infer: bool = True,
+) -> DataFrame:
+    """S1: header CSV scan with dtype inference and NA-sentinel handling (T13).
+
+    pandas absorbs literal ``N/A`` into NaN silently (dirty.csv:35); Spark's
+    csv reader takes a single ``nullValue``, so we set the most common sentinel
+    there and normalize the rest post-read only when a caller asks (see
+    ``functions.strings.null_if_sentinel``).
+    """
+    require_exists(path)
+    reader = (
+        spark.read.option("header", True)
+        .option("nullValue", null_values[1] if len(null_values) > 1 else "")
+        .option("nanValue", "NaN")
+        .option("emptyValue", None)
+        .option("mode", "PERMISSIVE")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def _nano_ts_columns(path: str) -> list[str]:
+    """Detect TIMESTAMP(NANOS) parquet columns from the footer (Spark refuses
+    them natively; DuckDB and pandas truncate to micros)."""
+    try:
+        import pyarrow.parquet as pq
+
+        probe = path
+        if os.path.isdir(path):
+            candidates = [p for p in os.listdir(path) if p.endswith(".parquet")]
+            if not candidates:
+                return []
+            probe = os.path.join(path, candidates[0])
+        schema = pq.read_schema(probe)
+        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+    except Exception:
+        return []
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Primary scan path: splittable, column-pruned, filter-pushdown-capable.
+
+    Nanosecond-timestamp columns (which Spark's vectorized reader rejects) are
+    read as raw nano longs and converted to micro timestamps — integer `div`
+    so the 1.7e18-range values never pass through a double. This matches the
+    DuckDB/pandas truncation semantics, keeping oracle parity.
+    """
+    require_exists(path)
+    # Determinism rule: timestamp arithmetic is UTC regardless of who built
+    # the session (the driver's vanilla session may not pin it).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nano_cols = _nano_ts_columns(path)
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one of the driver testdata tables (TESTDATA.md) by name."""
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))

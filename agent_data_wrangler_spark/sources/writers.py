@@ -1,0 +1,73 @@
+"""Sinks (S2, S4, S5).
+
+Reference behaviour being re-expressed:
+- S2: no-overwrite versioned clean files — "save the cleaned DataFrame to a new
+  CSV file ... Never overwrite the original file" (reference:
+  graph_proj/src/agent/tool_call_agent.py:139); artifacts show a
+  ``_clean``/``_clean_v2`` naming convention;
+- S4: text report written next to the data
+  (tool_call_agent.py:57-69, ``create_report``);
+- S5: run audit log (tool_call_agent.py:188-202, ``final_messages.log``) —
+  implemented as the pipeline JSONL event log in plans/pipeline.py.
+
+Scale notes: the engine's native sink is partitioned parquet with
+``mode("error")`` (no silent overwrite = the reference's versioning
+invariant). Single-file CSV (``coalesce(1)``) exists as an explicit
+export-only mode — at 100 TB a single file is a non-starter, so it is opt-in.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+
+
+def next_version_path(path: str, suffix: str = "clean") -> str:
+    """Compute the reference's versioned output name: ``x.csv`` →
+    ``x_clean.csv`` → ``x_clean_v2.csv`` → ``x_clean_v3.csv`` ... choosing the
+    first name that does not exist (never-overwrite, S2)."""
+    base, ext = os.path.splitext(path)
+    base = re.sub(rf"_{suffix}(_v\d+)?$", "", base)
+    candidate = f"{base}_{suffix}{ext}"
+    version = 2
+    while os.path.exists(candidate):
+        candidate = f"{base}_{suffix}_v{version}{ext}"
+        version += 1
+    return candidate
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    suffix: str = "clean",
+    partition_by: tuple[str, ...] = (),
+    single_file: bool = False,
+) -> str:
+    """S2: write a new clean version, never overwriting (mode='error').
+
+    Returns the path actually written. ``single_file=True`` coalesces to one
+    output file for reference-parity CSV exports only.
+    """
+    out = next_version_path(path, suffix=suffix)
+    writer_df = df.coalesce(1) if single_file else df
+    writer = writer_df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer.option("header", True).csv(out)
+    else:
+        writer.parquet(out)
+    return out
+
+
+def write_report(report_text: str, data_path: str) -> str:
+    """S4: write ``{base}_report.txt`` next to the data, mirroring
+    ``create_report`` (tool_call_agent.py:57-69)."""
+    base, _ = os.path.splitext(data_path)
+    out = f"{base}_report.txt"
+    with open(out, "w", encoding="utf-8") as fh:
+        fh.write(report_text)
+    return out

@@ -1,0 +1,101 @@
+"""Local replica of the driver's t2 gate: run every registered query on Spark
+AND its oracle SQL on DuckDB over the same parquet (sf0.001 for speed), then
+compare row-multisets after sorting columns by name and normalizing floats.
+
+This is the single most important test file: it catches Spark/DuckDB semantic
+drift (percentile interpolation, stddev ddof, null ordering, type widths)
+before the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if hasattr(v, "isoformat"):
+        return v.isoformat()[:26]
+    return v
+
+
+def _rows_to_multiset(columns, rows):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    return sorted(
+        tuple(_normalize(r[i]) for i in order) for r in rows
+    ), [columns[i] for i in order]
+
+
+def _collect_spark(df):
+    cols = df.columns
+    rows = [tuple(r) for r in df.collect()]
+    return _rows_to_multiset(cols, rows)
+
+
+def _collect_duck(con, sql):
+    res = con.execute(sql)
+    cols = [d[0] for d in res.description]
+    rows = res.fetchall()
+    return _rows_to_multiset(cols, rows)
+
+
+def _registry():
+    from agent_data_wrangler_spark.queryset import ORACLE, QUERIES
+
+    try:
+        from agent_data_wrangler_spark.queryset_nstar import (
+            ORACLE as O2,
+            QUERIES as Q2,
+        )
+
+        return {**QUERIES, **Q2}, {**ORACLE, **O2}
+    except ImportError:
+        return QUERIES, ORACLE
+
+
+QUERIES, ORACLE = _registry()
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE))
+def test_oracle_parity(name, spark, sf_dir):
+    con = _duck(sf_dir)
+    spark_rows, spark_cols = _collect_spark(QUERIES[name](spark, sf_dir))
+    duck_rows, duck_cols = _collect_duck(con, ORACLE[name])
+    assert [c.lower() for c in spark_cols] == [c.lower() for c in duck_cols], (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    mismatches = [
+        (s, d) for s, d in zip(spark_rows, duck_rows) if s != d
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
