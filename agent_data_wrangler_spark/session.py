@@ -41,6 +41,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Whole-stage codegen is on by default; keep fallbacks enabled.
     "spark.sql.codegen.wholeStage": "true",
+    # Driver testdata carries TIMESTAMP(NANOS) parquet columns (events.ts);
+    # read them as raw nano longs and convert in read_parquet — matches the
+    # DuckDB/pandas truncation-to-micros semantics.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Exact shuffle partition count matters less with AQE coalescing; 2x cores
     # locally, and on a real cluster this would be ~2-3x total cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),

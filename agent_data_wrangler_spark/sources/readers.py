@@ -43,24 +43,38 @@ def read_csv(
 ) -> DataFrame:
     """S1: header CSV scan with dtype inference and NA-sentinel handling (T13).
 
-    pandas absorbs literal ``N/A`` into NaN silently (dirty.csv:35); Spark's
-    csv reader takes a single ``nullValue``, so we set the most common sentinel
-    there and normalize the rest post-read only when a caller asks (see
-    ``functions.strings.null_if_sentinel``).
+    pandas absorbs a whole ``na_values`` set into NaN silently (dirty.csv:35);
+    Spark's csv reader takes a single ``nullValue``. Strategy: set the most
+    impactful sentinel (``N/A`` — the one that appears inside numeric columns
+    and would otherwise poison dtype inference) as the reader-level
+    ``nullValue``, then null out every REMAINING sentinel post-read on the
+    string-typed columns. Empty cells are null by default in Spark CSV.
     """
     require_exists(path)
+    sentinels = tuple(null_values)
+    primary = next((s for s in sentinels if s), "")
     reader = (
         spark.read.option("header", True)
-        .option("nullValue", null_values[1] if len(null_values) > 1 else "")
+        .option("nullValue", primary)
         .option("nanValue", "NaN")
-        .option("emptyValue", None)
         .option("mode", "PERMISSIVE")
     )
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:
         reader = reader.option("inferSchema", True)
-    return reader.csv(path)
+    df = reader.csv(path)
+    rest = [s for s in sentinels if s and s != primary]
+    if rest:
+        for f in df.schema.fields:
+            if f.dataType.simpleString() == "string":
+                df = df.withColumn(
+                    f.name,
+                    F.when(F.trim(F.col(f.name)).isin(*rest), F.lit(None)).otherwise(
+                        F.col(f.name)
+                    ),
+                )
+    return df
 
 
 def _nano_ts_columns(path: str) -> list[str]:
@@ -81,6 +95,15 @@ def _nano_ts_columns(path: str) -> list[str]:
         return []
 
 
+def _conf_get(spark: SparkSession, key: str) -> str | None:
+    """conf.get without a default arg — Spark 4 VALIDATES the default value
+    (e.g. '' is an invalid timeZone), so a sentinel default can itself throw."""
+    try:
+        return spark.conf.get(key)
+    except Exception:
+        return None
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Primary scan path: splittable, column-pruned, filter-pushdown-capable.
 
@@ -91,10 +114,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """
     require_exists(path)
     # Determinism rule: timestamp arithmetic is UTC regardless of who built
-    # the session (the driver's vanilla session may not pin it).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the session (the driver's vanilla session may not pin it). Guarded so a
+    # correctly-configured session is never mutated mid-flight; sessions from
+    # our own factory (session.py) already carry both settings.
+    if _conf_get(spark, "spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     nano_cols = _nano_ts_columns(path)
-    if nano_cols:
+    if nano_cols and _conf_get(spark, "spark.sql.legacy.parquet.nanosAsLong") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nano_cols:

@@ -134,3 +134,37 @@ def test_asof_join(spark):
                           right_values=["v"])
     got = {(r.k, r.t.hour): r.v_asof for r in out.collect()}
     assert got == {(1, 10): 10.0, (1, 12): 20.0, (2, 9): None}
+
+
+def test_read_csv_multi_sentinel(spark, tmp_path):
+    # S1/T13: N/A inside a numeric column must null out at read time (so dtype
+    # inference still yields double), and the remaining sentinels (NA, null)
+    # null out post-read on string columns. Empty cells are null by default.
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,salary,note\n"
+        "1,100.5,ok\n"
+        "2,N/A,NA\n"
+        "3,,null\n"
+        "4,250.0,fine\n"
+    )
+    from agent_data_wrangler_spark.sources.readers import read_csv
+
+    df = read_csv(spark, str(p))
+    types = dict(df.dtypes)
+    assert types["salary"] == "double"
+    rows = {r.id: (r.salary, r.note) for r in df.collect()}
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+    assert rows[1] == (100.5, "ok")
+
+
+def test_canonicalize_fuzzy_preserves_duplicates(spark):
+    # Regression: identical input rows must NOT collapse (the window now
+    # partitions on a synthetic row id, not on every column).
+    df = spark.createDataFrame(
+        [("enginr",), ("enginr",), ("Desginer",)], "job string"
+    )
+    out = transform.canonicalize_fuzzy(df, "job", ["Engineer", "Designer"], max_distance=2)
+    vals = sorted(r.job for r in out.collect())
+    assert vals == ["Designer", "Engineer", "Engineer"]

@@ -43,8 +43,14 @@ def _normalize(v):
 
 def _rows_to_multiset(columns, rows):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    # None-safe, cross-type-safe sort key: rollup/cube rows mix None and
+    # values in the same position, which plain tuple sorting cannot order.
+    def key(t):
+        return tuple((v is None, str(type(v)), 0 if v is None else v) for v in t)
+
     return sorted(
-        tuple(_normalize(r[i]) for i in order) for r in rows
+        (tuple(_normalize(r[i]) for i in order) for r in rows), key=key
     ), [columns[i] for i in order]
 
 
