@@ -21,14 +21,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 (relational tier in
+    queryset.py, LLM-data-pipeline tier in queryset_nstar.py)."""
     from agent_data_wrangler_spark.queryset import QUERIES
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES as NSTAR
 
-    return dict(QUERIES)
+    return {**QUERIES, **NSTAR}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable query."""
+    """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable query.
+    Rows-only queries (hash-function-dependent LSH/MinHash/SimHash paths)
+    intentionally have no entry — the driver records the weaker check."""
     from agent_data_wrangler_spark.queryset import ORACLE
+    from agent_data_wrangler_spark.queryset_nstar import ORACLE as NSTAR
 
-    return dict(ORACLE)
+    return {**ORACLE, **NSTAR}

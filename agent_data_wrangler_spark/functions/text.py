@@ -74,10 +74,13 @@ def lang_id(col: Column | str) -> Column:
     """Stopword-marker language-ID heuristic over {en,es,de,fr}, 'und' if no
     marker hits. Ties break by language code ascending (deterministic)."""
     toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    scores = [
-        (code, F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))))
-        for code, markers in sorted(LANG_MARKERS.items())
-    ]
+
+    # Factory, not default-arg capture: PySpark counts default-arg params as
+    # lambda arity, so ``lambda t, m=markers`` would bind m to the array index.
+    def _hits(markers: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(code, _hits(markers)) for code, markers in sorted(LANG_MARKERS.items())]
     best = scores[0][1]
     for _, s in scores[1:]:
         best = F.greatest(best, s)

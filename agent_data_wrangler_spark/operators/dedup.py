@@ -1,0 +1,335 @@
+"""Near-duplicate detection for the training-data-pipeline tier (SURVEY §2.7).
+
+The reference wrangles small CSVs and only ever needs pandas
+``drop_duplicates`` (exact dedup — see ``operators/filters.py:drop_duplicate_rows``);
+at 100 TB of documents the interesting problem is NEAR-dup detection, which the
+survey maps to the standard MinHash/LSH pipeline:
+
+    tokens → k-shingles → minhash signature → band buckets → candidate pairs
+           → exact-Jaccard verify → keep-first survivor set
+
+Everything before the band self-join is a pure per-row Column expression
+(runs inside the scan stage, whole-stage codegen, zero Python); the only
+shuffles are (a) the band-bucket self-join on a compact ``(band_idx,
+band_key)`` string and (b) the verify join on doc id. That is the shape that
+survives 100 TB: signatures are ~64*8 bytes/doc regardless of document size,
+and full text never enters a shuffle.
+
+Alternative paths provided:
+- ``near_dup_pairs_exact``: shingle-inverted-index self-join with exact
+  Jaccard — no approximation, oracle-checkable in DuckDB, and the standard
+  verify stage for LSH candidates. Scales with shingle document-frequency;
+  ``max_shingle_df`` caps fan-out from stop-shingles (the classic inverted-
+  index prefix-filter trick).
+- ``simhash``: 64-bit simhash from md5-derived token bits (deterministic,
+  library-free); near-dups are rows whose simhash hamming distance is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.functions.text import tokens
+
+#: Modulus for the minhash permutation family — Mersenne prime 2^31-1.
+#: Keeps a*x+b inside int64 under ANSI mode (a,x < 2^31 → a*x < 2^62).
+_MERSENNE_31 = 2_147_483_647
+
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the input has
+    fewer partitions than cores. Shingling/minhashing is CPU-bound map work;
+    a small local file arrives as ONE split and would pin one core. At real
+    scale the scan yields >> cores splits and this is a no-op (no shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _lcg_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs in [1, P) for h_i(x) = (a_i*x + b_i) mod P.
+
+    A tiny explicit LCG (numerical-recipes constants) instead of ``random`` so
+    the hash family is stable across Python versions and processes.
+    """
+    state = seed & 0xFFFFFFFF
+    out: list[tuple[int, int]] = []
+    for _ in range(num_hashes):
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        a = state % (_MERSENNE_31 - 1) + 1
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        b = state % _MERSENNE_31
+        out.append((a, b))
+    return out
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Distinct word k-grams of the lower-cased text, as an array<string>.
+
+    Documents shorter than k tokens yield an empty array (they can only be
+    exact-duplicates, never shingle-near-dups).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    t = tokens(F.lower(c))
+    n = F.greatest(F.size(t) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    # sequence(1, 0) yields [1, 0] descending — guard explicitly.
+    return F.when(n <= 0, F.array().cast("array<string>")).otherwise(F.array_distinct(grams))
+
+
+def minhash_signature(shingle_col: Column | str, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature (array<bigint>, length ``num_hashes``).
+
+    Each shingle is hashed ONCE via xxhash64 → pmod P, then the permutation
+    family is cheap modular arithmetic over that single value. Empty shingle
+    sets get a sentinel signature of all-P (never collides with real docs).
+    """
+    sc = F.col(shingle_col) if isinstance(shingle_col, str) else shingle_col
+    hashed = F.transform(sc, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    # ONE fold over the shingles with an array<bigint> accumulator — per-hash
+    # expressions (64 separate array_min/transform trees) would re-derive the
+    # whole shingle array per hash function (Catalyst does not CSE across
+    # sibling aggregate expressions). The (a,b) table is a foldable literal.
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _lcg_params(num_hashes, seed)
+        ]
+    )
+    init = F.array_repeat(F.lit(_MERSENNE_31).cast("bigint"), num_hashes)
+    return F.aggregate(
+        hashed,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(params, lambda p: (p["a"] * x + p["b"]) % F.lit(_MERSENNE_31)),
+            lambda m, h: F.least(m, h),
+        ),
+    )
+
+
+def band_keys(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: array of ``bands`` strings ``"<band_idx>:<v1,v2,...>"``.
+
+    Two docs land in the same bucket iff one band of their signatures matches
+    exactly — P(candidate) = 1-(1-J^r)^b, the classic S-curve.
+    """
+    sc = F.col(sig_col) if isinstance(sig_col, str) else sig_col
+    keys = [
+        F.concat_ws(
+            ":",
+            F.lit(str(i)),
+            F.concat_ws(",", F.transform(F.slice(sc, i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+        )
+        for i in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def near_dup_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidate pairs: ``(id_a, id_b)`` with id_a < id_b, distinct.
+
+    Plan shape: scan → per-row signature (codegen) → explode bands (×bands
+    fan-out of a tiny string) → self-join on the band key → distinct pairs.
+    The join key is a short string, never text; skewed buckets (boilerplate
+    shingles) are the known hazard — AQE skew-join handles moderate skew, and
+    the verify stage bounds false positives.
+    """
+    rows_per_band = num_hashes // bands
+    df = _widen(df)
+    # Materialize the signature as a column BEFORE banding: band_keys slices
+    # the signature `bands` times, and an inline expression would re-derive
+    # the whole shingle+minhash tree per band.
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(shingles(text_col, k), num_hashes, seed).alias("__sig"),
+    )
+    keyed = sig.select(
+        "__id",
+        F.explode(band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-Jaccard verify stage: keep candidate pairs with J >= threshold.
+
+    Output: (id_a, id_b, jaccard). Joins the (small) candidate set back to the
+    shingle arrays — two hash joins keyed on the doc id.
+    """
+    sh = df.select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
+    j = (
+        candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+    union = F.size(F.array_union("__sh_a", "__sh_b"))
+    jacc = inter.cast("double") / F.nullif(union.cast("double"), F.lit(0.0))
+    return (
+        j.withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def near_dup_pairs_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    seed: int = 42,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify."""
+    cands = near_dup_candidates(df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed)
+    return jaccard_verify(df, cands, id_col, text_col, k=k, threshold=threshold)
+
+
+def drop_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Keep-first near-dup removal: drop any row that has a verified near-dup
+    with a smaller id (greedy single-pass survivor rule — the standard
+    large-scale choice; full transitive closure needs iterative connected
+    components, out of scope for one pass)."""
+    pairs = near_dup_pairs_minhash(df, id_col, text_col, k=k, threshold=threshold, **lsh_kwargs)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def near_dup_pairs_exact(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard pairs via a shingle inverted index (no MinHash).
+
+    Plan: explode distinct shingles → (optional) drop shingles whose document
+    frequency exceeds ``max_shingle_df`` (stop-shingle prefix filter — the
+    fan-out killer at scale) → self-join on shingle → count common shingles
+    per pair → J = common / (|A| + |B| - common). One shuffle on the shingle
+    string, one on the pair. Oracle-checkable: DuckDB expresses the identical
+    computation with unnest + join (see queryset_nstar).
+
+    Output: (id_a, id_b, jaccard) for pairs with J >= threshold.
+    """
+    sh = _widen(df).select(
+        F.col(id_col).alias("__id"),
+        shingles(text_col, k).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    exploded = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+    if max_shingle_df is not None:
+        keep = (
+            exploded.groupBy("__s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_shingle_df)
+            .select("__s")
+        )
+        exploded = exploded.join(keep, "__s")
+    a = exploded.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), F.col("__s"))
+    b = exploded.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), F.col("__s"))
+    common = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    jacc = F.col("__common").cast("double") / (
+        F.col("__na") + F.col("__nb") - F.col("__common")
+    ).cast("double")
+    return (
+        common.withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(col: Column | str, bits: int = 63) -> Column:
+    """SimHash (up to 63 bits) of the whitespace tokens.
+
+    Each token is hashed ONCE to a 63-bit value (two 32/31-bit halves of its
+    md5, recombined — md5 keeps the hash engine-portable); simhash bit j is
+    set iff the sum over tokens of (+1 if token-bit j else -1) is positive.
+    Pure Column expressions; near-dups = small ``hamming_distance``.
+
+    63 (not 64) bits so the recombined value stays inside a signed int64
+    under ANSI mode.
+    """
+    if not 1 <= bits <= 63:
+        raise ValueError("bits must be in [1, 63]")
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.lower(c))
+
+    def tok_hash(t: Column) -> Column:
+        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+        l = F.pmod(F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("bigint"), F.lit(2**31))
+        return h * F.lit(2**31) + l
+
+    hashed = F.transform(toks, tok_hash)
+    # Single fold with an array<bigint> vote accumulator (one md5 per token;
+    # per-bit folds would re-hash every token `bits` times — no cross-
+    # expression CSE). Bit tests use bitwiseAND against a literal power-of-two
+    # table (shiftright needs a Python-int shift, not a lambda variable).
+    powers = F.array(*[F.lit(2**j).cast("bigint") for j in range(bits)])
+    votes = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(powers, lambda p: F.when(h.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v,
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+
+
+def hamming_distance(a: Column | str, b: Column | str) -> Column:
+    """Popcount of XOR — bit_count is a Spark built-in."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.bit_count(ca.bitwiseXOR(cb))

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (SURVEY §2.7 north-star tier).
+
+The reference never touches vectors (its largest dataset is a 500-row CSV —
+``graph_proj/src/agent/dirty_hr.csv``); this tier exists because a 100 TB
+training-data pipeline needs ANN over an ``array<float>`` column. Two paths:
+
+- ``topk_cosine``: brute-force exact top-k. Plan: broadcast the query vector
+  as a literal → map-side cosine inside the scan stage (higher-order
+  functions, whole-stage codegen, no Arrow) → ``TakeOrderedAndProject``.
+  ZERO shuffles — each partition keeps its local top-k and the driver merges
+  k*numPartitions rows. This is the exact baseline and the verify stage.
+
+- ``topk_cosine_lsh`` / ``similarity_join_lsh``: random-hyperplane LSH.
+  Each vector gets a ``num_planes``-bit sign bucket (pure codegen math); a
+  query probes its own bucket plus all hamming-distance-1 neighbours (an
+  ``IN`` filter the scanner can push down after a one-off bucket
+  materialization), then brute-forces only the probed rows. At 1000 executors
+  the bucketed table is written once (partitioned/bucketed by ``__bucket``)
+  and every query touches ~(planes+1)/2^planes of the data.
+
+Hyperplane components are deterministic pseudo-random values from an explicit
+LCG (stable across processes — no ``random`` module).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.functions.vectors import cosine_similarity
+
+
+def _lcg_gaussianish(n: int, seed: int) -> list[float]:
+    """Deterministic plane components in [-1, 1): a simple LCG mapped through
+    sin() for decorrelation. Sign-LSH only needs symmetric, roughly isotropic
+    directions — exact gaussianity is not required."""
+    state = seed & 0xFFFFFFFF
+    out: list[float] = []
+    for _ in range(n):
+        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
+        out.append(math.sin(state))
+    return out
+
+
+def hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
+    flat = _lcg_gaussianish(dim * num_planes, seed)
+    return [flat[i * dim : (i + 1) * dim] for i in range(num_planes)]
+
+
+def _dot_literal(vec_col: Column, plane: Sequence[float]) -> Column:
+    """vec · literal-plane. The literal array is a foldable expression —
+    Catalyst constant-folds it once; the zip_with+aggregate fold stays in
+    whole-stage codegen."""
+    lit_plane = F.array(*[F.lit(float(p)) for p in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket(vec_col: Column | str, planes: Sequence[Sequence[float]]) -> Column:
+    """Sign-bucket id: bit i = (vec · plane_i >= 0). int in [0, 2^planes)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(planes):
+        bucket = bucket + F.when(_dot_literal(c, plane) >= 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def _query_literal(query_vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in query_vec])
+
+
+def topk_cosine(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    payload_cols: Sequence[str] | None = None,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Exact brute-force cosine top-k against a literal query vector.
+
+    Ordering ties break by the first payload column ascending (deterministic).
+    The score is rounded to 6 decimals AFTER ordering, so boundary rows are
+    selected on full precision.
+    """
+    cols = list(payload_cols) if payload_cols is not None else [c for c in df.columns if c != vec_col]
+    score = cosine_similarity(F.col(vec_col), _query_literal(query_vec))
+    ranked = (
+        df.select(*cols, score.alias("__score"))
+        .orderBy(F.desc("__score"), F.asc(cols[0]))
+        .limit(k)
+    )
+    return ranked.select(*cols, F.round(F.col("__score"), 6).alias(score_col))
+
+
+def topk_cosine_lsh(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    num_planes: int = 12,
+    seed: int = 7,
+    multiprobe: int = 1,
+    payload_cols: Sequence[str] | None = None,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Approximate top-k: probe the query's sign bucket ± hamming-`multiprobe`
+    neighbours, brute-force only the probed rows.
+
+    With the bucket column persisted (or the table bucketed by it), the probe
+    becomes an ``IN (literal buckets)`` predicate — partition-prunable. Here it
+    is computed inline, which still skips the cosine for ~all rows.
+    """
+    planes = hyperplanes(len(query_vec), num_planes, seed)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbits += 2**i
+    probes = {qbits}
+    if multiprobe >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(num_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        }
+    bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
+    probed = bucketed.filter(F.col("__bucket").isin(*[int(p) for p in probes])).drop("__bucket")
+    return topk_cosine(probed, vec_col, query_vec, k, payload_cols=payload_cols, score_col=score_col)
+
+
+def similarity_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    vec_col: str,
+    *,
+    threshold: float = 0.9,
+    num_planes: int = 12,
+    seed: int = 7,
+    left_id: str = "id_a",
+    right_id: str = "id_b",
+    id_col: str | None = None,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Bucketed cosine similarity self/two-table join.
+
+    Both sides get the same hyperplane bucket; the join runs on the bucket id
+    (a bigint — compact shuffle), cosine verifies inside the joined pairs.
+    Recall is bounded by bucket collisions; raise recall by lowering
+    ``num_planes`` (bigger buckets) or unioning over rotated seeds.
+
+    For a self-join pass ``left is right`` and ``id_col`` to emit each pair
+    once (id_a < id_b).
+    """
+    planes_cache: list[list[float]] | None = None
+
+    def with_bucket(df: DataFrame) -> DataFrame:
+        nonlocal planes_cache
+        dim_probe = planes_cache
+        if dim_probe is None:
+            # Plane dim comes from the first array element count at analysis
+            # time; caller vectors must share a fixed dim (enforced upstream).
+            size = df.select(F.size(vec_col).alias("n")).limit(1).collect()
+            dim = int(size[0]["n"]) if size else 0
+            planes_cache = hyperplanes(dim, num_planes, seed)
+        return df.withColumn("__bucket", lsh_bucket(vec_col, planes_cache))
+
+    self_join = left is right
+    lb = with_bucket(left)
+    rb = with_bucket(right) if not self_join else lb
+    if self_join:
+        key = id_col or left.columns[0]
+        a = lb.select(F.col(key).alias(left_id), F.col(vec_col).alias("__va"), "__bucket")
+        b = lb.select(F.col(key).alias(right_id), F.col(vec_col).alias("__vb"), "__bucket")
+        joined = a.join(b, "__bucket").filter(F.col(left_id) < F.col(right_id))
+    else:
+        a = lb.withColumnRenamed(vec_col, "__va")
+        b = rb.withColumnRenamed(vec_col, "__vb")
+        joined = a.join(b, "__bucket")
+    score = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        joined.withColumn(score_col, F.round(score, 6))
+        .filter(F.col(score_col) >= threshold)
+        .drop("__va", "__vb", "__bucket")
+    )

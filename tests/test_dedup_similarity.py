@@ -1,0 +1,182 @@
+"""Unit tests for the LLM-data-pipeline tier (SURVEY §2.7): near-dup dedup
+(MinHash+LSH, exact Jaccard, SimHash), similarity search (brute force + LSH),
+and the text-analysis scalar functions.
+
+Planted-near-duplicate recall is the key property the oracle queries cannot
+check (candidate generation depends on engine hash functions): we synthesize
+documents with known near-dup structure and assert the pipeline finds them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.functions.text import (
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from agent_data_wrangler_spark.operators import dedup, similarity
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    # 0/1: near-dups (one word changed). 2: exact dup of 0. 3/4: unrelated.
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),
+        (2, BASE),
+        (3, "completely different text about spark shuffles and parquet column pruning at scale"),
+        (4, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_minhash_finds_planted_near_dups(planted_docs):
+    pairs = dedup.near_dup_pairs_minhash(
+        planted_docs, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.5
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # Exact dup pair and the one-word-change pair must be found; the unrelated
+    # doc must never pair with anything.
+    assert (0, 2) in got
+    assert (0, 1) in got and (1, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_exact_dup_jaccard_is_one(planted_docs):
+    pairs = dedup.near_dup_pairs_minhash(planted_docs, "doc_id", "text", threshold=0.5)
+    jacc = {(r.id_a, r.id_b): r.jaccard for r in pairs.collect()}
+    assert jacc[(0, 2)] == 1.0
+    assert 0.5 <= jacc[(0, 1)] < 1.0
+
+
+def test_drop_near_duplicates_keeps_first(planted_docs):
+    survivors = dedup.drop_near_duplicates(planted_docs, "doc_id", "text", threshold=0.5)
+    ids = sorted(r.doc_id for r in survivors.collect())
+    # 1 and 2 are near-dups of 0 → dropped; 0 (smallest id), 3, 4 survive.
+    assert ids == [0, 3, 4]
+
+
+def test_exact_jaccard_matches_hand_computation(spark):
+    # shingles(k=2) of "a b c d" = {a b, b c, c d}; of "a b c e" = {a b, b c, c e}
+    # intersection 2, union 4 → J = 0.5
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id bigint, text string")
+    pairs = dedup.near_dup_pairs_exact(df, "doc_id", "text", k=2, threshold=0.4)
+    rows = pairs.collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard == 0.5
+
+
+def test_exact_jaccard_max_df_filters_stop_shingles(spark):
+    # A shingle present in every doc is dropped with max_shingle_df=2, so the
+    # only-common-shingle pair falls below threshold.
+    df = spark.createDataFrame(
+        [(1, "x y z a"), (2, "x y z b"), (3, "x y z c")], "doc_id bigint, text string"
+    )
+    with_stop = dedup.near_dup_pairs_exact(df, "doc_id", "text", k=3, threshold=0.1)
+    without = dedup.near_dup_pairs_exact(df, "doc_id", "text", k=3, threshold=0.1, max_shingle_df=2)
+    assert with_stop.count() == 3  # all pairs share 'x y z'
+    assert without.count() == 0
+
+
+def test_simhash_deterministic_and_locality(spark):
+    df = spark.createDataFrame(
+        [(0, BASE), (1, BASE), (2, BASE.replace("lazy", "sleepy")), (3, "entirely unrelated words here")],
+        "id bigint, text string",
+    )
+    sh = df.select("id", dedup.simhash("text").alias("h"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("ia"),
+            F.col("b.id").alias("ib"),
+            dedup.hamming_distance(F.col("a.h"), F.col("b.h")).alias("d"),
+        )
+    )
+    d = {(r.ia, r.ib): r.d for r in pairs.collect()}
+    assert d[(0, 1)] == 0  # identical text → identical simhash
+    assert d[(0, 2)] < d[(0, 3)]  # near-dup closer than unrelated
+
+
+def test_topk_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        "id bigint, v array<double>",
+    )
+    out = similarity.topk_cosine(df, "v", [1.0, 0.0], k=2, payload_cols=["id"])
+    rows = out.collect()
+    assert [r.id for r in rows] == [1, 3]
+    assert rows[0].cos_sim == 1.0
+    assert rows[1].cos_sim == pytest.approx(0.707107, abs=1e-6)
+
+
+def test_lsh_topk_finds_planted_neighbor(spark):
+    import math
+
+    # 200 low-similarity background vectors + one planted near-copy of the query.
+    q = [math.sin(3 * i + 1) for i in range(16)]
+    planted = [v * 1.1 for v in q]
+    rows = [(999, planted)] + [
+        (i, [math.sin((i + 7) * (d + 3)) for d in range(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    exact = similarity.topk_cosine(df, "v", q, k=1, payload_cols=["id"]).collect()
+    approx = similarity.topk_cosine_lsh(
+        df, "v", q, k=1, num_planes=8, multiprobe=1, payload_cols=["id"]
+    ).collect()
+    assert exact[0].id == 999
+    assert approx[0].id == 999  # scaled copy shares the query's bucket exactly
+    assert approx[0].cos_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_similarity_join_lsh_finds_planted_pair(spark):
+    import math
+
+    base = [math.sin(i + 2) for i in range(16)]
+    rows = [(1, base), (2, [v * 1.01 for v in base])] + [
+        (i, [math.sin((i + 11) * (d + 5)) for d in range(16)]) for i in range(10, 60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    pairs = similarity.similarity_join_lsh(
+        df, df, "embedding", threshold=0.99, num_planes=8, id_col="vec_id"
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_text_functions_basics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "el perro y la casa es grande los dias"),
+            (3, ""),
+            (4, "zzz qqq xxx"),
+        ],
+        "id bigint, text string",
+    )
+    out = df.select(
+        "id",
+        token_count("text").alias("tc"),
+        lang_id("text").alias("lang"),
+        fingerprint("text").alias("fp"),
+        quality_score("text").alias("q"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert by_id[1].tc == 7 and by_id[1].lang == "en"
+    assert by_id[2].lang == "es"
+    assert by_id[3].tc == 0 and by_id[3].lang == "und"
+    assert by_id[4].lang == "und"
+    # fingerprint is case/whitespace-insensitive
+    df2 = spark.createDataFrame([(1, "  THE cat   and the dog is here ")], "id bigint, text string")
+    fp2 = df2.select(fingerprint("text").alias("fp")).collect()[0].fp
+    assert fp2 == by_id[1].fp
+    assert 0.0 <= by_id[1].q <= 1.0
