@@ -42,3 +42,23 @@ def null_count_agg(df: DataFrame, column: str) -> Column:
 def correlation(df: DataFrame, c1: str, c2: str) -> float:
     """A7: Pearson correlation (sample, matching pandas/DuckDB corr)."""
     return df.agg(F.corr(F.col(c1).cast("double"), F.col(c2).cast("double"))).first()[0]
+
+
+def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """Seeded Bernoulli sample (SURVEY §2.6): deterministic for a given Spark
+    version/partitioning (per-partition XORShift streams). Engine-specific —
+    DuckDB's sampler draws differently, so no value-level oracle exists; the
+    row count concentrates around fraction·n (unit-tested).
+
+    Scale: pure map-side filter — no shuffle, composes with pushdown."""
+    return df.sample(withReplacement=False, fraction=fraction, seed=seed)
+
+
+def approx_distinct(df: DataFrame, column: str, rsd: float = 0.05) -> DataFrame:
+    """Approximate distinct count via HyperLogLog++ (SURVEY §2.6).
+
+    The 100 TB default: a fixed-size sketch per partition merged on the
+    driver path — no shuffle of distinct values at all, vs countDistinct's
+    full shuffle. rsd=0.05 ≈ 1.5 KB of sketch. Engine-specific sketch → no
+    value oracle; accuracy vs exact is unit-tested."""
+    return df.agg(F.approx_count_distinct(column, rsd=rsd).alias(f"approx_distinct_{column}"))

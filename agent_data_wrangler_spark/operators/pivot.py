@@ -28,3 +28,24 @@ def rollup_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
 
 def cube_agg(df: DataFrame, keys: list[str], aggs: list[Column]) -> DataFrame:
     return df.cube(*keys).agg(*aggs)
+
+
+def crosstab(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Contingency table (``pd.crosstab`` parity): one output row per distinct
+    ``row_col`` value, one output column per distinct ``col_col`` value
+    (sorted), counts as bigint. Same 100 TB caveat as ``pivoted``: the column
+    dimension must be LOW-cardinality — every distinct value becomes a schema
+    column, and Spark runs a distinct pass to discover them."""
+    return df.stat.crosstab(row_col, col_col)
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: list[list[str]],
+    keys: list[str],
+    aggs: list[Column],
+) -> DataFrame:
+    """GROUP BY GROUPING SETS — the generalization of rollup/cube to explicit
+    grouping-set lists (Spark 4 native ``DataFrame.groupingSets``). Same
+    map-side row multiplication as rollup: one copy per set the row feeds."""
+    return df.groupingSets(sets, *keys).agg(*aggs)

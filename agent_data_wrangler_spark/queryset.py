@@ -864,3 +864,176 @@ def k1_top10_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     top = windows.top_k(o, [F.desc("o_totalprice"), F.asc("o_orderkey")], 10)
     return top.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+
+
+# ---------------------------------------------------------------------------
+# J5 — as-of join (pd.merge_asof parity, SURVEY §2.6): for each 'click' event
+# attach the most recent earlier 'purchase' value of the same user. Spark has
+# no native ASOF JOIN; the operator is the union-merge + carry-forward-window
+# pattern — ONE shuffle on user_id, linear in |L|+|R| (the naive range join
+# is O(|L|·|R|) per key and dies at scale). DuckDB's native ASOF JOIN is the
+# oracle. (user_id, ts) is unique in the testdata, so the match is
+# deterministic; value passes through unchanged (no float arithmetic).
+# ---------------------------------------------------------------------------
+@query(
+    "j5_asof_last_purchase",
+    oracle="""
+    SELECT a.event_id, b.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'click') a
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+      ON a.user_id = b.user_id AND a.ts >= b.ts
+    """,
+)
+def j5_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = joins.asof_join(
+        clicks, purchases, key="user_id", left_time="ts", right_time="ts",
+        right_values=["value"],
+    )
+    return out.select("event_id", "value_asof")
+
+
+# ---------------------------------------------------------------------------
+# W4 — rolling window (7-row trailing mean of order value per customer).
+# Integer-cents input keeps the frame sum bit-exact; avg of bigint → double
+# matches DuckDB. One shuffle on o_custkey.
+# ---------------------------------------------------------------------------
+@query(
+    "w4_rolling_avg_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_cents
+    FROM orders
+    """,
+)
+def w4_rolling_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    out = windows.rolling(
+        o,
+        F.avg("cents"),
+        partition_by=["o_custkey"],
+        order_by=[F.asc("o_orderdate"), F.asc("o_orderkey")],
+        preceding=6,
+        alias="rolling_avg_cents",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("rolling_avg_cents", 4).alias("rolling_avg_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1 — crosstab / contingency table (pd.crosstab parity). Column dimension is
+# a 3-value derived bucket — bounded schema by construction; Spark's crosstab
+# runs a distinct pass + pivot-count. Oracle = explicit conditional counts.
+# ---------------------------------------------------------------------------
+@query(
+    "x1_crosstab_events",
+    oracle="""
+    SELECT event_type AS event_type_bucket,
+           CAST(sum(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "0",
+           CAST(sum(CASE WHEN user_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1",
+           CAST(sum(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2"
+    FROM events GROUP BY event_type
+    """,
+)
+def x1_crosstab_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 3).cast("string").alias("bucket")
+    )
+    return pivot.crosstab(e, "event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# G1 — GROUPING SETS (explicit set list; rollup/cube generalization).
+# ---------------------------------------------------------------------------
+@query(
+    "g1_grouping_sets_orders",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def g1_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return pivot.grouping_sets_agg(
+        o,
+        [["status"], ["priority"], []],
+        ["status", "priority"],
+        [F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# SM1 — seeded Bernoulli sample (rows-only: per-partition XORShift draws are
+# Spark-specific; determinism-for-a-seed is unit-tested). Map-side filter,
+# zero shuffle.
+# ---------------------------------------------------------------------------
+@query("sm1_seeded_sample_orders")
+def sm1_seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return aggregates.seeded_sample(o, 0.1, seed=42).select("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# AD1 — approx distinct count via HLL++ (rows-only: sketch is engine-
+# specific; accuracy vs exact is unit-tested). The 100 TB default for
+# cardinality: fixed-size sketches, no shuffle of values.
+# ---------------------------------------------------------------------------
+@query("ad1_approx_distinct_customers")
+def ad1_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return aggregates.approx_distinct(o, "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# U1 — §2.8 escape hatch: per-group z-score via applyInPandas (the
+# distributed groupby().apply the reference's pandas programs rely on), then
+# a per-group summary. The pandas stage ships each event_type group to a
+# worker as one Arrow frame; the oracle re-derives the same z-scores with
+# window functions. ddof=1 both sides.
+# ---------------------------------------------------------------------------
+@query(
+    "u1_zscore_by_type_events",
+    oracle="""
+    WITH z AS (
+      SELECT event_type,
+             abs((value - avg(value) OVER (PARTITION BY event_type))
+                 / nullif(stddev_samp(value) OVER (PARTITION BY event_type), 0)) AS az
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(avg(az), 4) AS avg_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def u1_zscore_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from agent_data_wrangler_spark.operators.pandas_ops import grouped_transform
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].dropna()
+        std = v.std(ddof=1)
+        az = ((v - v.mean()) / std).abs() if std else None
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"].iloc[:1], "n": [int(v.size)],
+             "avg_abs_z": [round(float(az.mean()), 4) if az is not None else None]}
+        )
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    return grouped_transform(
+        e, ["event_type"], zscore, "event_type string, n bigint, avg_abs_z double"
+    )

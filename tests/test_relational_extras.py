@@ -1,0 +1,112 @@
+"""Unit tests for the §2.6 carry-along operators (crosstab, grouping sets,
+seeded sampling, approx distinct) and the §2.8 pandas escape hatch."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.operators import aggregates, pivot
+from agent_data_wrangler_spark.operators.pandas_ops import (
+    grouped_agg_pandas_udf,
+    grouped_transform,
+    map_batches,
+    scalar_pandas_udf,
+)
+
+
+def test_crosstab_counts(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "y")], "k string, v string"
+    )
+    ct = pivot.crosstab(df, "k", "v")
+    assert ct.columns == ["k_v", "x", "y"]
+    rows = {r["k_v"]: (r["x"], r["y"]) for r in ct.collect()}
+    assert rows == {"a": (2, 1), "b": (0, 1)}
+
+
+def test_grouping_sets(spark):
+    df = spark.createDataFrame([("a", "p", 1), ("a", "q", 2), ("b", "p", 3)], "k string, g string, v int")
+    out = pivot.grouping_sets_agg(
+        df, [["k"], []], ["k", "g"], [F.sum("v").cast("bigint").alias("s")]
+    )
+    rows = {(r.k, r.g): r.s for r in out.collect()}
+    assert rows == {("a", None): 3, ("b", None): 3, (None, None): 6}
+
+
+def test_seeded_sample_deterministic(spark, sf_dir):
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    a = aggregates.seeded_sample(o, 0.2, seed=7).count()
+    b = aggregates.seeded_sample(o, 0.2, seed=7).count()
+    c = aggregates.seeded_sample(o, 0.2, seed=8).count()
+    n = o.count()
+    assert a == b  # same seed → identical draw
+    assert abs(a - 0.2 * n) < 0.05 * n  # concentrates around fraction
+    assert c != a or n < 50  # different seed → (almost surely) different draw
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = aggregates.approx_distinct(o, "o_custkey", rsd=0.05).first()[0]
+    assert abs(approx - exact) <= max(3, 0.15 * exact)
+
+
+def test_scalar_pandas_udf(spark):
+    double_it = scalar_pandas_udf(lambda s: s * 2, "double")
+    df = spark.createDataFrame([(1.0,), (2.5,)], "v double")
+    out = sorted(r[0] for r in df.select(double_it("v")).collect())
+    assert out == [2.0, 5.0]
+
+
+def test_grouped_agg_pandas_udf(spark):
+    geo_mean = grouped_agg_pandas_udf(
+        lambda s: float((s.prod()) ** (1.0 / len(s))), "double"
+    )
+    df = spark.createDataFrame([("a", 2.0), ("a", 8.0), ("b", 3.0)], "k string, v double")
+    rows = {r.k: r.g for r in df.groupBy("k").agg(geo_mean("v").alias("g")).collect()}
+    assert rows["a"] == pytest.approx(4.0)
+    assert rows["b"] == pytest.approx(3.0)
+
+
+def test_grouped_transform_schema_and_values(spark):
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+
+    df = spark.createDataFrame([("a", 1.0), ("a", 3.0), ("b", 5.0)], "k string, v double")
+    out = grouped_transform(df, ["k"], demean, "k string, v double")
+    got = sorted((r.k, r.v) for r in out.collect())
+    assert got == [("a", -1.0), ("a", 1.0), ("b", 0.0)]
+
+
+def test_map_batches_streaming(spark):
+    def add_len(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["n"] = pdf["s"].str.len()
+            yield pdf
+
+    df = spark.createDataFrame([("abc",), ("de",)], "s string")
+    out = {r.s: r.n for r in map_batches(df, add_len, "s string, n int").collect()}
+    assert out == {"abc": 3, "de": 2}
+
+
+def test_udtf_tokenize(spark):
+    from agent_data_wrangler_spark.operators.pandas_ops import make_udtf
+
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split()):
+                yield (i, tok)
+
+    tok_udtf = make_udtf(Tokenize, "pos int, tok string")
+    spark.udtf.register("tokenize", tok_udtf)
+    out = spark.sql("SELECT * FROM tokenize('a b c')").collect()
+    assert [(r.pos, r.tok) for r in out] == [(0, "a"), (1, "b"), (2, "c")]
