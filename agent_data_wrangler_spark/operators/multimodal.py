@@ -1,0 +1,194 @@
+"""Multimodal binary columns (SURVEY §2.7): images / audio / video as opaque
+``binary`` payloads with typed metadata, processed via Arrow-batched
+``mapInPandas`` (the §2.8 escape hatch — per-byte work has no Column algebra).
+
+Data model: a media table is ``(id bigint, media_type string, payload binary,
+meta struct<...>)`` — payloads stay opaque through scans/joins/shuffles; only
+the decode/feature stages open them, and those run batch-streaming with
+constant memory (no shuffle).
+
+What is REAL here vs stubbed (per the build brief — image/audio codec
+libraries are not in this container):
+- PPM (P6) image decode, nearest-neighbour resize, intensity features: REAL —
+  the format is a trivial header + raw RGB bytes, parsed with numpy alone.
+- PCM16 (raw little-endian) audio decode, RMS/peak/duration features: REAL —
+  ``np.frombuffer`` is the entire codec.
+- Fixed-size-frame video chunking + every-Nth frame sampling: REAL byte math.
+- JPEG/PNG/FLAC/MP4...: STUBBED — ``decode_image`` raises
+  ``NotImplementedError`` unless Pillow happens to be importable. The Spark
+  plumbing (schemas, batch iteration, signatures) is identical either way.
+
+Scale notes: payload bytes never enter a shuffle in any operator here; the
+decode stages are scan → mapInPandas → (narrow) project. Feature outputs are
+small fixed-width columns, safe to aggregate/join downstream. Binary file
+ingestion at scale = ``spark.read.format("binaryFile")`` (see
+``sources/readers.py:read_binary_files``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from agent_data_wrangler_spark.operators.pandas_ops import map_batches
+
+# ---------------------------------------------------------------------------
+# Codecs (driver+executor side, pure numpy)
+# ---------------------------------------------------------------------------
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 array)."""
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 5 or parts[0] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    raw = parts[4]
+    pixels = np.frombuffer(raw[: width * height * 3], dtype=np.uint8)
+    return width, height, pixels.reshape(height, width, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Inverse of ``_parse_ppm`` — used by tests and the resize round-trip."""
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def _decode_any_image(payload: bytes, fmt: str) -> tuple[int, int, np.ndarray]:
+    if fmt == "ppm":
+        return _parse_ppm(payload)
+    try:  # pragma: no cover - Pillow absent in the build container
+        from io import BytesIO
+
+        from PIL import Image
+
+        img = np.asarray(Image.open(BytesIO(payload)).convert("RGB"))
+        return img.shape[1], img.shape[0], img
+    except ImportError as exc:
+        raise NotImplementedError(
+            f"image format {fmt!r} needs a codec library (Pillow) that is not "
+            "installed; only 'ppm' decodes natively"
+        ) from exc
+
+
+# ---------------------------------------------------------------------------
+# Image operators
+# ---------------------------------------------------------------------------
+
+IMAGE_FEATURE_SCHEMA = (
+    "id bigint, width int, height int, mean_r double, mean_g double, "
+    "mean_b double, mean_intensity double"
+)
+
+
+def image_features(df: DataFrame, *, id_col: str = "id", payload_col: str = "payload", fmt: str = "ppm") -> DataFrame:
+    """Decode + per-image channel statistics in one streaming pass."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_any_image(bytes(payload), fmt)
+                means = px.reshape(-1, 3).mean(axis=0)
+                out.append((int(rid), w, h, float(means[0]), float(means[1]), float(means[2]), float(means.mean())))
+            yield pd.DataFrame(out, columns=["id", "width", "height", "mean_r", "mean_g", "mean_b", "mean_intensity"])
+
+    return map_batches(df, run, IMAGE_FEATURE_SCHEMA)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    fmt: str = "ppm",
+) -> DataFrame:
+    """Nearest-neighbour resize, re-encoded to PPM: (id, payload binary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_any_image(bytes(payload), fmt)
+                ys = (np.arange(height) * h // height).clip(0, h - 1)
+                xs = (np.arange(width) * w // width).clip(0, w - 1)
+                resized = px[np.ix_(ys, xs)]
+                ids.append(int(rid))
+                payloads.append(encode_ppm(resized))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    return map_batches(df, run, "id bigint, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# Audio operators (raw PCM16 mono)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = "id bigint, n_samples bigint, duration_sec double, rms double, peak double"
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    sample_rate_col: str = "sample_rate",
+) -> DataFrame:
+    """Decode little-endian PCM16 and emit RMS / peak / duration."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, payload, rate in zip(pdf[id_col], pdf[payload_col], pdf[sample_rate_col]):
+                wave = np.frombuffer(bytes(payload), dtype="<i2").astype(np.float64) / 32768.0
+                n = wave.size
+                rms = float(np.sqrt(np.mean(wave**2))) if n else 0.0
+                peak = float(np.abs(wave).max()) if n else 0.0
+                out.append((int(rid), n, n / float(rate), rms, peak))
+            yield pd.DataFrame(out, columns=["id", "n_samples", "duration_sec", "rms", "peak"])
+
+    return map_batches(df, run, AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Video operators (fixed-size frame chunking)
+# ---------------------------------------------------------------------------
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    frame_bytes_col: str = "frame_bytes",
+) -> DataFrame:
+    """Explode every Nth fixed-size frame: (id, frame_idx, frame binary).
+
+    A 'video' here is a concatenation of equal-size raw frames (the container
+    parsing a real pipeline would do in this same position is library-gated).
+    Fan-out is 1/every_n of the frame count — the downstream decode cost
+    driver at 100 TB, which is exactly why sampling happens BEFORE decode.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, payload, fb in zip(pdf[id_col], pdf[payload_col], pdf[frame_bytes_col]):
+                data = bytes(payload)
+                fb = int(fb)
+                n_frames = len(data) // fb if fb else 0
+                for i in range(0, n_frames, every_n):
+                    ids.append(int(rid))
+                    idxs.append(i)
+                    frames.append(data[i * fb : (i + 1) * fb])
+            yield pd.DataFrame({"id": ids, "frame_idx": idxs, "frame": frames})
+
+    return map_batches(df, run, "id bigint, frame_idx int, frame binary")

@@ -280,3 +280,80 @@ def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e, "embedding", threshold=0.95, num_planes=8, id_col="vec_id"
     )
     return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# ST1 — Structured Streaming over `events`: file-source stream → watermarked
+# 1-hour tumbling window counts → AvailableNow drain into a memory sink.
+# With a static source fully available at trigger time the result equals the
+# batch computation, so this IS oracle-checkable: DuckDB date_trunc mirrors
+# Spark's epoch-aligned 1-hour windows. At a real event rate the same plan
+# runs continuously with bounded state (watermark-expired windows age out).
+# ---------------------------------------------------------------------------
+@query(
+    "st1_streaming_window_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def st1_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.readers import read_table
+    from agent_data_wrangler_spark.streaming import run_available_now, stream_from_directory, windowed_agg
+
+    # The testdata events carry TIMESTAMP(NANOS) parquet (vectorized-reader-
+    # hostile); stream from a micro-timestamp re-write so the file source can
+    # scan it. At scale the stream source is Kafka/json and this step vanishes.
+    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
+    batch = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    batch.write.mode("overwrite").parquet(staged)
+    schema = batch.schema
+
+    sdf = stream_from_directory(spark, staged, schema)
+    windowed = windowed_agg(
+        sdf, "ts", "1 hour",
+        [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
+        watermark="365 days",
+    )
+    name = f"st1_out_{os.path.basename(staged) or 'x'}".replace("-", "_")
+    # State-partition count is fixed at stream START and each partition pays a
+    # state-store commit per batch — locally that IO dominates, so pin it low
+    # for the drain and restore the session setting after. (On a cluster the
+    # right number tracks executor count; 8 is the single-node sweet spot.)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(windowed, name, os.path.join(staged, "..", "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).drop("window_end")
+
+
+# ---------------------------------------------------------------------------
+# MM1 — multimodal plumbing over testdata: synthesize a deterministic PPM
+# payload per document (header + first 48 ASCII bytes as 4x4 RGB), then run
+# the real decode+feature operator (mapInPandas over binary columns).
+# Rows-only: byte-level image semantics are pinned by tests/test_multimodal.py;
+# this entry proves the binary-column path runs end-to-end on a real table.
+# ---------------------------------------------------------------------------
+@query("mm1_image_features_documents")
+def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.multimodal import image_features
+
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"),
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "utf-8"),
+    )
+    media = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    feats = image_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
+    )

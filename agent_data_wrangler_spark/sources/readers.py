@@ -131,3 +131,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one of the driver testdata tables (TESTDATA.md) by name."""
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Multimodal ingestion (SURVEY §2.7): the ``binaryFile`` source yields
+    (path, modificationTime, length, content binary) — one row per file, file
+    bytes as an opaque payload for the operators in ``operators/multimodal``.
+
+    Scale: listing parallelizes across the driver thread pool; each file is
+    one row, so millions of small media files want an upstream compaction
+    into parquet (payload binary column) — which is exactly the layout the
+    multimodal operators consume."""
+    require_exists(path)
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -1,0 +1,20 @@
+"""Structured Streaming tier (SURVEY §2.7): streaming ingestion, watermarked
+windowed aggregation, in-stream dedup, sessionization."""
+
+from agent_data_wrangler_spark.streaming.ops import (
+    dedup_within_watermark,
+    run_available_now,
+    session_agg,
+    sessionize_stateful,
+    stream_from_directory,
+    windowed_agg,
+)
+
+__all__ = [
+    "dedup_within_watermark",
+    "run_available_now",
+    "session_agg",
+    "sessionize_stateful",
+    "stream_from_directory",
+    "windowed_agg",
+]

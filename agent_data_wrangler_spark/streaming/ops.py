@@ -1,0 +1,161 @@
+"""Structured Streaming operators over `events`-shaped streams (SURVEY §2.7).
+
+The reference is batch-only (one CSV per run); this tier is the engine's
+answer to the same cleaning/aggregation semantics arriving continuously.
+Designed against the standard Structured Streaming model: source → watermark
+→ stateful op → sink, with state bounded by the watermark.
+
+Scale notes (the parts that matter at a real event rate):
+- Every stateful op here REQUIRES a watermark — unbounded state is the
+  streaming OOM. The helpers take `watermark` explicitly rather than
+  defaulting, so callers must decide their lateness budget.
+- `windowed_agg` state is |keys|·|open windows|; tumbling windows expire at
+  (window_end + watermark).
+- `dedup_within_watermark` uses dropDuplicatesWithinWatermark — state holds
+  one entry per key seen inside the watermark horizon, NOT forever (the
+  plain dropDuplicates-on-stream trap).
+- `sessionize_stateful` (applyInPandasWithState) is the custom-operator
+  escape hatch: per-key pandas state with explicit timeout handling. Use
+  `session_agg` (native session_window) when gap-close semantics suffice —
+  it stays JVM-side.
+
+Batch/stream parity: medians/modes and other blocking fits are NOT
+streamable; streaming pipelines ship the stateless transforms plus these
+windowed aggregates (documented divergence, SURVEY §7 risk list).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def stream_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    fmt: str = "parquet",
+    *,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream: picks up new files dropped into `path`.
+
+    The schema is REQUIRED (streaming sources cannot infer). At scale the
+    same call shape points at a Kafka/Kinesis source instead; everything
+    downstream is source-agnostic."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.format(fmt).load(path)
+
+
+def windowed_agg(
+    sdf: DataFrame,
+    time_col: str,
+    window_duration: str,
+    aggs: list[Column],
+    *,
+    keys: list[str] | None = None,
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, when `slide` given) window aggregate.
+
+    Output includes window_start/window_end; late rows beyond `watermark`
+    are dropped (deterministic given the same file arrival order)."""
+    win = F.window(F.col(time_col), window_duration, slide) if slide else F.window(
+        F.col(time_col), window_duration
+    )
+    grouped = sdf.withWatermark(time_col, watermark).groupBy(win, *(keys or []))
+    out = grouped.agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )
+
+
+def dedup_within_watermark(
+    sdf: DataFrame, keys: list[str], time_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """In-stream exact dedup with BOUNDED state (state expires with the
+    watermark horizon) — the streaming twin of F3/exact dedup."""
+    return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+        keys + [time_col]
+    )
+
+
+def session_agg(
+    sdf: DataFrame,
+    time_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Native session windows (gap-based): sessions close when no event
+    arrives within `gap`. JVM-side state — prefer this over the stateful
+    pandas path when plain gap semantics are enough."""
+    out = (
+        sdf.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(F.col(time_col), gap), *keys)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )
+
+
+def sessionize_stateful(
+    sdf: DataFrame,
+    keys: list[str],
+    func: Callable[[Any, Iterable[pd.DataFrame], GroupState], Iterator[pd.DataFrame]],
+    output_schema: StructType | str,
+    state_schema: StructType | str,
+    *,
+    timeout: str = GroupStateTimeout.NoTimeout,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — arbitrary
+    per-key state machines (sessionization with custom close rules, CEP-ish
+    patterns, incremental models). `func(key, pdf_iter, state)` manages its
+    own ``GroupState`` (get/update/remove + timeouts)."""
+    return sdf.groupBy(*keys).applyInPandasWithState(
+        func, outputStructType=output_schema, stateStructType=state_schema,
+        outputMode="update", timeoutConf=timeout,
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, query_name: str, checkpoint_dir: str, *, output_mode: str | None = None
+) -> None:
+    """Drain everything currently available into an in-memory table named
+    `query_name`, then stop (Trigger.AvailableNow) — the deterministic test/
+    backfill harness; production sinks swap format for kafka/parquet.
+
+    ``output_mode`` defaults per plan shape: complete for aggregates, update
+    for custom stateful ops, append otherwise."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode or _default_mode(sdf))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _default_mode(sdf: DataFrame) -> str:
+    plan = sdf._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in plan:
+        return "update"
+    return "complete" if "Aggregate" in plan else "append"

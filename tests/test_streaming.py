@@ -1,0 +1,122 @@
+"""Structured Streaming tests: file-source ingestion drained with
+Trigger.AvailableNow into memory sinks, checked against batch equivalents —
+windowed aggregation with watermark, in-stream dedup, session windows, and a
+custom stateful operator (applyInPandasWithState)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+from agent_data_wrangler_spark.streaming import (
+    dedup_within_watermark,
+    run_available_now,
+    session_agg,
+    sessionize_stateful,
+    stream_from_directory,
+    windowed_agg,
+)
+
+SCHEMA = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Two parquet drops of events: known windows/sessions, one exact dup."""
+    d = tmp_path_factory.mktemp("stream")
+    rows1 = [
+        (1, "2024-01-01 10:00:10", 1, "click", 1.0),
+        (2, "2024-01-01 10:00:50", 1, "click", 2.0),
+        (3, "2024-01-01 10:01:10", 2, "view", 3.0),
+        (3, "2024-01-01 10:01:10", 2, "view", 3.0),  # exact duplicate
+    ]
+    rows2 = [
+        (4, "2024-01-01 10:02:30", 1, "click", 4.0),
+        (5, "2024-01-01 10:10:00", 2, "view", 5.0),
+    ]
+    for i, rows in enumerate([rows1, rows2]):
+        df = spark.createDataFrame(
+            rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        df.coalesce(1).write.mode("overwrite").parquet(str(d / f"drop{i}"))
+    # flatten: the file source wants a flat dir of files
+    flat = tmp_path_factory.mktemp("flat")
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(d / "drop*" / "*.parquet")))):
+        shutil.copy(f, flat / f"part{i}.parquet")
+    return str(flat)
+
+
+def test_windowed_agg_matches_batch(spark, stream_dir, tmp_path):
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA)
+    agg = windowed_agg(
+        sdf, "ts", "1 minute",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total")],
+        watermark="30 minutes",
+    )
+    run_available_now(agg, "win_counts", str(tmp_path / "ckpt"))
+    got = {
+        (str(r.window_start), r.n, r.total)
+        for r in spark.table("win_counts").collect()
+    }
+    batch = spark.read.schema(SCHEMA).parquet(stream_dir)
+    expected = {
+        (str(r["window.start"]), r.n, r.total)
+        for r in batch.groupBy(F.window("ts", "1 minute"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(F.col("window.start").alias("window.start"), "n", "total")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 4  # 10:00, 10:01, 10:02, 10:10
+
+
+def test_dedup_within_watermark(spark, stream_dir, tmp_path):
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA)
+    deduped = dedup_within_watermark(sdf, ["event_id"], "ts", watermark="30 minutes")
+    run_available_now(deduped, "deduped_events", str(tmp_path / "ckpt"))
+    rows = spark.table("deduped_events").collect()
+    assert len(rows) == 5  # 6 raw rows, one exact duplicate removed
+    assert sorted(r.event_id for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_session_agg(spark, stream_dir, tmp_path):
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA)
+    sessions = session_agg(
+        sdf, "ts", "5 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n_events")],
+        watermark="30 minutes",
+    )
+    run_available_now(sessions, "sessions", str(tmp_path / "ckpt"))
+    got = {(r.user_id, r.n_events) for r in spark.table("sessions").collect()}
+    # user 1: 10:00:10-10:02:30 all within 5-min gaps -> one 3-event session
+    # user 2: 10:01:10 (dup collapses? no - session_agg doesn't dedup: 2 events)
+    #          and 10:10:00 is >5min later -> second session of 1
+    assert (1, 3) in got
+    assert (2, 2) in got and (2, 1) in got
+
+
+def test_sessionize_stateful_counts(spark, stream_dir, tmp_path):
+    def count_events(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA)
+    counted = sessionize_stateful(
+        sdf, ["user_id"], count_events,
+        output_schema="user_id bigint, n_events bigint",
+        state_schema="n bigint",
+        timeout=GroupStateTimeout.NoTimeout,
+    )
+    run_available_now(counted, "stateful_counts", str(tmp_path / "ckpt"))
+    got = {(r.user_id, r.n_events) for r in spark.table("stateful_counts").collect()}
+    # one AvailableNow drain -> one batch; totals per user over all files
+    assert (1, 3) in got
+    assert (2, 3) in got
