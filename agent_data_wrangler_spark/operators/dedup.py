@@ -181,10 +181,20 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact-Jaccard verify stage: keep candidate pairs with J >= threshold.
 
-    Output: (id_a, id_b, jaccard). Joins the (small) candidate set back to the
-    shingle arrays — two hash joins keyed on the doc id.
+    Output: (id_a, id_b, jaccard). Shingles are computed ONLY for docs that
+    appear in a candidate pair (semi-join reduction first): the candidate set
+    is tiny relative to the corpus, so re-shingling everything would dominate
+    the stage. Then two hash joins keyed on the doc id.
     """
-    sh = df.select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
+    touched = (
+        candidates.select(F.col("id_a").alias("__id"))
+        .unionByName(candidates.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        df.join(touched, df[id_col] == touched["__id"], "left_semi")
+        .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
+    )
     j = (
         candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")

@@ -1037,3 +1037,45 @@ def u1_zscore_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_transform(
         e, ["event_type"], zscore, "event_type string, n bigint, avg_abs_z double"
     )
+
+
+# ---------------------------------------------------------------------------
+# JN1 — JSON/map scalar functions over events.props (SURVEY §2.6 collection
+# fns). get_json_object / from_json are JVM expressions — the whole parse
+# happens inside the scan stage; the only shuffle is |event_type| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "jn1_json_map_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           round(avg(k), 4) AS avg_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           'k' AS first_key
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def jn1_json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.collections import (
+        json_get_typed,
+        json_to_map,
+        sorted_keys,
+    )
+
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_type",
+        json_get_typed("props", "$.k", "bigint").alias("k"),
+        sorted_keys(json_to_map("props")).alias("keys"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.round(F.avg("k"), 4).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.min(F.element_at("keys", 1)).alias("first_key"),
+    )

@@ -63,6 +63,23 @@ def write_versioned(
     return out
 
 
+def latest_version_path(path: str, suffix: str = "clean") -> str:
+    """S3: resolve the newest existing clean version of ``path`` — the
+    reference's each-stage-reads-the-latest-output convention
+    (tool_call_agent.py:140). Returns the original path when no clean
+    version exists yet."""
+    base, ext = os.path.splitext(path)
+    base = re.sub(rf"_{suffix}(_v\d+)?$", "", base)
+    latest = path
+    candidate = f"{base}_{suffix}{ext}"
+    version = 2
+    while os.path.exists(candidate):
+        latest = candidate
+        candidate = f"{base}_{suffix}_v{version}{ext}"
+        version += 1
+    return latest
+
+
 def write_report(report_text: str, data_path: str) -> str:
     """S4: write ``{base}_report.txt`` next to the data, mirroring
     ``create_report`` (tool_call_agent.py:57-69)."""

@@ -168,3 +168,79 @@ def test_canonicalize_fuzzy_preserves_duplicates(spark):
     out = transform.canonicalize_fuzzy(df, "job", ["Engineer", "Designer"], max_distance=2)
     vals = sorted(r.job for r in out.collect())
     assert vals == ["Designer", "Engineer", "Engineer"]
+
+
+def test_head_preview(spark):
+    # P3
+    from agent_data_wrangler_spark.operators import profile
+
+    df = spark.range(100).toDF("x")
+    assert profile.head(df, 7).count() == 7
+
+
+def test_table_profile_cache(spark):
+    # P7: one-shot profile struct reused across stages without re-profiling
+    from agent_data_wrangler_spark.operators.profile import TableProfile
+
+    df = spark.createDataFrame([(1, None), (2, "b"), (3, None)], "id int, s string")
+    p = TableProfile.of(df)
+    assert (p.n_rows, p.n_cols) == (3, 2)
+    assert p.columns == ["id", "s"]
+    assert p.null_counts == {"id": 0, "s": 2}
+
+
+def test_rename_and_derive(spark):
+    # T12
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2.0)], "a int, b double")
+    out = transform.rename_columns(df, {"a": "key", "b": "val"})
+    assert out.columns == ["key", "val"]
+    derived = out.withColumn("val2", F.col("val") * 2)
+    assert derived.collect()[0].val2 == 4.0
+
+
+def test_latest_version_rescan(spark, tmp_path):
+    # S3: each stage reads the newest *_clean version
+    from agent_data_wrangler_spark.sources.writers import latest_version_path, write_versioned
+
+    base = str(tmp_path / "data.csv")
+    df1 = spark.createDataFrame([(1,)], "x int")
+    df2 = spark.createDataFrame([(1,), (2,)], "x int")
+    assert latest_version_path(base) == base  # nothing written yet
+    p1 = write_versioned(df1, base, fmt="csv", single_file=True)
+    assert latest_version_path(base) == p1
+    p2 = write_versioned(df2, base, fmt="csv", single_file=True)
+    assert latest_version_path(base) == p2
+    back = spark.read.option("header", True).csv(latest_version_path(base))
+    assert back.count() == 2
+
+
+def test_collections_functions(spark):
+    # §2.6 array/map/json scalar fns
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.functions.collections import (
+        array_l2_normalize,
+        json_get,
+        json_get_typed,
+        json_to_map,
+        map_get,
+        sorted_keys,
+    )
+
+    df = spark.createDataFrame(
+        [('{"k": 3, "name": "x"}',), ("not json",), (None,)], "props string"
+    )
+    out = df.select(
+        json_get("props", "$.name").alias("name"),
+        json_get_typed("props", "$.k", "bigint").alias("k"),
+        sorted_keys(json_to_map("props")).alias("keys"),
+        map_get(json_to_map("props"), "k").alias("k_str"),
+    ).collect()
+    assert (out[0].name, out[0].k, out[0].keys, out[0].k_str) == ("x", 3, ["k", "name"], "3")
+    assert out[1].k is None and out[2].k is None
+
+    v = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
+    norm = v.select(array_l2_normalize("v").alias("n")).collect()[0].n
+    assert norm == [0.6, 0.8]
