@@ -43,6 +43,72 @@ def anti_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFra
     return left.join(right, on=on, how="left_anti")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: the (large, skewed) left side gets a
+    deterministic salt in [0, salt); the (smaller) right side is replicated
+    ``salt`` times; the join runs on (key, salt), splitting each hot key's
+    rows across ``salt`` shuffle partitions.
+
+    AQE's skew-join split handles most skew automatically — reach for manual
+    salting when AQE can't (extreme single-key skew beyond its split factor,
+    or a deterministic plan is required). Salt is derived from a hash of the
+    whole left row (xxhash64), so replays are stable.
+
+    Cost model: right side is duplicated ``salt``× through the shuffle —
+    only worthwhile when right ≪ left (else broadcast it instead).
+    """
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    l_tagged = left.withColumn("__salt", lsalt)
+    r_tagged = right.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.lit(salt - 1).cast("bigint"))),
+    )
+    return l_tagged.join(r_tagged, on=[on, "__salt"], how=how).drop("__salt")
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    aggs: dict[str, tuple],
+    *,
+    salt: int = 16,
+) -> DataFrame:
+    """Skew-safe aggregation for re-aggregatable functions: phase 1 groups on
+    (key, salt) — hot keys split across ``salt`` reducers — phase 2 merges the
+    partials on key alone (tiny shuffle: |keys|·salt rows).
+
+    ``aggs`` maps output column → (partial_fn, merge_fn) built-ins, e.g.
+    {"n": (F.count, F.sum), "total": (F.sum, F.sum), "mx": (F.max, F.max)}.
+    Spark's hash aggregate already does map-side partials, so this only beats
+    plain groupBy when a single key floods one reducer's final-merge memory.
+    """
+    salt_col = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt))
+    partial = df.withColumn("__salt", salt_col).groupBy(key, "__salt").agg(
+        *[pfn(c_in).alias(f"__p_{out}") for out, (pfn, _m, c_in) in _norm_aggs(aggs).items()]
+    )
+    return partial.groupBy(key).agg(
+        *[mfn(f"__p_{out}").alias(out) for out, (_p, mfn, _c) in _norm_aggs(aggs).items()]
+    )
+
+
+def _norm_aggs(aggs: dict[str, tuple]) -> dict[str, tuple]:
+    """Normalize {out: (partial, merge)} / {out: (partial, merge, col)}."""
+    out = {}
+    for name, spec in aggs.items():
+        if len(spec) == 2:
+            out[name] = (spec[0], spec[1], F.lit(1))
+        else:
+            out[name] = spec
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

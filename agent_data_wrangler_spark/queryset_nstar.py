@@ -357,3 +357,95 @@ def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST2 — streaming SESSION windows (30-minute gap) per user, drained
+# AvailableNow and summarized per user. Oracle: gap-based sessions are
+# SQL-expressible via lag + running sum (new session iff ts - prev >= gap,
+# matching Spark's merge rule: windows merge only when the next event starts
+# strictly before session_end). State is bounded by the watermark at a real
+# event rate.
+# ---------------------------------------------------------------------------
+@query(
+    "st2_streaming_sessions",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM t
+    ), per_session AS (
+      SELECT user_id, session_id, count(*) AS n FROM s GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY user_id
+    """,
+)
+def st2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.streaming import run_available_now, session_agg, stream_from_directory
+
+    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
+    batch = read_table(spark, sf_dir, "events").select("user_id", "ts")
+    batch.write.mode("overwrite").parquet(staged)
+
+    sdf = stream_from_directory(spark, staged, batch.schema)
+    sessions = session_agg(
+        sdf, "ts", "30 minutes", ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+        watermark="365 days",
+    )
+    name = "st2_out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(sessions, name, os.path.join(staged, "..", "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    per_session = spark.table(name)
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3 — in-stream exact dedup with watermark-bounded state
+# (dropDuplicatesWithinWatermark on (event_id, ts)). Oracle: the surviving
+# row count equals the batch distinct count — state-expiry behavior itself is
+# covered by tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+@query(
+    "st3_streaming_dedup_count",
+    oracle="SELECT CAST(count(DISTINCT (event_id, ts)) AS BIGINT) AS n_unique_events FROM events",
+)
+def st3_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.streaming import dedup_within_watermark, run_available_now, stream_from_directory
+
+    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
+    batch = read_table(spark, sf_dir, "events").select("event_id", "ts")
+    batch.write.mode("overwrite").parquet(staged)
+
+    sdf = stream_from_directory(spark, staged, batch.schema)
+    deduped = dedup_within_watermark(sdf, ["event_id"], "ts", watermark="365 days")
+    name = "st3_out"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(deduped, name, os.path.join(staged, "..", "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).agg(F.count(F.lit(1)).cast("bigint").alias("n_unique_events"))

@@ -63,6 +63,30 @@ def write_versioned(
     return out
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) at WRITE
+    time so later equi-joins/aggregations on those columns skip the shuffle
+    entirely (both sides bucketed the same way → zero-exchange sort-merge
+    join; Spark reads bucket files as pre-shuffled partitions).
+
+    The 100 TB pattern: bucket the big fact tables once on their join key
+    (e.g. orders/lineitem on the order key), amortizing one shuffle across
+    every downstream query. Bucketing requires ``saveAsTable`` (metastore-
+    backed) — path-based writes cannot record bucket metadata.
+    """
+    writer = df.write.format(fmt).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode("error").saveAsTable(table_name)
+
+
 def latest_version_path(path: str, suffix: str = "clean") -> str:
     """S3: resolve the newest existing clean version of ``path`` — the
     reference's each-stage-reads-the-latest-output convention

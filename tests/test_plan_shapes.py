@@ -1,0 +1,79 @@
+"""Physical-plan regression tests: the 100 TB properties the queries claim
+(pushdown, broadcast, TakeOrderedAndProject, shuffle counts) asserted against
+the actual executed plans — a perf claim that isn't in the plan is a comment,
+not a property."""
+
+from __future__ import annotations
+
+import pytest
+
+from agent_data_wrangler_spark.queryset import QUERIES as Q1
+from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q2
+
+
+def _plan(spark, name, sf_dir) -> str:
+    q = {**Q1, **Q2}[name]
+    return q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def _final_plan(spark, name, sf_dir) -> str:
+    """Execute, then read the finalized adaptive plan (codegen annotations
+    only appear once AQE has finalized stages)."""
+    q = {**Q1, **Q2}[name]
+    df = q(spark, sf_dir)
+    df.collect()  # a write would spawn its own execution; collect finalizes THIS one
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_a1_filter_pushes_to_scan(spark, sf_dir):
+    plan = _plan(spark, "a1_pricing_summary", sf_dir)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # '*(n)' markers = whole-stage-codegen stages in the finalized AQE plan
+    assert "*(1)" in _final_plan(spark, "a1_pricing_summary", sf_dir)
+
+
+def test_a1_column_pruning(spark, sf_dir):
+    plan = _plan(spark, "a1_pricing_summary", sf_dir)
+    # ReadSchema must NOT include unused wide columns (e.g. l_comment-ish);
+    # lineitem has 11 columns, the query needs 7.
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_j1_broadcasts_customer_dim(spark, sf_dir):
+    plan = _plan(spark, "j1_revenue_by_segment", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_k1_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, "k1_top10_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [" not in plan  # no global sort stage
+
+
+def test_n3_topk_cosine_zero_shuffle(spark, sf_dir):
+    plan = _plan(spark, "n3_topk_cosine_embeddings", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # the claimed zero-shuffle property
+
+
+def test_n1_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
+    plan = _plan(spark, "n1_exact_dedup_documents", sf_dir)
+    # the pre-shuffle hash partitioning must key on the md5 fingerprint, and
+    # the exchanged attributes must not carry the raw text column
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchange_lines, plan
+    assert all("text" not in l for l in exchange_lines)
+
+
+def test_sm1_sample_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, "sm1_seeded_sample_orders", sf_dir)
+    assert "Exchange" not in plan
+    assert "Sample" in plan
+
+
+@pytest.mark.parametrize("name", ["w2_cumulative_spend", "w4_rolling_avg_spend"])
+def test_windows_shuffle_once(spark, sf_dir, name):
+    plan = _plan(spark, name, sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1

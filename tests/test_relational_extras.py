@@ -110,3 +110,56 @@ def test_udtf_tokenize(spark):
     spark.udtf.register("tokenize", tok_udtf)
     out = spark.sql("SELECT * FROM tokenize('a b c')").collect()
     assert [(r.pos, r.tok) for r in out] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from agent_data_wrangler_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", "cold")][:80], "k string, v int"
+    )
+    right = spark.createDataFrame([("hot", 1.5), ("cold", 2.5)], "k string, w double")
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", salt=4)
+    assert salted.count() == plain.count()
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_two_phase_agg_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.operators.joins import two_phase_agg
+
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)], "k string, v double"
+    )
+    out = two_phase_agg(
+        df, "k",
+        {"n": (F.count, F.sum, "v"), "total": (F.sum, F.sum, "v"), "mx": (F.max, F.max, "v")},
+        salt=4,
+    )
+    rows = {r.k: (r.n, r.total, r.mx) for r in out.collect()}
+    assert rows["hot"] == (100, sum(range(100)), 99.0)
+    assert rows["cold"] == (1, 1.0, 1.0)
+
+
+def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
+    from agent_data_wrangler_spark.sources.writers import write_bucketed
+
+    import shutil
+
+    df = spark.range(1000).selectExpr("id as k", "id * 2 as v")
+    df2 = spark.range(1000).selectExpr("id as k", "id * 3 as w")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bt_a", "bt_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a fresh per-session metastore forgets the table but its managed
+        # location survives on disk — remove it or saveAsTable refuses
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    write_bucketed(df, "bt_a", ["k"], num_buckets=4, sort_cols=["k"])
+    write_bucketed(df2, "bt_b", ["k"], num_buckets=4, sort_cols=["k"])
+    joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    # co-bucketed tables join without an Exchange on either side
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 1000
