@@ -21,9 +21,13 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def tokens(col: Column | str) -> Column:
-    """Whitespace tokenization after trim; empty string → empty array."""
+    """Whitespace tokenization (str.split() semantics); empty → empty array.
+
+    Edge stripping is regex-based: ``F.trim`` removes ONLY ASCII spaces, so a
+    leading tab would otherwise produce a phantom empty first token
+    (hypothesis-found edge, tests/test_property_parity.py)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.trim(c)
+    t = F.regexp_replace(c, r"^\s+|\s+$", "")
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
 
 
@@ -93,8 +97,12 @@ def lang_id(col: Column | str) -> Column:
 
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of case-folded,
-    whitespace-collapsed text. Used for exact near-normalized dedup; md5 keeps
-    oracle parity (DuckDB md5 produces identical hex)."""
+    whitespace-collapsed, edge-trimmed text. Used for exact near-normalized
+    dedup; md5 keeps oracle parity (DuckDB md5 produces identical hex).
+
+    Collapse happens BEFORE the trim so non-space whitespace at the edges
+    (tabs, newlines) normalizes identically to spaces — trim-first left
+    ``"\\ta"`` and ``" a"`` with different fingerprints (hypothesis-found)."""
     c = F.col(col) if isinstance(col, str) else col
-    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(normalized)

@@ -191,7 +191,7 @@ def p8_value_counts_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "p9_duplicate_count_documents",
     oracle="""
-    SELECT count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+    SELECT count(*) - count(DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
            AS dup_rows
     FROM documents
     """,
@@ -1078,4 +1078,63 @@ def jn1_json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
         F.min(F.element_at("keys", 1)).alias("first_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — fact ⋈ small dim: revenue by part brand. The part table broadcasts
+# (a few MB per million parts of projected columns); the plan is scan →
+# broadcast hash join → partial/final agg — the fact table never shuffles
+# except |brands| aggregate rows.
+# ---------------------------------------------------------------------------
+@query(
+    "j6_brand_revenue",
+    oracle="""
+    SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def j6_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = joins.equi_join(
+        li, p.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", broadcast_right=True
+    )
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — multi-hop dim collapse (j4's pattern on the supplier side): supplier →
+# nation → region folds into ONE broadcastable suppkey→region map before
+# touching the fact table, so lineitem joins exactly once and never shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "j7_supplier_region_revenue",
+    oracle="""
+    SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def j7_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    supp_region = (
+        s.join(n, s["s_nationkey"] == n["n_nationkey"])
+        .join(r, n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("s_suppkey").alias("l_suppkey"), "r_name")
+    )
+    joined = joins.equi_join(li, supp_region, "l_suppkey", broadcast_right=True)
+    return joined.groupBy("r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )

@@ -62,7 +62,7 @@ _QV_SQL = "[" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
     "n1_exact_dedup_documents",
     oracle=r"""
     WITH g AS (
-      SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+      SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
              count(*) AS c,
              arg_min(n_chars, doc_id) AS nc
       FROM documents GROUP BY 1

@@ -1,0 +1,119 @@
+"""Property-based parity tests (hypothesis): operator semantics checked
+against independent pandas computations on generated inputs — catches edge
+cases (empty groups, all-null columns, ties, boundary timestamps) that
+fixture tests miss. Example counts are kept small: every example is a full
+Spark job."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.operators import filters, impute, joins
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+finite_doubles = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+)
+
+
+@settings(**SETTINGS)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 1000), st.one_of(st.none(), finite_doubles)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_asof_join_matches_pandas_merge_asof(spark, data):
+    left = [(k, t * 1_000_000) for k, t, _ in data]
+    right = [(k, t * 1_000_000 + 500_000, v) for k, t, v in data if v is not None]
+    # unique (key,time) on the right for deterministic matches
+    seen, uniq_right = set(), []
+    for k, t, v in right:
+        if (k, t) not in seen:
+            seen.add((k, t))
+            uniq_right.append((k, t, v))
+    ldf = spark.createDataFrame(left, "k int, t long").select(
+        "k", F.timestamp_micros("t").alias("lt")
+    )
+    rdf = spark.createDataFrame(uniq_right or [(99, 0, 0.0)], "k int, t long, v double").select(
+        "k", F.timestamp_micros("t").alias("rt"), "v"
+    )
+    out = joins.asof_join(ldf, rdf, key="k", left_time="lt", right_time="rt", right_values=["v"])
+    got = sorted((r.k, r.lt, r.v_asof) for r in out.collect())
+
+    lp = pd.DataFrame([(k, pd.Timestamp(t, unit="us")) for k, t in left], columns=["k", "lt"]).sort_values("lt")
+    rp = pd.DataFrame(
+        [(k, pd.Timestamp(t, unit="us"), v) for k, t, v in (uniq_right or [(99, 0, 0.0)])],
+        columns=["k", "rt", "v"],
+    ).sort_values("rt")
+    merged = pd.merge_asof(lp, rp, left_on="lt", right_on="rt", by="k", direction="backward")
+    want = sorted(
+        (int(r.k), r.lt.to_pydatetime(), None if pd.isna(r.v) else float(r.v))
+        for r in merged.itertuples()
+    )
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.one_of(st.none(), finite_doubles), min_size=2, max_size=50),
+    k=st.sampled_from([1.0, 2.0, 3.0]),
+)
+def test_sigma_filter_matches_pandas(spark, vals, k):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    kept = filters.sigma_outlier_filter(df, ["v"], k=k)
+    got = sorted(r.v for r in kept.collect() if r.v is not None)
+
+    s = pd.Series(vals, dtype="float64")
+    m, sd = s.mean(), s.std(ddof=1)
+    if pd.isna(sd) or pd.isna(m):
+        want = sorted(v for v in vals if v is not None)
+    else:
+        want = sorted(v for v in vals if v is not None and (m - k * sd) <= v <= (m + k * sd))
+    assert got == pytest.approx(want)
+
+
+@settings(**SETTINGS)
+@given(vals=st.lists(st.one_of(st.none(), finite_doubles), min_size=1, max_size=40))
+def test_median_fill_matches_pandas_interpolated_median(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    filled = impute.fill_median(df, ["v"])
+    got_filled = [r.v for r in filled.collect()]
+    s = pd.Series(vals, dtype="float64")
+    med = s.median()  # pandas interpolated median == Spark F.percentile(0.5)
+    if pd.isna(med):
+        assert all(v is None for v in got_filled)
+    else:
+        assert sorted(got_filled) == pytest.approx(
+            sorted(s.fillna(med).tolist())
+        )
+
+
+@settings(**SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcdefgh\t", min_size=0, max_size=40), min_size=1, max_size=20
+    )
+)
+def test_fingerprint_whitespace_invariance(spark, texts):
+    from agent_data_wrangler_spark.functions.text import fingerprint, token_count
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    out = df.select(
+        fingerprint("t").alias("fp"),
+        fingerprint(F.regexp_replace(F.col("t"), r"\s+", "  ")).alias("fp2"),
+        token_count("t").alias("tc"),
+    ).collect()
+    for r, t in zip(out, texts):
+        assert r.fp == r.fp2  # whitespace-collapse invariant
+        assert r.tc == len(t.split())  # whitespace token count == str.split
