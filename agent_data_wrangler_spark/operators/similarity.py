@@ -141,6 +141,88 @@ def topk_cosine_lsh(
     return topk_cosine(probed, vec_col, query_vec, k, payload_cols=payload_cols, score_col=score_col)
 
 
+def ivf_fit_centroids(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    n_lists: int = 16,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    max_iter: int = 10,
+) -> list[list[float]]:
+    """IVF coarse quantizer: seeded KMeans over L2-NORMALIZED vectors (unit
+    sphere → euclidean order == cosine order), optionally on a sample.
+
+    At 100 TB you never fit on the full table: a 0.1-1% seeded sample gives
+    centroids within noise of the full fit, and the fit is the only
+    driver-coordinated step — assignment/probing below are pure map-side
+    expressions against the centroid literals."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from agent_data_wrangler_spark.functions.collections import array_l2_normalize
+
+    src = df.sample(False, sample_fraction, seed) if sample_fraction else df
+    feats = src.select(
+        array_to_vector(array_l2_normalize(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def ivf_assign(vec_col: Column | str, centroids: Sequence[Sequence[float]]) -> Column:
+    """Nearest-centroid list id as a pure Column expression: k dot products
+    against centroid literals, argmax of cosine (vectors and centroids are
+    compared on the unit sphere — normalization folds into the score)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    best_id = F.lit(0).cast("int")
+    best_score = F.lit(float("-inf"))
+    for i, centroid in enumerate(centroids):
+        score = cosine_similarity(c, F.array(*[F.lit(float(v)) for v in centroid]))
+        is_better = score > best_score
+        best_id = F.when(is_better, F.lit(i)).otherwise(best_id)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_id
+
+
+def topk_cosine_ivf(
+    df: DataFrame,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    centroids: Sequence[Sequence[float]] | None = None,
+    n_lists: int = 16,
+    nprobe: int = 2,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+    payload_cols: Sequence[str] | None = None,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """IVF approximate top-k: restrict the brute-force scan to the ``nprobe``
+    inverted lists whose centroids are most cosine-similar to the query.
+
+    With the assignment persisted (or the table partitioned by list id) the
+    probe is a partition-pruned read of nprobe/n_lists of the data; computed
+    inline here, it still skips the full-vector cosine for unprobed rows.
+    Recall/latency trades on (n_lists, nprobe) — the standard IVF dials.
+    """
+    if centroids is None:
+        centroids = ivf_fit_centroids(
+            df, vec_col, n_lists=n_lists, seed=seed, sample_fraction=sample_fraction
+        )
+    qnorm = math.sqrt(sum(float(v) ** 2 for v in query_vec)) or 1.0
+    sims = []
+    for i, centroid in enumerate(centroids):
+        cnorm = math.sqrt(sum(v * v for v in centroid)) or 1.0
+        dot = sum(float(a) * b for a, b in zip(query_vec, centroid))
+        sims.append((dot / (qnorm * cnorm), i))
+    probe_ids = [i for _, i in sorted(sims, reverse=True)[: max(1, nprobe)]]
+    assigned = df.withColumn("__list", ivf_assign(vec_col, centroids))
+    probed = assigned.filter(F.col("__list").isin(probe_ids)).drop("__list")
+    return topk_cosine(probed, vec_col, query_vec, k, payload_cols=payload_cols, score_col=score_col)
+
+
 def similarity_join_lsh(
     left: DataFrame,
     right: DataFrame,

@@ -29,6 +29,39 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 
+def default_registry() -> dict:
+    """All public DataFrame→DataFrame operators, addressable by name from a
+    declarative spec. Built lazily (import cost) and by introspection, so new
+    operators are spec-addressable the moment they exist."""
+    import inspect
+
+    from agent_data_wrangler_spark.operators import (
+        aggregates,
+        dedup,
+        filters,
+        impute,
+        multimodal,
+        pivot,
+        profile,
+        setops,
+        similarity,
+        transform,
+        windows,
+    )
+
+    registry: dict = {}
+    for mod in (filters, impute, transform, aggregates, windows, pivot, setops,
+                profile, dedup, similarity, multimodal):
+        for fname, fn in vars(mod).items():
+            if fname.startswith("_") or not inspect.isfunction(fn):
+                continue
+            sig = inspect.signature(fn)
+            params = list(sig.parameters.values())
+            if params and params[0].name in ("df", "left"):
+                registry[fname] = fn
+    return registry
+
+
 @dataclass
 class Stage:
     """One pipeline step: a named, parameterized DataFrame transform.
@@ -37,14 +70,21 @@ class Stage:
     and returns the transformed DataFrame. Keeping params declarative (not
     closed over) is what makes the event log a faithful recipe: the log line
     carries everything needed to replay the stage.
+
+    ``cache=True`` persists the stage output (§4 memoization): use it when a
+    downstream fit-then-transform pair would otherwise recompute the full
+    lineage per fitted statistic (the round-1 t5 lesson: each redundant pass
+    is a full-table read at 100 TB).
     """
 
     name: str
     fn: Callable[..., DataFrame]
     params: dict = field(default_factory=dict)
+    cache: bool = False
 
     def apply(self, df: DataFrame) -> DataFrame:
-        return self.fn(df, **self.params)
+        out = self.fn(df, **self.params)
+        return out.cache() if self.cache else out
 
 
 @dataclass
@@ -82,6 +122,51 @@ class Pipeline:
         self.stages = list(stages)
         self.log_path = log_path
         self.count_rows = count_rows
+
+    @classmethod
+    def from_spec(
+        cls,
+        name: str,
+        spec: list[dict],
+        registry: dict[str, Callable[..., DataFrame]] | None = None,
+        **kwargs,
+    ) -> "Pipeline":
+        if registry is None:
+            registry = default_registry()
+        return cls._from_spec_impl(name, spec, registry, **kwargs)
+
+    @classmethod
+    def _from_spec_impl(
+        cls,
+        name: str,
+        spec: list[dict],
+        registry: dict[str, Callable[..., DataFrame]],
+        **kwargs,
+    ) -> "Pipeline":
+        """Build a pipeline from a declarative spec (decoded JSON/YAML):
+
+            [{"stage": "drop_null_promo", "op": "drop_null_rows",
+              "params": {"subset": ["last_promo_date"]}}, ...]
+
+        ``registry`` maps op names to operator callables — the engine's
+        answer to the reference's NL-driven step selection: the spec is data,
+        so it can be generated, logged (S5 lines carry exactly these params),
+        diffed, and replayed. Unknown ops fail fast with the available names.
+        """
+        stages = []
+        for entry in spec:
+            op = entry["op"]
+            if op not in registry:
+                raise KeyError(f"unknown op {op!r}; available: {sorted(registry)}")
+            stages.append(
+                Stage(
+                    name=entry.get("stage", op),
+                    fn=registry[op],
+                    params=entry.get("params", {}),
+                    cache=bool(entry.get("cache", False)),
+                )
+            )
+        return cls(name, stages, **kwargs)
 
     def run(self, df: DataFrame) -> PipelineResult:
         events: list[dict] = []

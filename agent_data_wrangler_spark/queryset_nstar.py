@@ -449,3 +449,18 @@ def st3_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name).agg(F.count(F.lit(1)).cast("bigint").alias("n_unique_events"))
+
+
+# ---------------------------------------------------------------------------
+# N9 — IVF approximate top-k (the other scale path besides hyperplane LSH):
+# seeded-KMeans coarse quantizer → probe the 2 nearest inverted lists →
+# brute-force only probed rows. Rows-only (KMeans init is engine-specific);
+# recall vs exact is unit-tested on planted neighbours.
+# ---------------------------------------------------------------------------
+@query("n9_ivf_topk_embeddings")
+def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_ivf(
+        e, "embedding", QUERY_VEC, k=10, n_lists=8, nprobe=2,
+        payload_cols=["vec_id", "label"],
+    )

@@ -180,3 +180,41 @@ def test_text_functions_basics(spark):
     fp2 = df2.select(fingerprint("text").alias("fp")).collect()[0].fp
     assert fp2 == by_id[1].fp
     assert 0.0 <= by_id[1].q <= 1.0
+
+
+def test_ivf_topk_finds_planted_neighbor(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    q = [math.sin(5 * i + 2) for i in range(16)]
+    planted = [v * 0.9 for v in q]
+    rows = [(999, planted)] + [
+        (i, [math.sin((i + 3) * (d + 13)) for d in range(16)]) for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v array<double>")
+    exact = similarity.topk_cosine(df, "v", q, k=1, payload_cols=["id"]).collect()
+    approx = similarity.topk_cosine_ivf(
+        df, "v", q, k=1, n_lists=4, nprobe=1, payload_cols=["id"]
+    ).collect()
+    assert exact[0].id == 999
+    # the scaled copy shares the query's direction -> same inverted list
+    assert approx[0].id == 999
+    assert approx[0].cos_sim == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_assign_is_deterministic(spark):
+    from agent_data_wrangler_spark.operators.similarity import ivf_assign, ivf_fit_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 4 == j) for j in range(4)]) for i in range(40)], "id bigint, v array<double>"
+    )
+    c1 = ivf_fit_centroids(df, "v", n_lists=4, seed=7)
+    c2 = ivf_fit_centroids(df, "v", n_lists=4, seed=7)
+    assert c1 == c2  # seeded fit is reproducible
+    a = df.select("id", ivf_assign("v", c1).alias("l")).collect()
+    # one-hot vectors in 4 dims with 4 lists -> each direction its own list
+    by_dir = {}
+    for r in a:
+        by_dir.setdefault(r.id % 4, set()).add(r.l)
+    assert all(len(s) == 1 for s in by_dir.values())

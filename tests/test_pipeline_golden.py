@@ -155,3 +155,43 @@ def test_versioned_sink_never_overwrites(hr_df, tmp_path):
     # re-writing from an already-versioned name still never overwrites
     p3 = write_versioned(small, p1, fmt="csv", single_file=True)
     assert p3.endswith("dirty_hr_clean_v3.csv")
+
+
+def test_pipeline_from_declarative_spec(hr_df):
+    # The spec is pure data (JSON-decodable) -> buildable, loggable, replayable
+    registry = {
+        "drop_null_rows": filters.drop_null_rows,
+        "sigma_outlier_filter": filters.sigma_outlier_filter,
+        "fill_median": impute.fill_median,
+    }
+    spec = [
+        {"stage": "sigma", "op": "sigma_outlier_filter", "params": {"columns": ["age", "salary"]}},
+        {"stage": "drop_promo_nulls", "op": "drop_null_rows", "params": {"subset": ["last_promo_date"]}, "cache": True},
+    ]
+    pipe = Pipeline.from_spec("spec_replay", spec, registry, count_rows=True)
+    res = pipe.run(hr_df)
+    assert res.row_counts[-1][2] == 405  # same golden result as the coded pipeline
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError) as err:
+        Pipeline.from_spec("bad", [{"op": "nope"}], registry)
+    assert "nope" in str(err.value)
+
+
+def test_default_registry_spec(hr_df):
+    # no explicit registry: the spec addresses the operator library by name
+    pipe = Pipeline.from_spec(
+        "auto_registry",
+        [{"op": "drop_null_rows", "params": {"subset": ["last_promo_date"]}}],
+        count_rows=True,
+    )
+    assert pipe.run(hr_df).row_counts[-1][2] == 405
+
+    from agent_data_wrangler_spark.plans.pipeline import default_registry
+
+    reg = default_registry()
+    # a sanity sample across modules
+    for op in ["sigma_outlier_filter", "fill_median", "canonicalize_map",
+               "drop_near_duplicates", "topk_cosine", "crosstab"]:
+        assert op in reg, op
