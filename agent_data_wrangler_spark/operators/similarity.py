@@ -148,41 +148,71 @@ def ivf_fit_centroids(
     n_lists: int = 16,
     seed: int = 7,
     sample_fraction: float | None = None,
+    max_fit_rows: int = 4096,
     max_iter: int = 10,
 ) -> list[list[float]]:
-    """IVF coarse quantizer: seeded KMeans over L2-NORMALIZED vectors (unit
-    sphere → euclidean order == cosine order), optionally on a sample.
+    """IVF coarse quantizer: Lloyd k-means over L2-NORMALIZED vectors (unit
+    sphere → euclidean order == cosine order) on a BOUNDED seeded sample.
 
-    At 100 TB you never fit on the full table: a 0.1-1% seeded sample gives
-    centroids within noise of the full fit, and the fit is the only
-    driver-coordinated step — assignment/probing below are pure map-side
-    expressions against the centroid literals."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    This is a fit step, same contract as ``fit_sigma_bounds``: at 100 TB you
+    never fit on the full table — a bounded sample (≲ n_lists·256 rows)
+    yields centroids within noise of the full fit, the driver-side numpy
+    Lloyd loop costs milliseconds, and assignment/probing stay pure map-side
+    expressions against the centroid literals. (A pyspark.ml KMeans fit
+    spends multi-second job overhead per iteration to compute the same thing
+    at this sample size.)"""
+    import numpy as np
 
     from agent_data_wrangler_spark.functions.collections import array_l2_normalize
 
     src = df.sample(False, sample_fraction, seed) if sample_fraction else df
-    feats = src.select(
-        array_to_vector(array_l2_normalize(vec_col).cast("array<double>")).alias("features")
+    rows = (
+        src.select(array_l2_normalize(vec_col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .limit(max_fit_rows)
+        .collect()
     )
-    model = KMeans(k=n_lists, seed=seed, maxIter=max_iter).fit(feats)
-    return [[float(x) for x in c] for c in model.clusterCenters()]
+    x = np.array([r["__v"] for r in rows], dtype=np.float64)
+    if x.size == 0:
+        raise ValueError("no vectors to fit IVF centroids on")
+    n = x.shape[0]
+    # deterministic spread init: evenly spaced rows of the sample ordered by
+    # their first principal-ish axis (sum of components) — no RNG
+    order = np.argsort(x.sum(axis=1), kind="stable")
+    k = min(n_lists, n)
+    centroids = x[order[np.linspace(0, n - 1, k).astype(int)]].copy()
+    for _ in range(max_iter):
+        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        moved = False
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                new_c = members.mean(axis=0)
+                if not np.allclose(new_c, centroids[j]):
+                    centroids[j] = new_c
+                    moved = True
+        if not moved:
+            break
+    return [[float(v) for v in c] for c in centroids]
 
 
 def ivf_assign(vec_col: Column | str, centroids: Sequence[Sequence[float]]) -> Column:
-    """Nearest-centroid list id as a pure Column expression: k dot products
-    against centroid literals, argmax of cosine (vectors and centroids are
-    compared on the unit sphere — normalization folds into the score)."""
+    """Nearest-centroid list id as a pure Column expression.
+
+    Scores land in ONE array column and the argmax is array_position(max) —
+    a chained when/otherwise "running best" would embed each score subtree
+    exponentially (2^k expression blowup; measured seconds per row batch at
+    k=8). Ranking needs only dot(v, c_i)/|c_i|: |v| is constant across i and
+    |c_i| is a Python-side literal, so no per-row norms at all. Ties take the
+    first (lowest) list id — deterministic."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    best_id = F.lit(0).cast("int")
-    best_score = F.lit(float("-inf"))
-    for i, centroid in enumerate(centroids):
-        score = cosine_similarity(c, F.array(*[F.lit(float(v)) for v in centroid]))
-        is_better = score > best_score
-        best_id = F.when(is_better, F.lit(i)).otherwise(best_id)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_id
+    scores = []
+    for centroid in centroids:
+        norm = math.sqrt(sum(v * v for v in centroid)) or 1.0
+        scores.append(_dot_literal(c, centroid) / F.lit(norm))
+    arr = F.array(*scores)
+    return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
 
 
 def topk_cosine_ivf(
