@@ -134,6 +134,34 @@ def sessionize_stateful(
     )
 
 
+def run_foreach_batch(
+    sdf: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+    output_mode: str | None = None,
+):
+    """Production sink pattern: ``foreachBatch`` hands each micro-batch to
+    arbitrary BATCH code (versioned parquet writes, merge-into, multi-sink
+    fan-out) with exactly-once bookkeeping via the checkpoint + batch id.
+    This is how streaming runs land in the same versioned-sink layout the
+    batch pipeline uses (sources/writers.py).
+
+    Returns the StreamingQuery; with ``available_now`` (default) it blocks
+    until the current data is drained, else the caller manages lifecycle."""
+    writer = (
+        sdf.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode or _default_mode(sdf))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return q
+    return writer.start()
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, checkpoint_dir: str, *, output_mode: str | None = None
 ) -> None:

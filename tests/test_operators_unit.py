@@ -244,3 +244,15 @@ def test_collections_functions(spark):
     v = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
     norm = v.select(array_l2_normalize("v").alias("n")).collect()[0].n
     assert norm == [0.6, 0.8]
+
+
+def test_require_exists_guard(spark):
+    # S6: pre-flight existence check raises before any job runs
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.sources.readers import read_parquet, require_exists
+
+    with _pytest.raises(FileNotFoundError):
+        require_exists("/root/testdata/sf0.001/nope.parquet")
+    with _pytest.raises(FileNotFoundError):
+        read_parquet(spark, "/root/testdata/sf0.001/nope.parquet")

@@ -120,3 +120,22 @@ def test_sessionize_stateful_counts(spark, stream_dir, tmp_path):
     # one AvailableNow drain -> one batch; totals per user over all files
     assert (1, 3) in got
     assert (2, 3) in got
+
+
+def test_foreach_batch_versioned_sink(spark, stream_dir, tmp_path):
+    """Streaming lands in the same versioned layout as the batch pipeline."""
+    from agent_data_wrangler_spark.streaming import run_foreach_batch
+
+    out_base = str(tmp_path / "events.parquet")
+    written = []
+
+    def sink(batch_df, batch_id):
+        from agent_data_wrangler_spark.sources.writers import write_versioned
+
+        written.append(write_versioned(batch_df, out_base, fmt="parquet"))
+
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA)
+    run_foreach_batch(sdf, sink, str(tmp_path / "ckpt"))
+    assert written and written[0].endswith("events_clean.parquet")
+    total = sum(spark.read.parquet(p).count() for p in written)
+    assert total == 6  # all rows delivered exactly once across batches
