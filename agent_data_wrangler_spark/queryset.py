@@ -1138,3 +1138,44 @@ def j7_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("r_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# S2Q — genuine set operators (INTERSECT / EXCEPT as row-set algebra; the
+# scalar-flag rewrite in s1 covers the common "compare key sets" case with
+# one scan, but the general row-level operators remain part of the surface —
+# e.g. clean-vs-dirty row diffs, SURVEY §2.6). Both compile to partial+final
+# hash aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "s2_setops_priority_rows",
+    oracle="""
+    WITH hi AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+         lo AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+    SELECT o_custkey, 'both' AS src FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo)
+    UNION ALL
+    SELECT o_custkey, 'hi_only' AS src FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM lo)
+    """,
+)
+def s2_setops_priority_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import setops
+
+    o = read_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    lo = o.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    both = setops.intersect_rows(hi, lo).withColumn("src", F.lit("both"))
+    hi_only = setops.diff_rows(hi, lo, keep_duplicates=False).withColumn("src", F.lit("hi_only"))
+    return setops.union_all(both, hi_only)
+
+
+# ---------------------------------------------------------------------------
+# P5A — describe with APPROXIMATE percentiles: the 100 TB default. Exact
+# percentile (p5) buffers per-partition value maps — the known OOM risk on
+# high-cardinality doubles; percentile_approx is a fixed-size sketch.
+# Rows-only: sketch quantiles are engine-specific (accuracy asserted in unit
+# tests via the operator's approx flag).
+# ---------------------------------------------------------------------------
+@query("p5a_describe_approx_lineitem")
+def p5a_describe_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return profile.describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"], approx=True)

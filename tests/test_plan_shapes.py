@@ -77,3 +77,19 @@ def test_sm1_sample_no_shuffle(spark, sf_dir):
 def test_windows_shuffle_once(spark, sf_dir, name):
     plan = _plan(spark, name, sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_no_cartesian_product_anywhere(spark, sf_dir):
+    """Sweep every registered query plan: a CartesianProduct node means a
+    join lost its keys — the canonical accidental O(n^2). Intentional 1-row
+    crossJoins compile to BroadcastNestedLoopJoin over single-row sides and
+    are fine. Streaming queries are skipped (building them runs the stream)."""
+    skip = {"st1_streaming_window_counts", "st2_streaming_sessions", "st3_streaming_dedup_count"}
+    bad = []
+    for name, q in {**Q1, **Q2}.items():
+        if name in skip:
+            continue
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            bad.append(name)
+    assert not bad, f"cartesian products in: {bad}"
