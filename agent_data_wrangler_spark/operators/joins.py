@@ -26,10 +26,44 @@ def equi_join(
     right: DataFrame,
     on: list[str] | str,
     how: str = "inner",
-    broadcast_right: bool = False,
+    broadcast_right: bool | str = False,
 ) -> DataFrame:
+    """Equi-join with a broadcast hint for the right side.
+
+    ``broadcast_right="auto"`` consults Catalyst's size estimate and hints
+    only when the right side fits under ``spark.sql.autoBroadcastJoinThreshold``
+    — the guard an unconditional hint lacks at 100 TB, where a "dimension"
+    table can itself be shuffle-sized. (AQE also re-plans from runtime stats;
+    the explicit hint matters when compile-time stats are absent/misleading.)
+    """
+    if broadcast_right == "auto":
+        broadcast_right = _fits_broadcast(right)
     r = F.broadcast(right) if broadcast_right else right
     return left.join(r, on=on, how=how)
+
+
+_SIZE_SUFFIXES = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30}
+
+
+def _parse_bytes(v: str) -> int:
+    v = v.strip().lower()
+    for suffix, mult in sorted(_SIZE_SUFFIXES.items(), key=lambda kv: -len(kv[0])):
+        if v.endswith(suffix):
+            return int(float(v[: -len(suffix)])) * mult
+    return int(v)
+
+
+def _fits_broadcast(df: DataFrame) -> bool:
+    """Conservative: any failure to read stats/threshold → no hint (Catalyst/
+    AQE still auto-broadcast from their own stats when appropriate)."""
+    try:
+        threshold = _parse_bytes(df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        if threshold <= 0:
+            return False
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        return size <= threshold
+    except Exception:
+        return False
 
 
 def semi_join(left: DataFrame, right: DataFrame, on: list[str] | str) -> DataFrame:

@@ -604,7 +604,7 @@ def j1_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order key (AQE may still broadcast o at small SF).
     enriched = joins.equi_join(
         o, c.select("c_custkey", "c_mktsegment"), on=o.o_custkey == F.col("c_custkey"), how="inner",
-        broadcast_right=True,
+        broadcast_right="auto",
     )
     full = joins.equi_join(li, enriched.select("o_orderkey", "c_mktsegment"),
                            on=F.col("l_orderkey") == F.col("o_orderkey"), how="inner")
@@ -670,15 +670,15 @@ def j4_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dims collapse to a single broadcastable (custkey -> region) map; the only
     # real shuffle is orders<->lineitem on the order key.
     dim = (
-        joins.equi_join(n, r, on=n.n_regionkey == r.r_regionkey, broadcast_right=True)
+        joins.equi_join(n, r, on=n.n_regionkey == r.r_regionkey, broadcast_right="auto")
         .select("n_nationkey", "r_name")
     )
     cust = joins.equi_join(
-        c, dim, on=c.c_nationkey == dim.n_nationkey, broadcast_right=True
+        c, dim, on=c.c_nationkey == dim.n_nationkey, broadcast_right="auto"
     ).select("c_custkey", "r_name")
     ord_dim = joins.equi_join(
         o.select("o_orderkey", "o_custkey"), cust, on=F.col("o_custkey") == F.col("c_custkey"),
-        broadcast_right=True,
+        broadcast_right="auto",
     ).select("o_orderkey", "r_name")
     full = joins.equi_join(
         li.select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -1100,7 +1100,7 @@ def j6_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     joined = joins.equi_join(
-        li, p.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", broadcast_right=True
+        li, p.withColumnRenamed("p_partkey", "l_partkey"), "l_partkey", broadcast_right="auto"
     )
     return joined.groupBy("p_brand").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
@@ -1134,7 +1134,7 @@ def j7_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n["n_regionkey"] == r["r_regionkey"])
         .select(F.col("s_suppkey").alias("l_suppkey"), "r_name")
     )
-    joined = joins.equi_join(li, supp_region, "l_suppkey", broadcast_right=True)
+    joined = joins.equi_join(li, supp_region, "l_suppkey", broadcast_right="auto")
     return joined.groupBy("r_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )

@@ -163,3 +163,22 @@ def test_write_bucketed_join_has_no_shuffle(spark, tmp_path):
     # co-bucketed tables join without an Exchange on either side
     assert "Exchange hashpartitioning" not in plan
     assert joined.count() == 1000
+
+
+def test_equi_join_auto_broadcast_guard(spark):
+    from agent_data_wrangler_spark.operators.joins import equi_join
+
+    small = spark.range(100).toDF("k")
+    big = spark.range(100000).selectExpr("id as k", "id * 2 as v")
+    auto = equi_join(big, small, "k", broadcast_right="auto")
+    assert "BroadcastHashJoin" in auto._jdf.queryExecution().executedPlan().toString()
+
+    # with the threshold disabled the guard refuses the hint
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        guarded = equi_join(big, small, "k", broadcast_right="auto")
+        plan = guarded._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan.split("AdaptiveSparkPlan")[0] or "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
