@@ -139,3 +139,19 @@ def test_foreach_batch_versioned_sink(spark, stream_dir, tmp_path):
     assert written and written[0].endswith("events_clean.parquet")
     total = sum(spark.read.parquet(p).count() for p in written)
     assert total == 6  # all rows delivered exactly once across batches
+
+
+def test_sliding_window_agg(spark, stream_dir, tmp_path):
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA)
+    agg = windowed_agg(
+        sdf, "ts", "2 minutes",
+        [F.count(F.lit(1)).alias("n")],
+        slide="1 minute",
+        watermark="30 minutes",
+    )
+    run_available_now(agg, "sliding_counts", str(tmp_path / "ckpt"))
+    got = {(str(r.window_start), r.n) for r in spark.table("sliding_counts").collect()}
+    # each event lands in 2 overlapping windows (duration 2m, slide 1m)
+    assert ("2024-01-01 09:59:00", 2) in got  # events 1, 2
+    assert ("2024-01-01 10:00:00", 4) in got  # events 1, 2, 3, 3-dup
+    assert ("2024-01-01 10:01:00", 3) in got  # 3, 3-dup, 4
