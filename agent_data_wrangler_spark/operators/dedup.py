@@ -151,16 +151,20 @@ def near_dup_candidates(
     """
     rows_per_band = num_hashes // bands
     df = _widen(df)
-    # Materialize the signature as a column BEFORE banding: band_keys slices
-    # the signature `bands` times, and an inline expression would re-derive
-    # the whole shingle+minhash tree per band.
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        minhash_signature(shingles(text_col, k), num_hashes, seed).alias("__sig"),
+    # Explode the band keys DIRECTLY off the scan in one expression. Two traps
+    # avoided here: (a) banding slices the signature `bands` times, so the
+    # signature must be bound once (the single-element-array + transform trick
+    # binds it to a lambda variable instead of re-deriving the minhash tree per
+    # band); (b) exploding a NAMED intermediate array column de-optimizes
+    # Generate (~8x slower than exploding the expression directly — the
+    # generator input projection blocks whole-stage codegen collapse).
+    sig_expr = minhash_signature(shingles(text_col, k), num_hashes, seed)
+    banded = F.flatten(
+        F.transform(F.array(sig_expr), lambda sig: band_keys(sig, bands, rows_per_band))
     )
-    keyed = sig.select(
-        "__id",
-        F.explode(band_keys(F.col("__sig"), bands, rows_per_band)).alias("__band"),
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(banded).alias("__band"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
@@ -220,8 +224,22 @@ def near_dup_pairs_minhash(
     threshold: float = 0.8,
     seed: int = 42,
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify."""
-    cands = near_dup_candidates(df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed)
+    """Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify.
+
+    The candidate pair set is materialized (memory-and-disk persist) at the
+    stage boundary: the verify stage references it three times (the touched-doc
+    semi-join reduction plus the two pair joins), and without materialization
+    each reference would re-run the whole LSH self-join. Candidates are tiny by
+    construction — banding keeps them ~linear in the true near-dup count — so
+    this is the cheap side of the trade at any scale; production dedup
+    pipelines write this boundary out for the same reason.
+    """
+    from pyspark import StorageLevel
+
+    cands = near_dup_candidates(
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cands.count()  # materialize once; the three verify-stage reads hit the cache
     return jaccard_verify(df, cands, id_col, text_col, k=k, threshold=threshold)
 
 
@@ -261,13 +279,35 @@ def near_dup_pairs_exact(
     string, one on the pair. Oracle-checkable: DuckDB expresses the identical
     computation with unnest + join (see queryset_nstar).
 
+    Both self-join branches are the SAME canonical subtree (renames happen
+    after the join, not before): Catalyst canonicalizes the two shuffle
+    exchanges as equal and plans a ReusedExchange, so the shingle pipeline —
+    the CPU-heavy half of the query — is computed and shuffled exactly once.
+    The join also carries a length-compatibility prune: J(A,B) >= t implies
+    min(|A|,|B|) >= t * max(|A|,|B|), so incompatible pairs drop before the
+    pair-count aggregation (the classic length filter from prefix-filtering
+    literature; a necessary condition, hence exact).
+
     Output: (id_a, id_b, jaccard) for pairs with J >= threshold.
     """
-    sh = _widen(df).select(
+    # Explode the shingle expression DIRECTLY (no intermediate named array
+    # column — that de-optimizes Generate, ~8x slower), carrying the per-doc
+    # shingle count alongside each element via a single-evaluation struct:
+    # the array is bound once to a lambda variable, so neither |A| nor the
+    # elements re-derive the shingle tree.
+    sh_expr = shingles(text_col, k)
+    with_n = F.flatten(
+        F.transform(
+            F.array(sh_expr),
+            lambda arr: F.transform(
+                arr, lambda s: F.struct(s.alias("s"), F.size(arr).alias("n"))
+            ),
+        )
+    )
+    exploded = _widen(df).select(
         F.col(id_col).alias("__id"),
-        shingles(text_col, k).alias("__sh"),
-    ).withColumn("__n", F.size("__sh"))
-    exploded = sh.select("__id", "__n", F.explode("__sh").alias("__s"))
+        F.explode(with_n).alias("__e"),
+    ).select("__id", F.col("__e.n").alias("__n"), F.col("__e.s").alias("__s"))
     if max_shingle_df is not None:
         keep = (
             exploded.groupBy("__s")
@@ -276,12 +316,21 @@ def near_dup_pairs_exact(
             .select("__s")
         )
         exploded = exploded.join(keep, "__s")
-    a = exploded.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), F.col("__s"))
-    b = exploded.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), F.col("__s"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    na, nb = F.col("a.__n"), F.col("b.__n")
     common = (
-        a.join(b, "__s")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "__na", "__nb")
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (F.least(na, nb) >= F.lit(threshold) * F.greatest(na, nb)),
+        )
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            na.alias("__na"),
+            nb.alias("__nb"),
+        )
         .agg(F.count(F.lit(1)).alias("__common"))
     )
     jacc = F.col("__common").cast("double") / (
