@@ -240,6 +240,59 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CC1 — connected components over the exact near-dup pair graph (transitive
+# closure of n4): every doc that appears in a >= 0.5-Jaccard pair, labeled
+# with the smallest doc_id in its component. This is the cluster-aware
+# survivor rule ("keep one per cluster") upgrading keep-first. Scale: the
+# iterative min-label propagation shuffles 2 longs per *touched* doc per
+# round, O(diameter) rounds — the corpus itself never enters the loop.
+# Oracle: DuckDB WITH RECURSIVE reachability (min reachable id == component
+# min on a symmetric graph).
+# ---------------------------------------------------------------------------
+@query(
+    "cc1_components_documents",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id,
+                   CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+            FROM documents)
+    ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+                 / nullif(CAST(a.n + b.n - count(*) AS DOUBLE), 0.0) AS jaccard
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      ) WHERE jaccard >= 0.5
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.id
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY id
+    """,
+)
+def cc1_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs_exact(d, "doc_id", "text", k=3, threshold=0.5)
+    return dedup.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # N6 — SimHash fingerprint profile. Rows-only (md5-bit simhash is
 # deterministic but DuckDB lacks a hex→int conversion to mirror it cheaply);
 # behavior pinned by unit tests (identical text → identical simhash; near-dup

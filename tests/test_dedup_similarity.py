@@ -218,3 +218,26 @@ def test_ivf_assign_is_deterministic(spark):
     for r in a:
         by_dir.setdefault(r.id % 4, set()).add(r.l)
     assert all(len(s) == 1 for s in by_dir.values())
+
+
+def test_connected_components_transitive_closure(spark):
+    # Path graph 1-2-3 (1 and 3 never paired directly) plus disjoint pair 10-11:
+    # transitivity must put 3 into component 1.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    comps = {
+        r["id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_drop_near_duplicates_clustered_keeps_one_per_cluster(planted_docs):
+    kept = dedup.drop_near_duplicates_clustered(
+        planted_docs, "doc_id", "text", threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    # {0,1,2} is one near-dup cluster (0/1 near-dups, 2 exact dup of 0) ->
+    # only the smallest id survives; 3 and 4 are unrelated singletons.
+    assert ids == [0, 3, 4]
