@@ -281,15 +281,20 @@ def connected_components(
     shallow — a handful of rounds in practice, ``max_iter`` bounds the worst
     case). Each round is one shuffle join on the edge list, and the frame is
     ``localCheckpoint``-ed to cut lineage growth (the classic iterative-
-    algorithm requirement on Spark). Convergence is detected via the sum of
-    labels, which strictly decreases until fixpoint — one cheap aggregate per
-    round, no old-vs-new join. The label frame is 2 longs per touched doc, so
-    at 100 TB of corpus this iterates over gigabytes, not terabytes: only docs
-    that appear in a verified pair enter the graph.
+    algorithm requirement on Spark). Convergence is a per-step changed-label
+    flag summed in one cheap aggregate — type-agnostic (string ids work; a
+    label-sum check would need numeric ids and NULLs out under ANSI mode),
+    and checking only the SECOND of two fused steps is sound: if the second
+    application changed nothing, its input was already a fixpoint. The label
+    frame is 2 longs per touched doc, so at 100 TB of corpus this iterates
+    over gigabytes, not terabytes: only docs that appear in a verified pair
+    enter the graph.
 
     Oracle-checkable: DuckDB expresses the same closure with WITH RECURSIVE
     (see ``cc1_components_documents`` in queryset_nstar).
     """
+    from agent_data_wrangler_spark.operators.joins import _fits_broadcast
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -303,31 +308,35 @@ def connected_components(
         .localCheckpoint()
     )
 
+    def _hint(df: DataFrame) -> DataFrame:
+        # The label frame is bounded by the touched-doc count (orders smaller
+        # than the corpus), so it USUALLY fits a broadcast — which removes two
+        # shuffles per round, leaving only the groupBy. But a pathological
+        # graph can outgrow the threshold, and a forced broadcast of a too-big
+        # frame is a driver OOM at scale: size-guard the hint and degrade to
+        # shuffle joins (same answer, more exchanges).
+        return F.broadcast(df) if _fits_broadcast(df) else df
+
     def step(lbl: DataFrame) -> DataFrame:
-        # The label frame is broadcast into both joins: it is bounded by the
-        # touched-doc count (orders smaller than the corpus), and broadcasting
-        # removes two shuffles per round, leaving only the groupBy. For a
-        # pathological graph that outgrows the broadcast threshold, drop the
-        # hints and this degrades gracefully to shuffle joins.
+        lbl = lbl.select("id", "comp")
         prop = (
-            edges.join(F.broadcast(lbl), edges["src"] == lbl["id"])
+            edges.join(_hint(lbl), edges["src"] == lbl["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("comp").alias("__nb_min"))
         )
-        return lbl.join(F.broadcast(prop), "id", "left").select(
-            "id", F.least("comp", "__nb_min").alias("comp")
+        return lbl.join(_hint(prop), "id", "left").select(
+            "id",
+            F.least("comp", "__nb_min").alias("comp"),
+            F.when(F.col("__nb_min") < F.col("comp"), 1).otherwise(0).alias("__chg"),
         )
 
-    prev_sum = labels.agg(F.sum("comp")).first()[0]
     for _ in range(max_iter):
         # Two propagation rounds per convergence check: the check costs an
         # action + checkpoint, fusing halves that fixed cost while the fused
         # plan stays shallow.
         labels = step(step(labels)).localCheckpoint()
-        cur_sum = labels.agg(F.sum("comp")).first()[0]
-        if cur_sum == prev_sum:
+        if not labels.agg(F.sum("__chg")).first()[0]:
             break
-        prev_sum = cur_sum
     return labels.select("id", F.col("comp").alias("component_id"))
 
 

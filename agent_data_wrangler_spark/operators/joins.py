@@ -97,7 +97,15 @@ def salted_join(
 
     Cost model: right side is duplicated ``salt``× through the shuffle —
     only worthwhile when right ≪ left (else broadcast it instead).
+
+    Only left-preserving modes are supported: the replicated right side would
+    emit each unmatched right row ``salt`` times under right/full outer.
     """
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the salt-replicated right side duplicates unmatched right rows"
+        )
     lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
     l_tagged = left.withColumn("__salt", lsalt)
     r_tagged = right.withColumn(

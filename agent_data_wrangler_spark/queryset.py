@@ -618,13 +618,23 @@ def j1_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     "j2_customers_without_orders",
     oracle="""
     SELECT c_mktsegment AS segment, count(*) AS n
-    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderdate >= DATE '1997-01-01'
+    )
     GROUP BY c_mktsegment
     """,
 )
 def j2_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Customers with no URGENT orders since 1997 — the restriction keeps the
+    # anti-join non-vacuous on the synthetic data (every customer has some
+    # order, so the unrestricted version matched zero rows and proved nothing;
+    # 37 rows at sf0.001, 367 at sf0.01).
     c = read_table(spark, sf_dir, "customer")
-    o = read_table(spark, sf_dir, "orders")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+    )
     missing = joins.anti_join(c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey")
     return missing.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n")
@@ -1027,7 +1037,9 @@ def u1_zscore_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
         v = pdf["value"].dropna()
         std = v.std(ddof=1)
-        az = ((v - v.mean()) / std).abs() if std else None
+        # Single-row groups: std is NaN (truthy!) — must yield None like the
+        # oracle's nullif(stddev_samp, 0), not an avg_abs_z of NaN.
+        az = ((v - v.mean()) / std).abs() if pd.notna(std) and std else None
         return pd.DataFrame(
             {"event_type": pdf["event_type"].iloc[:1], "n": [int(v.size)],
              "avg_abs_z": [round(float(az.mean()), 4) if az is not None else None]}

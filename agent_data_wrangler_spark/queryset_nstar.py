@@ -4,9 +4,13 @@ similarity search over the driver's ``documents`` and ``embeddings`` tables.
 Same contract as ``queryset.py``: every oracle-checkable query has a DuckDB
 ANSI-SQL twin with IDENTICAL column names and rounding. Genuinely
 non-SQL-expressible operators (MinHash-LSH candidate generation, hyperplane
-LSH probing, SimHash — all depend on engine hash functions) register as
-rows-only queries; their semantics are pinned by unit tests on planted
-near-duplicates instead (tests/test_dedup_similarity.py).
+LSH probing — both depend on engine hash functions) register as rows-only
+queries; their semantics are pinned by unit tests on planted near-duplicates
+instead (tests/test_dedup_similarity.py).
+
+Registration order is deliberate: oracle-bearing queries (n1-n6, st1-st3)
+come BEFORE the rows-only approximate tail (n5 aside, n7-n9, mm1) so a
+budget-capped driver oracle pass reaches every checkable query first.
 
 Scale notes inline per query — the grading bar is "would this plan survive
 100 TB", not "does it pass at sf0.01".
@@ -14,11 +18,15 @@ Scale notes inline per query — the grading bar is "would this plan survive
 
 from __future__ import annotations
 
+import itertools
 import math
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from agent_data_wrangler_spark.functions.text import (
     LANG_MARKERS,
@@ -48,6 +56,63 @@ def query(name: str, oracle: str | None = None):
 #: literal on BOTH sides (Spark expression + oracle SQL), no I/O, no RNG.
 QUERY_VEC: list[float] = [round(math.sin(3 * i + 1), 6) for i in range(64)]
 _QV_SQL = "[" + ", ".join(repr(v) for v in QUERY_VEC) + "]"
+
+#: DuckDB twin of functions/text.py::tokens — str.split() semantics with
+#: REGEX edge stripping. DuckDB trim() removes only ASCII spaces (verified:
+#: trim(chr(9)||'a b') keeps the tab), so a plain trim would yield a phantom
+#: '' token for tab/newline-edged documents and silently diverge from Spark.
+_DUCK_STRIP = r"regexp_replace(lower(text), '^\s+|\s+$', '', 'g')"
+_DUCK_TOKS = (
+    rf"CASE WHEN {_DUCK_STRIP} = '' THEN CAST([] AS VARCHAR[]) "
+    rf"ELSE regexp_split_to_array({_DUCK_STRIP}, '\s+') END"
+)
+
+
+# ---------------------------------------------------------------------------
+# Streaming-source staging, shared by st1-st3.
+#
+# The testdata events carry TIMESTAMP(NANOS) parquet (vectorized-reader-
+# hostile); the streaming file source needs a micro-timestamp re-write. The
+# staged copy is built ONCE per sf_dir and shared by every streaming query —
+# round 2 wrote three private copies (one per query), ~6s of redundant IO per
+# bench run. At scale the stream source is Kafka/json and this step vanishes.
+# ---------------------------------------------------------------------------
+_STAGED_EVENTS: dict[str, tuple[str, StructType]] = {}
+_STREAM_SEQ = itertools.count()
+
+
+def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, StructType]:
+    cached = _STAGED_EVENTS.get(sf_dir)
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
+    batch = read_table(spark, sf_dir, "events")
+    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
+    batch.write.mode("overwrite").parquet(staged)
+    _STAGED_EVENTS[sf_dir] = (staged, batch.schema)
+    return _STAGED_EVENTS[sf_dir]
+
+
+def _drain_to_table(spark: SparkSession, stream_df: DataFrame, prefix: str) -> DataFrame:
+    """AvailableNow-drain a streaming frame into a uniquely-named memory table
+    (fresh checkpoint per call so replays within one session re-process).
+
+    State-partition count is fixed at stream START and each partition pays a
+    state-store commit per batch — locally that IO dominates, so pin shuffle
+    partitions low for the drain and restore the session setting after. (On a
+    cluster the right number tracks executor count; 8 is the single-node
+    sweet spot.)
+    """
+    from agent_data_wrangler_spark.streaming import run_available_now
+
+    name = f"{prefix}_{next(_STREAM_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"adw_ckpt_{prefix}_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_available_now(stream_df, name, ckpt)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------
@@ -100,8 +165,7 @@ def _duck_hits(lang: str) -> str:
 
 _N2_ORACLE = rf"""
 WITH s AS (
-  SELECT CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-              ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+  SELECT {_DUCK_TOKS} AS toks,
          length(text) AS n,
          length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS punct
   FROM documents
@@ -187,17 +251,14 @@ def n3_topk_cosine_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "n4_jaccard_pairs_documents",
-    oracle=r"""
+    oracle=rf"""
     WITH t AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
                                                     i -> array_to_string(toks[i:i+2], ' ')))
                   ELSE CAST([] AS VARCHAR[]) END AS sh
-      FROM (SELECT doc_id,
-                   CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
-            FROM documents)
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t)
     SELECT id_a, id_b, jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -251,17 +312,14 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "cc1_components_documents",
-    oracle=r"""
+    oracle=rf"""
     WITH RECURSIVE t AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3
                   THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
                                                     i -> array_to_string(toks[i:i+2], ' ')))
                   ELSE CAST([] AS VARCHAR[]) END AS sh
-      FROM (SELECT doc_id,
-                   CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
-                        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
-            FROM documents)
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
     ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
     ), pairs AS (
       SELECT id_a, id_b FROM (
@@ -293,46 +351,57 @@ def cc1_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# N6 — SimHash fingerprint profile. Rows-only (md5-bit simhash is
-# deterministic but DuckDB lacks a hex→int conversion to mirror it cheaply);
-# behavior pinned by unit tests (identical text → identical simhash; near-dup
-# → small hamming distance).
+# N6 — SimHash fingerprint profile. Hash-green oracle: dedup.simhash
+# deliberately hashes each token via md5 (engine-portable, dedup.py:436), so
+# DuckDB can mirror the whole computation — hex→int via ('0x'||h)::BIGINT,
+# per-bit votes via 32 conditional sums, fingerprint via the power-of-two
+# weighted sum. Docs with zero tokens fold to simhash 0 on both sides (Spark:
+# fold over an empty array keeps the all-zero vote accumulator; oracle: LEFT
+# JOIN + coalesce).
 # ---------------------------------------------------------------------------
-@query("n6_simhash_documents")
+_N6_BITS = 32
+_N6_TOKHASH = (
+    "('0x' || substring(md5(t), 1, 8))::BIGINT * 2147483648 "
+    "+ (('0x' || substring(md5(t), 9, 8))::BIGINT % 2147483648)"
+)
+_N6_VOTES = ",\n         ".join(
+    f"sum(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(_N6_BITS)
+)
+_N6_WEIGHTED = " + ".join(
+    f"CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_N6_BITS)
+)
+
+_N6_ORACLE = rf"""
+WITH tk AS (
+  SELECT doc_id, unnest(toks) AS t
+  FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+), h AS (
+  SELECT doc_id, {_N6_TOKHASH} AS hv FROM tk
+), v AS (
+  SELECT doc_id,
+         {_N6_VOTES}
+  FROM h GROUP BY doc_id
+), s AS (
+  SELECT doc_id, CAST({_N6_WEIGHTED} AS BIGINT) AS sh FROM v
+), allsh AS (
+  SELECT d.doc_id, coalesce(s.sh, 0) AS sh
+  FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+)
+SELECT CAST(count(DISTINCT sh) AS BIGINT) AS n_distinct_simhash,
+       CAST(count(*) AS BIGINT)           AS n_docs
+FROM allsh
+"""
+
+
+@query("n6_simhash_documents", oracle=_N6_ORACLE)
 def n6_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select(dedup.simhash("text", bits=32).alias("sh"))
+    sh = d.select(dedup.simhash("text", bits=_N6_BITS).alias("sh"))
     return sh.agg(
         F.countDistinct("sh").alias("n_distinct_simhash"),
         F.count(F.lit(1)).alias("n_docs"),
     )
-
-
-# ---------------------------------------------------------------------------
-# N7 — LSH-probed approximate top-k (the 100 TB scale path for N3): probe the
-# query's hyperplane bucket ± 1 bit, brute-force only probed rows. Rows-only
-# (approximate by design); recall-vs-exact is asserted in unit tests.
-# ---------------------------------------------------------------------------
-@query("n7_lsh_topk_embeddings")
-def n7_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
-    return similarity.topk_cosine_lsh(
-        e, "embedding", QUERY_VEC, k=10, num_planes=10, multiprobe=2,
-        payload_cols=["vec_id", "label"],
-    )
-
-
-# ---------------------------------------------------------------------------
-# N8 — embedding-cosine near-dup pairs via the bucketed LSH similarity
-# self-join (compact bigint join key; cosine verify inside pairs). Rows-only.
-# ---------------------------------------------------------------------------
-@query("n8_embedding_neardup_pairs")
-def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
-    pairs = similarity.similarity_join_lsh(
-        e, e, "embedding", threshold=0.95, num_planes=8, id_col="vec_id"
-    )
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 # ---------------------------------------------------------------------------
@@ -354,62 +423,18 @@ def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st1_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from agent_data_wrangler_spark.streaming import stream_from_directory, windowed_agg
 
-    from agent_data_wrangler_spark.sources.readers import read_table
-    from agent_data_wrangler_spark.streaming import run_available_now, stream_from_directory, windowed_agg
-
-    # The testdata events carry TIMESTAMP(NANOS) parquet (vectorized-reader-
-    # hostile); stream from a micro-timestamp re-write so the file source can
-    # scan it. At scale the stream source is Kafka/json and this step vanishes.
-    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
-    batch = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
-    batch.write.mode("overwrite").parquet(staged)
-    schema = batch.schema
-
-    sdf = stream_from_directory(spark, staged, schema)
+    staged, schema = _staged_events(spark, sf_dir)
+    sdf = stream_from_directory(spark, staged, schema).filter(
+        F.col("value").isNotNull()
+    )
     windowed = windowed_agg(
         sdf, "ts", "1 hour",
         [F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value")],
         watermark="365 days",
     )
-    name = f"st1_out_{os.path.basename(staged) or 'x'}".replace("-", "_")
-    # State-partition count is fixed at stream START and each partition pays a
-    # state-store commit per batch — locally that IO dominates, so pin it low
-    # for the drain and restore the session setting after. (On a cluster the
-    # right number tracks executor count; 8 is the single-node sweet spot.)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_available_now(windowed, name, os.path.join(staged, "..", "ckpt"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).drop("window_end")
-
-
-# ---------------------------------------------------------------------------
-# MM1 — multimodal plumbing over testdata: synthesize a deterministic PPM
-# payload per document (header + first 48 ASCII bytes as 4x4 RGB), then run
-# the real decode+feature operator (mapInPandas over binary columns).
-# Rows-only: byte-level image semantics are pinned by tests/test_multimodal.py;
-# this entry proves the binary-column path runs end-to-end on a real table.
-# ---------------------------------------------------------------------------
-@query("mm1_image_features_documents")
-def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agent_data_wrangler_spark.operators.multimodal import image_features
-
-    d = read_table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"),
-        F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "utf-8"),
-    )
-    media = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
-    feats = image_features(media)
-    return feats.agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
-    )
+    return _drain_to_table(spark, windowed, "st1_out").drop("window_end")
 
 
 # ---------------------------------------------------------------------------
@@ -443,29 +468,16 @@ def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def st2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from agent_data_wrangler_spark.streaming import session_agg, stream_from_directory
 
-    from agent_data_wrangler_spark.streaming import run_available_now, session_agg, stream_from_directory
-
-    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
-    batch = read_table(spark, sf_dir, "events").select("user_id", "ts")
-    batch.write.mode("overwrite").parquet(staged)
-
-    sdf = stream_from_directory(spark, staged, batch.schema)
+    staged, schema = _staged_events(spark, sf_dir)
+    sdf = stream_from_directory(spark, staged, schema).select("user_id", "ts")
     sessions = session_agg(
         sdf, "ts", "30 minutes", ["user_id"],
         [F.count(F.lit(1)).alias("n")],
         watermark="365 days",
     )
-    name = "st2_out"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_available_now(sessions, name, os.path.join(staged, "..", "ckpt"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    per_session = spark.table(name)
+    per_session = _drain_to_table(spark, sessions, "st2_out")
     return per_session.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
         F.max("n").alias("max_session_events"),
@@ -474,34 +486,50 @@ def st2_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # ST3 — in-stream exact dedup with watermark-bounded state
-# (dropDuplicatesWithinWatermark on (event_id, ts)). Oracle: the surviving
-# row count equals the batch distinct count — state-expiry behavior itself is
-# covered by tests/test_streaming.py.
+# (dropDuplicatesWithinWatermark on event_id alone — the "same record
+# re-delivered with jittered event time" case the operator exists for).
+# Oracle: the surviving row count equals the batch distinct-key count —
+# state-expiry behavior itself is covered by tests/test_streaming.py.
 # ---------------------------------------------------------------------------
 @query(
     "st3_streaming_dedup_count",
-    oracle="SELECT CAST(count(DISTINCT (event_id, ts)) AS BIGINT) AS n_unique_events FROM events",
+    oracle="SELECT CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique_events FROM events",
 )
 def st3_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
+    from agent_data_wrangler_spark.streaming import dedup_within_watermark, stream_from_directory
 
-    from agent_data_wrangler_spark.streaming import dedup_within_watermark, run_available_now, stream_from_directory
-
-    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
-    batch = read_table(spark, sf_dir, "events").select("event_id", "ts")
-    batch.write.mode("overwrite").parquet(staged)
-
-    sdf = stream_from_directory(spark, staged, batch.schema)
+    staged, schema = _staged_events(spark, sf_dir)
+    sdf = stream_from_directory(spark, staged, schema).select("event_id", "ts")
     deduped = dedup_within_watermark(sdf, ["event_id"], "ts", watermark="365 days")
-    name = "st3_out"
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        run_available_now(deduped, name, os.path.join(staged, "..", "ckpt"))
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(name).agg(F.count(F.lit(1)).cast("bigint").alias("n_unique_events"))
+    out = _drain_to_table(spark, deduped, "st3_out")
+    return out.agg(F.count(F.lit(1)).cast("bigint").alias("n_unique_events"))
+
+
+# ---------------------------------------------------------------------------
+# N7 — LSH-probed approximate top-k (the 100 TB scale path for N3): probe the
+# query's hyperplane bucket ± 1 bit, brute-force only probed rows. Rows-only
+# (approximate by design); recall-vs-exact is asserted in unit tests.
+# ---------------------------------------------------------------------------
+@query("n7_lsh_topk_embeddings")
+def n7_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_lsh(
+        e, "embedding", QUERY_VEC, k=10, num_planes=10, multiprobe=2,
+        payload_cols=["vec_id", "label"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# N8 — embedding-cosine near-dup pairs via the bucketed LSH similarity
+# self-join (compact bigint join key; cosine verify inside pairs). Rows-only.
+# ---------------------------------------------------------------------------
+@query("n8_embedding_neardup_pairs")
+def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    pairs = similarity.similarity_join_lsh(
+        e, e, "embedding", threshold=0.95, num_planes=8, id_col="vec_id"
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 # ---------------------------------------------------------------------------
@@ -516,4 +544,28 @@ def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_cosine_ivf(
         e, "embedding", QUERY_VEC, k=10, n_lists=8, nprobe=2,
         payload_cols=["vec_id", "label"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM1 — multimodal plumbing over testdata: synthesize a deterministic PPM
+# payload per document (header + first 48 ASCII bytes as 4x4 RGB), then run
+# the real decode+feature operator (mapInPandas over binary columns).
+# Rows-only: byte-level image semantics are pinned by tests/test_multimodal.py;
+# this entry proves the binary-column path runs end-to-end on a real table.
+# ---------------------------------------------------------------------------
+@query("mm1_image_features_documents")
+def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.multimodal import image_features
+
+    d = read_table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"),
+        F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "utf-8"),
+    )
+    media = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
+    feats = image_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
     )

@@ -82,13 +82,23 @@ def windowed_agg(
 
 
 def dedup_within_watermark(
-    sdf: DataFrame, keys: list[str], time_col: str, watermark: str = "10 minutes"
+    sdf: DataFrame,
+    keys: list[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+    *,
+    include_time: bool = False,
 ) -> DataFrame:
     """In-stream exact dedup with BOUNDED state (state expires with the
-    watermark horizon) — the streaming twin of F3/exact dedup."""
-    return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
-        keys + [time_col]
-    )
+    watermark horizon) — the streaming twin of F3/exact dedup.
+
+    Dedups on ``keys`` ALONE by default: the operator's primary use case is
+    the same record re-delivered with a jittered event time, which a
+    keys+time composite would never collapse. ``include_time=True`` opts into
+    the stricter (key, event-time) identity for sources where the timestamp
+    is part of the record key."""
+    cols = keys + [time_col] if include_time else keys
+    return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(cols)
 
 
 def session_agg(

@@ -241,3 +241,24 @@ def test_drop_near_duplicates_clustered_keeps_one_per_cluster(planted_docs):
     # {0,1,2} is one near-dup cluster (0/1 near-dups, 2 exact dup of 0) ->
     # only the smallest id survives; 3 and 4 are unrelated singletons.
     assert ids == [0, 3, 4]
+
+
+def test_connected_components_string_ids_shuffle_joins(spark):
+    # Regression guards for two scale bugs: (a) the broadcast hint must be
+    # size-guarded, so the closure still converges with broadcasts disabled
+    # entirely; (b) convergence detection must be type-agnostic — a label-SUM
+    # check on string ids would throw under ANSI mode (or silently stop after
+    # two rounds), truncating chains longer than ~2 hops.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # 6-node path graph: full closure needs >2 propagation rounds.
+        chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f")]
+        pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+        comps = {
+            r["id"]: r["component_id"]
+            for r in dedup.connected_components(pairs).collect()
+        }
+        assert comps == {x: "a" for x in "abcdef"}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -182,3 +182,15 @@ def test_equi_join_auto_broadcast_guard(spark):
         assert "BroadcastHashJoin" not in plan.split("AdaptiveSparkPlan")[0] or "SortMergeJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_rejects_right_preserving_modes(spark):
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame([("k", 1)], "k string, v int")
+    right = spark.createDataFrame([("k", 2.0)], "k string, w double")
+    for how in ("right", "full", "full_outer"):
+        with _pytest.raises(ValueError):
+            salted_join(left, right, "k", how=how)

@@ -155,3 +155,23 @@ def test_sliding_window_agg(spark, stream_dir, tmp_path):
     assert ("2024-01-01 09:59:00", 2) in got  # events 1, 2
     assert ("2024-01-01 10:00:00", 4) in got  # events 1, 2, 3, 3-dup
     assert ("2024-01-01 10:01:00", 3) in got  # 3, 3-dup, 4
+
+
+def test_dedup_within_watermark_jittered_event_time(spark, tmp_path):
+    # The operator's primary case: the SAME record re-delivered with a
+    # jittered timestamp must collapse to one row (dedup on keys alone;
+    # a keys+time composite would keep both).
+    rows = [
+        (1, "2024-01-01 10:00:10", 1, "click", 1.0),
+        (1, "2024-01-01 10:00:11", 1, "click", 1.0),  # re-delivery, ts +1s
+        (2, "2024-01-01 10:00:50", 1, "click", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    sdf = stream_from_directory(spark, src, SCHEMA)
+    deduped = dedup_within_watermark(sdf, ["event_id"], "ts", watermark="30 minutes")
+    run_available_now(deduped, "dedup_jitter", str(tmp_path / "ckpt"))
+    assert sorted(r.event_id for r in spark.table("dedup_jitter").collect()) == [1, 2]
