@@ -105,6 +105,29 @@ def describe_numeric(df: DataFrame, columns: list[str] | None = None, approx: bo
     )
 
 
+def describe_auto(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    exact_max_bytes: int = 2_000_000_000,
+) -> DataFrame:
+    """P5 with a size-based exact/approx switch — the pipeline-registry
+    default for describe at scale.
+
+    Exact ``percentile`` buffers each column's full value set per executor —
+    correct and oracle-matchable, but a memory scale-killer on a 100 TB
+    column. ``percentile_approx`` is a fixed-size sketch. The switch reads
+    Catalyst's plan-estimated ``sizeInBytes`` (no extra job — a count-based
+    switch would itself cost a full scan) and flips to the sketch above
+    ``exact_max_bytes``. Anything Catalyst can't size (no stats at all) is
+    treated as big: the approx path is the safe default at scale.
+    """
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # Spark Connect / stats unavailable: assume big
+        size = exact_max_bytes + 1
+    return describe_numeric(df, columns, approx=size > exact_max_bytes)
+
+
 def value_counts(df: DataFrame, column: str) -> DataFrame:
     """P8/A3: ordered value counts of a categorical (typo discovery in the
     reference — 'Germny', 'enginr'). Deterministic order: count desc, value asc."""

@@ -1191,3 +1191,143 @@ def s2_setops_priority_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def p5a_describe_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return profile.describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"], approx=True)
+
+
+# ---------------------------------------------------------------------------
+# U2 — scalar pandas_udf (§2.8) with a full oracle: per-customer digit sum of
+# the name, aggregated per market segment. Integer outputs end-to-end, so the
+# hash comparison has zero float noise. The UDF body is vectorized pandas
+# string ops over Arrow batches (the sanctioned "columnwise logic with no
+# Column builtin" path); everything around it stays in codegen.
+# ---------------------------------------------------------------------------
+@query(
+    "u2_name_digitsum_customers",
+    oracle=r"""
+    WITH d AS (
+      SELECT c_mktsegment AS segment,
+             CASE WHEN c_name IS NULL OR regexp_replace(c_name, '\D', '', 'g') = '' THEN 0
+                  ELSE list_aggregate(list_transform(
+                         str_split(regexp_replace(c_name, '\D', '', 'g'), ''),
+                         x -> CAST(x AS BIGINT)), 'sum')
+             END AS ds
+      FROM customer
+    )
+    SELECT segment, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ds) AS BIGINT) AS total_digitsum,
+           CAST(max(ds) AS BIGINT) AS max_digitsum
+    FROM d GROUP BY segment
+    """,
+)
+def u2_name_digitsum_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from agent_data_wrangler_spark.operators.pandas_ops import scalar_pandas_udf
+
+    # NB: no type hints — PEP 563 stringized annotations (this module's
+    # `from __future__ import annotations`) break PySpark's UDF hint parser.
+    def digit_sum(s):
+        digits = s.fillna("").str.replace(r"\D", "", regex=True)
+        return digits.map(lambda d: sum(map(int, d)) if d else 0).astype("int64")
+
+    ds = scalar_pandas_udf(digit_sum, "bigint")
+    c = read_table(spark, sf_dir, "customer")
+    return (
+        c.select(F.col("c_mktsegment").alias("segment"), ds("c_name").alias("ds"))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ds").alias("total_digitsum"),
+            F.max("ds").alias("max_digitsum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3 — grouped-agg pandas_udf (§2.8) with a full oracle: 10% two-sided
+# trimmed mean of order totals per priority (the classic robust statistic
+# with no Column builtin). The whole group ships to Python (grouped-agg UDFs
+# have no partial aggregation) — acceptable because |group| is bounded by the
+# priority cardinality split; for unbounded groups the percentile-cap
+# operator (t6) is the scalable alternative. The kept-row count is derived
+# with built-in expressions (count - 2*floor(count/10)), matching the
+# oracle's row_number window filter exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "u3_trimmed_mean_orders",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS priority, o_totalprice AS v,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+             count(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT priority, CAST(count(*) AS BIGINT) AS n_kept, round(avg(v), 4) AS trimmed_mean
+    FROM r
+    WHERE rn > CAST(floor(n * 0.1) AS BIGINT) AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+    GROUP BY priority
+    """,
+)
+def u3_trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from agent_data_wrangler_spark.operators.pandas_ops import grouped_agg_pandas_udf
+
+    def _core(v):
+        vals = v.dropna().sort_values()
+        k = int(len(vals) * 0.1)
+        return vals.iloc[k : len(vals) - k] if len(vals) > 2 * k else vals
+
+    def trimmed(v):
+        return float(_core(v).mean())
+
+    def kept(v):
+        return int(len(_core(v)))
+
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in aggregates
+    # in one agg ([INVALID_PANDAS_UDF_PLACEMENT]), so the kept-count is a
+    # second pandas aggregate — both ride the same single shuffle.
+    tm = grouped_agg_pandas_udf(trimmed, "double")
+    nk = grouped_agg_pandas_udf(kept, "bigint")
+    o = read_table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        nk("o_totalprice").alias("n_kept"),
+        F.round(tm("o_totalprice"), 4).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV1 — the reference's actual ingestion format, end-to-end (S1 + S2 + T13):
+# export events through the versioned no-overwrite CSV sink, re-read with the
+# multi-sentinel inferring CSV reader, and aggregate — proving the
+# write→scan→infer loop preserves values bit-for-bit (Spark writes doubles as
+# shortest round-trip repr). The oracle reads the ORIGINAL parquet, so any
+# loss in the CSV round-trip (dropped rows, dtype drift, null mangling)
+# breaks the hash. Scale: CSV is the reference-parity/export path only —
+# inferSchema costs an extra pass and the docstring on read_csv mandates
+# explicit schemas at scale; parquet remains the primary format.
+# ---------------------------------------------------------------------------
+@query(
+    "csv1_roundtrip_events",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def csv1_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.readers import read_csv
+    from agent_data_wrangler_spark.sources.writers import write_versioned
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = write_versioned(
+        ev, os.path.join(tempfile.mkdtemp(prefix="adw_csv_"), "events.csv"), fmt="csv"
+    )
+    back = read_csv(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -256,3 +256,21 @@ def test_require_exists_guard(spark):
         require_exists("/root/testdata/sf0.001/nope.parquet")
     with _pytest.raises(FileNotFoundError):
         read_parquet(spark, "/root/testdata/sf0.001/nope.parquet")
+
+
+def test_describe_auto_size_switch(spark, tmp_path):
+    # Small parquet-backed frame under the threshold -> exact path
+    # (bit-identical to describe_numeric exact); threshold 0 -> approx sketch
+    # path. The switch reads plan stats only (no job) — parquet scans carry
+    # real file-size stats; statless plans (e.g. local relations, which
+    # report Long.MaxValue) deliberately fall to the approx/safe side.
+    src = str(tmp_path / "nums.parquet")
+    spark.createDataFrame([(float(i),) for i in range(1, 101)], "x double").write.parquet(src)
+    df = spark.read.parquet(src)
+    exact = profile.describe_numeric(df, ["x"]).collect()
+    auto = profile.describe_auto(df, ["x"]).collect()
+    assert auto == exact
+    approx = profile.describe_auto(df, ["x"], exact_max_bytes=0).collect()[0]
+    # sketch quantiles pick real elements; moments are exact either way
+    assert approx["count"] == 100 and approx["mean"] == exact[0]["mean"]
+    assert approx["p50"] in {49.0, 50.0, 51.0}
