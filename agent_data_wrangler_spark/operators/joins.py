@@ -115,6 +115,86 @@ def salted_join(
     return l_tagged.join(r_tagged, on=[on, "__salt"], how=how).drop("__salt")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    *,
+    bucket: float | str = "auto",
+    broadcast_right: bool | str = "auto",
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right rows where
+    ``right_start <= left_point < right_end`` (half-open, SQL BETWEEN minus
+    the end bound).
+
+    Naive non-equi joins plan as BroadcastNestedLoopJoin — O(|L|·|R|)
+    comparisons, a scale-killer the moment the right side outgrows a
+    broadcast. This implementation converts the range predicate into an
+    EQUI-join: intervals are exploded to one row per fixed-width bucket they
+    cover, points map to their bucket, both sides hash-join on the bucket id,
+    and the exact range predicate runs as a residual filter on the (tiny)
+    per-bucket candidate set. The same technique Spark itself applies for
+    stream-stream time-interval joins, expressed on the batch API.
+
+    ``bucket='auto'`` sizes buckets to the right side's mean interval length
+    (one cheap aggregate on the SMALLER side, collected driver-side — at
+    100 TB the interval table is the dimension side), so each interval
+    explodes to ~2 bucket rows: replication stays O(|R|) while the join stays
+    a hash join. Pass a numeric ``bucket`` (in the column's native units —
+    MICROSECONDS for timestamps, days for dates) to pin it.
+
+    Timestamps/dates are normalized to numeric epoch units; both sides must
+    use the same temporal family. Inner join only (outer variants would need
+    unmatched-row recovery across the bucket explode; compose with anti_join
+    for the complement).
+    """
+    lnum = _epoch_num(left, left_point)
+    snum = _epoch_num(right, right_start)
+    enum = _epoch_num(right, right_end)
+
+    if bucket == "auto":
+        width = right.agg(F.avg(enum - snum)).first()[0]
+        if width is None or width <= 0:
+            raise ValueError("range_join: cannot auto-size buckets (empty right side or empty intervals)")
+    else:
+        width = float(bucket)
+
+    w = F.lit(float(width))
+    r_exploded = right.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(snum / w).cast("bigint"),
+                F.floor(enum / w).cast("bigint"),
+            )
+        ),
+    )
+    if broadcast_right == "auto":
+        broadcast_right = _fits_broadcast(right)
+    if broadcast_right:
+        r_exploded = F.broadcast(r_exploded)
+    l_tagged = left.withColumn("__bucket", F.floor(lnum / w).cast("bigint"))
+    return (
+        l_tagged.join(r_exploded, on="__bucket", how="inner")
+        .filter((lnum >= snum) & (lnum < enum))
+        .drop("__bucket")
+    )
+
+
+def _epoch_num(df: DataFrame, col: str):
+    """Numeric view of a point/boundary column: timestamps → epoch micros,
+    dates → epoch days, numerics → double. Keeps bucket arithmetic uniform."""
+    dtype = dict(df.dtypes).get(col)
+    c = F.col(col)
+    if dtype == "timestamp":
+        return F.unix_micros(c)
+    if dtype == "date":
+        return F.datediff(c, F.to_date(F.lit("1970-01-01")))
+    return c.cast("double")
+
+
 def two_phase_agg(
     df: DataFrame,
     key: str,

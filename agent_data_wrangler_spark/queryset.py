@@ -1331,3 +1331,49 @@ def csv1_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RJ1 — range join (point-in-interval): events bucketed into literal time
+# bands via operators/joins.range_join. The operator converts the non-equi
+# range predicate into a bucket-exploded EQUI hash join with a residual
+# filter — the naive join(cond) would plan as BroadcastNestedLoopJoin,
+# O(|L|·|R|) comparisons, which dies the moment the interval side outgrows a
+# broadcast. Oracle: the plain BETWEEN join DuckDB optimizes natively (IEJoin).
+# ---------------------------------------------------------------------------
+_RJ1_BANDS = [
+    ("w1", "2024-01-01 00:00:00", "2024-01-06 00:00:00"),
+    ("w2", "2024-01-06 00:00:00", "2024-01-11 00:00:00"),
+    ("w3", "2024-01-11 00:00:00", "2024-01-16 00:00:00"),
+    ("w4", "2024-01-16 00:00:00", "2024-01-21 00:00:00"),
+    ("w5", "2024-01-21 00:00:00", "2024-01-26 00:00:00"),
+    ("w6", "2024-01-26 00:00:00", "2024-01-31 00:00:00"),
+]
+_RJ1_VALUES = ", ".join(
+    f"('{b}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for b, s, e in _RJ1_BANDS
+)
+
+
+@query(
+    "rj1_time_bands_events",
+    oracle=f"""
+    WITH bands(band, b_start, b_end) AS (VALUES {_RJ1_VALUES})
+    SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM events e JOIN bands b ON e.ts >= b.b_start AND e.ts < b.b_end
+    GROUP BY band
+    """,
+)
+def rj1_time_bands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("ts", "value")
+    bands = spark.createDataFrame(
+        _RJ1_BANDS, "band string, b_start string, b_end string"
+    ).select(
+        "band",
+        F.to_timestamp("b_start").alias("b_start"),
+        F.to_timestamp("b_end").alias("b_end"),
+    )
+    joined = joins.range_join(ev, bands, "ts", "b_start", "b_end")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

@@ -569,3 +569,47 @@ def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.round(F.avg("mean_intensity"), 4).alias("avg_intensity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST4 — stream-static enrichment join: the staged events stream joined to the
+# customer dimension (broadcast; stateless — no state store), then a
+# watermarked daily-window aggregate per market segment, drained and rolled
+# up. The canonical "enrich a 100 TB/day event stream with a dim table"
+# shape. Oracle: the equivalent batch join + aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "st4_streaming_enriched_segments",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def st4_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.streaming import (
+        enrich_static,
+        stream_from_directory,
+        windowed_agg,
+    )
+
+    staged, schema = _staged_events(spark, sf_dir)
+    sdf = stream_from_directory(spark, staged, schema).select("user_id", "ts", "value")
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    enriched = enrich_static(sdf, dim, on="user_id")
+    daily = windowed_agg(
+        enriched, "ts", "1 day",
+        [F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")],
+        keys=["segment"], watermark="365 days",
+    )
+    out = _drain_to_table(spark, daily, "st4_out")
+    # Rounding happens ONLY at the final rollup — summing per-window rounded
+    # sums would diverge from the oracle's direct sum.
+    return out.groupBy("segment").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(F.sum("v"), 2).alias("total_value"),
+    )

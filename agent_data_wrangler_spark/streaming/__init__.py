@@ -3,6 +3,7 @@ windowed aggregation, in-stream dedup, sessionization."""
 
 from agent_data_wrangler_spark.streaming.ops import (
     dedup_within_watermark,
+    enrich_static,
     run_foreach_batch,
     run_available_now,
     session_agg,
@@ -13,6 +14,7 @@ from agent_data_wrangler_spark.streaming.ops import (
 
 __all__ = [
     "dedup_within_watermark",
+    "enrich_static",
     "run_available_now",
     "run_foreach_batch",
     "session_agg",

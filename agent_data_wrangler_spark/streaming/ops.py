@@ -101,6 +101,29 @@ def dedup_within_watermark(
     return sdf.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(cols)
 
 
+def enrich_static(
+    sdf: DataFrame,
+    dim: DataFrame,
+    on: list[str] | str,
+    *,
+    how: str = "inner",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static equi-join (enrichment): each micro-batch joins against
+    the CURRENT snapshot of the static side. Stateless — no state store, no
+    watermark requirement, any output mode.
+
+    ``broadcast`` (default) hints the dim side: without it the static side
+    re-shuffles on every micro-batch, which at a real event rate means one
+    full dim shuffle per trigger. Stream-static supports inner and
+    left-outer (stream side preserved); right/full would need the static
+    side to know about not-yet-seen stream rows and are rejected by Spark
+    itself.
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return sdf.join(d, on=on, how=how)
+
+
 def session_agg(
     sdf: DataFrame,
     time_col: str,

@@ -194,3 +194,46 @@ def test_salted_join_rejects_right_preserving_modes(spark):
     for how in ("right", "full", "full_outer"):
         with _pytest.raises(ValueError):
             salted_join(left, right, "k", how=how)
+
+
+def test_range_join_boundaries_and_plan(spark):
+    from agent_data_wrangler_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0), (2, 5.0), (3, 10.0), (4, 15.0), (5, 99.0)], "id bigint, x double"
+    )
+    ivals = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 20.0)], "name string, lo double, hi double"
+    )
+    j = range_join(points, ivals, "x", "lo", "hi")
+    got = sorted((r.id, r.name) for r in j.collect())
+    # half-open [lo, hi): x=10 joins b not a; x=99 matches nothing
+    assert got == [(1, "a"), (2, "a"), (3, "b"), (4, "b")]
+
+    # bucket smaller than the interval: explode covers every bucket, results
+    # identical
+    j2 = range_join(points, ivals, "x", "lo", "hi", bucket=3.0)
+    assert sorted((r.id, r.name) for r in j2.collect()) == got
+
+    # the scale contract: an equi hash join on buckets, never a nested loop
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_range_join_timestamps(spark):
+    import datetime as dt
+
+    from agent_data_wrangler_spark.operators.joins import range_join
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-03 12:00:00")],
+        "id bigint, ts string",
+    ).select("id", F.to_timestamp("ts").alias("ts"))
+    iv = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+         ("d3", "2024-01-03 00:00:00", "2024-01-04 00:00:00")],
+        "name string, s string, e string",
+    ).select("name", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
+    got = sorted((r.id, r.name) for r in range_join(ev, iv, "ts", "s", "e").collect())
+    assert got == [(1, "d1"), (2, "d3")]

@@ -175,3 +175,29 @@ def test_dedup_within_watermark_jittered_event_time(spark, tmp_path):
     deduped = dedup_within_watermark(sdf, ["event_id"], "ts", watermark="30 minutes")
     run_available_now(deduped, "dedup_jitter", str(tmp_path / "ckpt"))
     assert sorted(r.event_id for r in spark.table("dedup_jitter").collect()) == [1, 2]
+
+
+def test_enrich_static_stream_matches_batch(spark, stream_dir, tmp_path):
+    from agent_data_wrangler_spark.streaming import enrich_static
+
+    dim = spark.createDataFrame(
+        [(1, "GOLD"), (2, "SILVER")], "user_id bigint, tier string"
+    )
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA).select("user_id", "ts", "value")
+    enriched = enrich_static(sdf, dim, on="user_id")
+    daily = windowed_agg(
+        enriched, "ts", "1 day",
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v")],
+        keys=["tier"], watermark="30 minutes",
+    )
+    run_available_now(daily, "enrich_out", str(tmp_path / "ckpt"))
+    got = {(r.tier): (r.n, r.v) for r in spark.table("enrich_out").collect()}
+    # batch equivalent over the same files (incl. the exact duplicate row)
+    batch = (
+        spark.read.schema(SCHEMA).parquet(stream_dir)
+        .join(dim, "user_id")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+    )
+    want = {(r.tier): (r.n, r.v) for r in batch.collect()}
+    assert got == want
