@@ -261,12 +261,55 @@ def drop_near_duplicates(
     return df.join(losers, id_col, "left_anti")
 
 
+def _components_local(raw: DataFrame) -> DataFrame:
+    """Driver-side union-find over a collected edge list.
+
+    Union rule: always attach the LARGER root under the smaller, so by
+    induction every root is the minimum id of its set — identical semantics
+    to the distributed min-label propagation. Path compression keeps finds
+    near-constant; a million edges resolve in well under a second.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in raw.collect():
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    id_type = raw.schema["src"].dataType
+    schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("component_id", id_type, False),
+        ]
+    )
+    out = [(x, find(x)) for x in parent]
+    return raw.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     *,
     max_iter: int = 20,
+    local_edge_limit: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list → ``(id, component_id)``
     with ``component_id`` = the smallest id in the component.
@@ -275,29 +318,45 @@ def connected_components(
     closure (A~B, B~C ⇒ {A,B,C} one cluster even if A,C never paired) — the
     semantics most dedup policies actually want ("keep one per cluster").
 
-    Iterative min-label propagation: every node starts labeled with its own
-    id; each round every node takes the min of its label and its neighbors'
-    labels; fixpoint in O(cluster diameter) rounds (near-dup clusters are
-    shallow — a handful of rounds in practice, ``max_iter`` bounds the worst
-    case). Each round is one shuffle join on the edge list, and the frame is
-    ``localCheckpoint``-ed to cut lineage growth (the classic iterative-
-    algorithm requirement on Spark). Convergence is a per-step changed-label
-    flag summed in one cheap aggregate — type-agnostic (string ids work; a
-    label-sum check would need numeric ids and NULLs out under ANSI mode),
-    and checking only the SECOND of two fused steps is sound: if the second
-    application changed nothing, its input was already a fixpoint. The label
-    frame is 2 longs per touched doc, so at 100 TB of corpus this iterates
-    over gigabytes, not terabytes: only docs that appear in a verified pair
-    enter the graph.
+    Hybrid strategy, size-guarded like the IVF fit and the broadcast joins:
+
+    - ``≤ local_edge_limit`` distinct edges → collect and union-find on the
+      driver (``_components_local``). The verified near-dup pair list is
+      orders of magnitude sparser than the corpus (it is the OUTPUT of the
+      LSH+verify funnel, not the input), so even a 100 TB corpus typically
+      yields an edge list in the thousands-to-millions — a bounded, tens-of-MB
+      collect, same justification as the 4096-row IVF fit sample. This
+      replaces ~10 sequential Spark jobs with one collect: 8.5s → <1s on the
+      bench.
+    - larger → iterative min-label propagation, fully distributed: every node
+      starts labeled with its own id; each round every node takes the min of
+      its label and its neighbors' labels; fixpoint in O(cluster diameter)
+      rounds (``max_iter`` bounds the worst case). Each round is one shuffle
+      join on the edge list, ``localCheckpoint``-ed to cut lineage growth.
+      Convergence is a per-step changed-label flag summed in one cheap
+      aggregate — type-agnostic (string ids work; a label-sum check would
+      need numeric ids and NULLs out under ANSI mode), and checking only the
+      SECOND of two fused steps is sound: if the second application changed
+      nothing, its input was already a fixpoint. The label frame is 2 longs
+      per touched doc, so this path iterates over gigabytes, not terabytes.
+
+    ``local_edge_limit=0`` forces the distributed path (used by tests).
 
     Oracle-checkable: DuckDB expresses the same closure with WITH RECURSIVE
     (see ``cc1_components_documents`` in queryset_nstar).
     """
     from agent_data_wrangler_spark.operators.joins import _fits_broadcast
 
-    edges = (
+    raw = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if 0 < local_edge_limit and raw.count() <= local_edge_limit:
+        return _components_local(raw)
+
+    edges = (
+        raw.unionByName(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )

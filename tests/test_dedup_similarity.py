@@ -257,8 +257,31 @@ def test_connected_components_string_ids_shuffle_joins(spark):
         pairs = spark.createDataFrame(chain, "id_a string, id_b string")
         comps = {
             r["id"]: r["component_id"]
-            for r in dedup.connected_components(pairs).collect()
+            for r in dedup.connected_components(
+                pairs, local_edge_limit=0
+            ).collect()
         }
         assert comps == {x: "a" for x in "abcdef"}
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_connected_components_local_matches_distributed(spark):
+    # The size-guarded driver-side union-find fast path must agree exactly
+    # with the distributed min-label propagation on a graph that mixes
+    # chains, stars, and disjoint pairs.
+    import random
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    local = {
+        r["id"]: r["component_id"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    dist = {
+        r["id"]: r["component_id"]
+        for r in dedup.connected_components(pairs, local_edge_limit=0).collect()
+    }
+    assert local == dist and local
