@@ -56,9 +56,15 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
-    hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
-    return hits.cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+    # Token array bound once (Catalyst does not CSE the tokens() tree across
+    # the hits and size references — same pattern as dedup.shingles).
+    def ratio(toks: Column) -> Column:
+        hits = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+        return hits.cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+    return F.element_at(
+        F.transform(F.array(tokens(F.lower(F.col(col) if isinstance(col, str) else col))), ratio), 1
+    )
 
 
 def quality_score(col: Column | str) -> Column:
@@ -76,23 +82,39 @@ def quality_score(col: Column | str) -> Column:
 
 def lang_id(col: Column | str) -> Column:
     """Stopword-marker language-ID heuristic over {en,es,de,fr}, 'und' if no
-    marker hits. Ties break by language code ascending (deterministic)."""
-    toks = tokens(F.lower(F.col(col) if isinstance(col, str) else col))
+    marker hits. Ties break by language code ascending (deterministic).
 
-    # Factory, not default-arg capture: PySpark counts default-arg params as
-    # lambda arity, so ``lambda t, m=markers`` would bind m to the array index.
-    def _hits(markers: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+    Both the token array and the per-language hit-count array are bound once
+    to lambda variables: the previous greatest/when-chain form embedded every
+    language's filter tree into every comparison (no CSE inside expression
+    trees), re-tokenizing each row ~20×.
+    """
+    c = F.col(col) if isinstance(col, str) else col
 
-    scores = [(code, _hits(markers)) for code, markers in sorted(LANG_MARKERS.items())]
-    best = scores[0][1]
-    for _, s in scores[1:]:
-        best = F.greatest(best, s)
-    result = F.lit("und")
-    # Walk descending so earlier (ascending-code) assignment wins ties.
-    for code, s in reversed(scores):
-        result = F.when((s == best) & (best > 0), F.lit(code)).otherwise(result)
-    return result
+    def pick(toks: Column) -> Column:
+        # Factory, not default-arg capture: PySpark counts default-arg params
+        # as lambda arity, so ``lambda t, m=markers`` would bind m to the
+        # array index.
+        def _hits(markers: tuple[str, ...]) -> Column:
+            return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+        scores = F.array(
+            *[
+                F.struct(_hits(markers).alias("h"), F.lit(code).alias("c"))
+                for code, markers in sorted(LANG_MARKERS.items())
+            ]
+        )
+
+        def choose(arr: Column) -> Column:
+            best = F.array_max(F.transform(arr, lambda x: x["h"]))
+            # filter preserves array order; scores are in ascending code
+            # order, so the first max-hit entry is the tie-break winner.
+            first = F.element_at(F.filter(arr, lambda x: x["h"] == best), 1)
+            return F.when(best > 0, first["c"]).otherwise(F.lit("und"))
+
+        return F.element_at(F.transform(F.array(scores), choose), 1)
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(c))), pick), 1)
 
 
 def fingerprint(col: Column | str) -> Column:
