@@ -1377,3 +1377,195 @@ def rj1_time_bands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SN1 — batch gap-based sessionization (windows.sessionize): per-user sessions
+# close after a 30-minute silence; output is the session-size distribution.
+# Scale: ONE shuffle on user_id; the lag and the running sum share a window
+# spec so Catalyst fuses them into a single Window operator over sorted runs
+# (plan-tested). The oracle re-derives the identical lag+cumsum construction
+# in DuckDB SQL.
+# ---------------------------------------------------------------------------
+_SN1_GAP_S = 1800
+
+
+@query(
+    "sn1_sessionize_events",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev
+      FROM events
+    ), s AS (
+      SELECT user_id, us,
+             sum(CASE WHEN prev IS NULL OR us - prev > {_SN1_GAP_S * 1_000_000} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us ASC, event_id ASC
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM t
+    ), g AS (
+      SELECT user_id, session_id, count(*) AS n_events, max(us) - min(us) AS dur_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(n_events AS BIGINT)  AS n_events,
+           CAST(count(*) AS BIGINT)  AS n_sessions,
+           CAST(sum(dur_us) AS BIGINT) AS total_dur_us
+    FROM g GROUP BY 1
+    """,
+)
+def sn1_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = windows.sessionize(
+        ev, ["user_id"], "ts", _SN1_GAP_S, tiebreak=["event_id"]
+    )
+    per_session = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("n_events").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("dur_us").cast("bigint").alias("total_dur_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BK1 — bucketed co-located join (S2-scale variant): orders and customer are
+# staged ONCE per sf_dir as bucketed external tables hashed on their join
+# keys; the join then reads bucket files as pre-shuffled partitions and runs
+# with ZERO Exchange (plan-tested with broadcast disabled). The 100 TB
+# pattern: pay the bucketing shuffle once at ingest, amortize it over every
+# downstream join/agg on the key. Oracle: the plain equi-join on the original
+# parquet — bucketing must be invisible to results.
+# ---------------------------------------------------------------------------
+_BUCKETED_TABLES: dict[str, tuple[str, str]] = {}
+_BK_SEQ = 0
+
+
+def _bucketed_orders_customer(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage bucketed twins of orders/customer for ``sf_dir``, cached per
+    (process, sf_dir); names are sequence-unique so a fresh SparkSession in
+    the same process never collides with a stale external-table directory."""
+    global _BK_SEQ
+    cached = _BUCKETED_TABLES.get(sf_dir)
+    if cached is not None and all(spark.catalog.tableExists(t) for t in cached):
+        return cached
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.writers import write_bucketed
+
+    _BK_SEQ += 1
+    base = tempfile.mkdtemp(prefix="adw_bucketed_")
+    o_t = f"adw_bk_orders_{_BK_SEQ}"
+    c_t = f"adw_bk_customer_{_BK_SEQ}"
+    write_bucketed(
+        read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        o_t, ["o_custkey"], num_buckets=8, sort_cols=["o_custkey"],
+        path=f"{base}/orders",
+    )
+    write_bucketed(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        c_t, ["c_custkey"], num_buckets=8, sort_cols=["c_custkey"],
+        path=f"{base}/customer",
+    )
+    _BUCKETED_TABLES[sf_dir] = (o_t, c_t)
+    return o_t, c_t
+
+
+@query(
+    "bk1_bucketed_join_revenue",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def bk1_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o_t, c_t = _bucketed_orders_customer(spark, sf_dir)
+    o = spark.table(o_t)
+    c = spark.table(c_t)
+    joined = o.join(c, o.o_custkey == c.c_custkey, "inner")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PP1 — partition-pruned scan: events staged ONCE per sf_dir as parquet
+# partitioned by event_type; the filtered read must touch only the matching
+# partition directories (PartitionFilters in the scan node, plan-tested) —
+# the other partitions are never listed, read, or decoded. At 100 TB,
+# partition-by-ingest-date/type is the first-line defense before any row
+# filter runs. Oracle: the same filter on the unpartitioned original.
+# ---------------------------------------------------------------------------
+_PARTITIONED_EVENTS: dict[str, str] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    cached = _PARTITIONED_EVENTS.get(sf_dir)
+    import os
+    import tempfile
+
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    ev = read_table(spark, sf_dir, "events")
+    out = os.path.join(tempfile.mkdtemp(prefix="adw_part_"), "events_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    _PARTITIONED_EVENTS[sf_dir] = out
+    return out
+
+
+@query(
+    "pp1_partition_pruned_events",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def pp1_partition_pruned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SJ1 — salted-join equivalence: the skew-mitigated physical path
+# (joins.salted_join — left side salted by row hash, right side replicated
+# salt×, join on (key, salt)) must produce byte-identical aggregates to the
+# plain equi-join oracle. Salting is the manual fallback when AQE's skew
+# split can't help (single ultra-hot key beyond its split factor); this query
+# keeps that path continuously verified against the unsalted semantics.
+# ---------------------------------------------------------------------------
+@query(
+    "sj1_salted_join_segments",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE year(o_orderdate) = 1997
+    GROUP BY 1
+    """,
+)
+def sj1_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_custkey", "o_totalprice")
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = joins.salted_join(o, c, on="o_custkey", salt=8, how="inner")
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

@@ -70,6 +70,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_cols: list[str] | None = None,
     fmt: str = "parquet",
+    path: str | None = None,
 ) -> None:
     """Bucketed managed table: co-locates rows by hash(bucket_cols) at WRITE
     time so later equi-joins/aggregations on those columns skip the shuffle
@@ -78,12 +79,16 @@ def write_bucketed(
 
     The 100 TB pattern: bucket the big fact tables once on their join key
     (e.g. orders/lineitem on the order key), amortizing one shuffle across
-    every downstream query. Bucketing requires ``saveAsTable`` (metastore-
-    backed) — path-based writes cannot record bucket metadata.
+    every downstream query. Bucketing requires ``saveAsTable`` (bucket
+    metadata lives in the catalog — plain path writes cannot record it);
+    ``path`` makes it an external table at that location instead of a managed
+    table under the session warehouse.
     """
     writer = df.write.format(fmt).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.mode("error").saveAsTable(table_name)
 
 

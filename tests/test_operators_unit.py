@@ -274,3 +274,37 @@ def test_describe_auto_size_switch(spark, tmp_path):
     # sketch quantiles pick real elements; moments are exact either way
     assert approx["count"] == 100 and approx["mean"] == exact[0]["mean"]
     assert approx["p50"] in {49.0, 50.0, 51.0}
+
+
+def test_sessionize_gap_semantics(spark):
+    # One user, events at t=0s, 10s, 2000s, 2010s, 5000s with a 30-min... no:
+    # gap=60s -> sessions {0,10}, {2000,2010}, {5000}; second user is
+    # independent (session ids restart per key).
+    from agent_data_wrangler_spark.operators.windows import sessionize
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:00:10"),
+        (1, 3, "2024-01-01 00:33:20"),
+        (1, 4, "2024-01-01 00:33:30"),
+        (1, 5, "2024-01-01 01:23:20"),
+        (2, 6, "2024-01-01 00:00:05"),
+    ]
+    df = spark.createDataFrame(rows, "uid int, eid int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, ["uid"], "ts", gap_seconds=60, tiebreak=["eid"])
+    got = {(r["uid"], r["eid"]): r["session_id"] for r in out.collect()}
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2, (1, 5): 3, (2, 6): 1}
+
+
+def test_sessionize_boundary_exact_gap_continues(spark):
+    # gap EXACTLY equal to the threshold stays in-session (strict > splits).
+    from agent_data_wrangler_spark.operators.windows import sessionize
+
+    rows = [(1, 1, "2024-01-01 00:00:00"), (1, 2, "2024-01-01 00:01:00")]
+    df = spark.createDataFrame(rows, "uid int, eid int, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(df, ["uid"], "ts", gap_seconds=60, tiebreak=["eid"])
+    assert {r["session_id"] for r in out.collect()} == {1}

@@ -93,3 +93,34 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
         if "CartesianProduct" in plan:
             bad.append(name)
     assert not bad, f"cartesian products in: {bad}"
+
+
+def test_sn1_windows_share_one_exchange(spark, sf_dir):
+    """lag + running-sum + groupBy(user_id, session_id) must all reuse the
+    user_id hash partitioning: exactly 2 exchanges total — the window shuffle
+    and the final session-size-distribution aggregate."""
+    plan = _plan(spark, "sn1_sessionize_events", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_bk1_bucketed_join_zero_exchange(spark, sf_dir):
+    """With broadcast disabled, the bucketed orders⋈customer join must read
+    bucket files as pre-shuffled partitions: a SortMergeJoin whose only
+    Exchange is the final groupBy(segment) aggregate."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bk1_bucketed_join_revenue", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pp1_partition_pruning(spark, sf_dir):
+    """The event_type predicate must resolve at the directory level
+    (PartitionFilters) with nothing left for the row-level parquet filter."""
+    plan = _plan(spark, "pp1_partition_pruned_events", sf_dir)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert "= purchase)" in plan
+    assert "PushedFilters: []" in plan
