@@ -37,7 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q = {**Q1, **Q2}
     o = {**O1, **O2}
-    new_this_round = ("u2_", "u3_", "csv1_", "rj1_", "st4_", "sn1_", "bk1_", "pp1_", "sj1_")
+    new_this_round = (
+        "u2_", "u3_", "csv1_", "rj1_", "st4_", "sn1_", "bk1_", "pp1_", "sj1_",
+        "js1_", "se1_", "sk1_", "md1_", "dq1_",
+    )
     head = [k for k in q if k in o and not k.startswith(new_this_round)]
     new_tail = [k for k in q if k in o and k.startswith(new_this_round)]
     rows_only = [k for k in q if k not in o]

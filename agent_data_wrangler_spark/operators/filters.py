@@ -55,6 +55,42 @@ def sigma_outlier_filter(df: DataFrame, columns: list[str], k: float = 3.0) -> D
     return df.filter(cond)
 
 
+_MAD_SCALE = 1.4826  # Φ⁻¹ consistency constant: MAD·1.4826 ≈ σ for normal data
+
+
+def fit_mad_bounds(
+    df: DataFrame, column: str, k: float = 3.0
+) -> tuple[float, float]:
+    """Fit step for the ROBUST outlier filter: (lo, hi) = median ± k·1.4826·MAD
+    where MAD = median(|x − median|).
+
+    Two tiny sequential aggregate jobs (the MAD needs the median as a
+    literal); both are exact interpolating percentiles for oracle parity —
+    at 100 TB swap in ``percentile_approx`` exactly as describe_auto does.
+    Unlike mean±kσ (F2), the fit itself is outlier-resistant: a single
+    billion-valued corrupt row shifts mean/σ arbitrarily but moves the
+    median/MAD not at all — the robust rule is what you want on DIRTY data,
+    which is the entire premise of a cleaning engine.
+    """
+    col = F.col(column).cast("double")
+    med = df.agg(F.percentile(col, 0.5)).first()[0]
+    if med is None:
+        return (float("-inf"), float("inf"))
+    mad = df.agg(F.percentile(F.abs(col - F.lit(med)), 0.5)).first()[0]
+    if mad is None:
+        return (float("-inf"), float("inf"))
+    half = k * _MAD_SCALE * mad
+    return (med - half, med + half)
+
+
+def mad_outlier_filter(df: DataFrame, column: str, k: float = 3.0) -> DataFrame:
+    """Keep rows within median ± k·1.4826·MAD on ``column`` (nulls kept,
+    same mask semantics as ``sigma_outlier_filter``)."""
+    lo, hi = fit_mad_bounds(df, column, k)
+    col = F.col(column).cast("double")
+    return df.filter(col.isNull() | ((col >= F.lit(lo)) & (col <= F.lit(hi))))
+
+
 def drop_duplicate_rows(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
     """F3: exact dedup. Shuffles on the hash of ``subset`` (or all columns);
     at scale prefer a stable subset (e.g. a fingerprint column) over full-row

@@ -138,6 +138,26 @@ def value_counts(df: DataFrame, column: str) -> DataFrame:
     )
 
 
+def key_skew(df: DataFrame, key: str) -> DataFrame:
+    """Key-distribution profiler: the pre-flight check for every join/groupBy
+    on ``key`` at scale. One row out: (n_keys, n_rows, max_key_rows,
+    skew_factor = max key count ÷ mean key count). A skew_factor in the
+    hundreds says "this key will flood one reducer" — route the operation
+    through salted_join/two_phase_agg or rely on AQE skew split.
+
+    Cost: one shuffle on ``key`` (partial counts map-side), then a scalar
+    aggregate over |keys| rows — safe at any scale.
+    """
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    mean_c = F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")
+    return counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.max("c").cast("bigint").alias("max_key_rows"),
+        F.round(F.max("c").cast("double") / mean_c, 4).alias("skew_factor"),
+    )
+
+
 def duplicate_row_count(df: DataFrame, subset: list[str] | None = None) -> int:
     """P9: number of surplus duplicate rows (count - distinct count)."""
     cols = subset or df.columns

@@ -1,0 +1,69 @@
+"""Data-quality validation rules (expectations) → violations report.
+
+The reference's cleaning loop is validation-driven: every stage report calls
+out rows "failing validation" (future dates, out-of-range salaries, malformed
+phones — reference: graph_proj/README.md:113 and the stage reports under
+graph_proj/src/agent/). This module makes that theme a first-class,
+declarative operator: a rule set compiles to ONE aggregate pass over the
+table, so a 100-rule suite on 100 TB costs exactly one scan — each rule is a
+map-side flag-sum folded by the partial/final hash aggregate, never a
+separate job per rule (the classic expectations-framework scale trap).
+
+Rule helpers return aggregate Columns counting VIOLATIONS (bigint). Compose
+freely with any custom aggregate expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(column: str) -> Column:
+    """Violations = rows where ``column`` is NULL."""
+    return F.sum(F.when(F.col(column).isNull(), 1).otherwise(0)).cast("bigint")
+
+
+def in_range(column: str, lo: float, hi: float) -> Column:
+    """Violations = non-null rows outside [lo, hi]."""
+    c = F.col(column)
+    return F.sum(
+        F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), 1).otherwise(0)
+    ).cast("bigint")
+
+
+def accepted_values(column: str, values: list) -> Column:
+    """Violations = non-null rows whose value is not in ``values``."""
+    c = F.col(column)
+    return F.sum(
+        F.when(c.isNotNull() & ~c.isin(values), 1).otherwise(0)
+    ).cast("bigint")
+
+
+def matches(column: str, pattern: str) -> Column:
+    """Violations = non-null rows NOT matching the (RE2-ish Java) regex."""
+    c = F.col(column)
+    return F.sum(
+        F.when(c.isNotNull() & ~c.rlike(pattern), 1).otherwise(0)
+    ).cast("bigint")
+
+
+def unique(column: str) -> Column:
+    """Violations = surplus rows beyond one per distinct non-null value
+    (count − count distinct) — expressible inside the same single aggregate
+    pass, unlike a groupBy-based duplicate listing."""
+    return (F.count(F.col(column)) - F.count_distinct(F.col(column))).cast("bigint")
+
+
+def check_rules(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Run every rule in ONE aggregate job; returns (rule, n_violations) rows.
+
+    The wide 1-row aggregate is unpivoted with ``stack`` — no second scan, no
+    driver-side loop. Rule names must be valid for quoting inside a SQL
+    string literal (no single quotes).
+    """
+    wide = df.agg(*[col.alias(f"__r{i}") for i, (_n, col) in enumerate(rules)])
+    pairs = ", ".join(f"'{name}', __r{i}" for i, (name, _c) in enumerate(rules))
+    return wide.select(
+        F.expr(f"stack({len(rules)}, {pairs}) as (rule, n_violations)")
+    )

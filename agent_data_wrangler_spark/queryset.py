@@ -1569,3 +1569,206 @@ def sj1_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JS1 — JSON-lines round-trip (the training-data interchange format next to
+# parquet): export events through the versioned sink as JSONL, re-read with
+# an EXPLICIT schema (the at-scale rule — no inference pre-pass), aggregate.
+# The oracle reads the original parquet, so dropped rows, double-formatting
+# loss, or null mangling in the JSON path breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "js1_jsonl_roundtrip_events",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def js1_jsonl_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.readers import read_jsonl
+    from agent_data_wrangler_spark.sources.writers import write_versioned
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = write_versioned(
+        ev, os.path.join(tempfile.mkdtemp(prefix="adw_jsonl_"), "events.json"),
+        fmt="json",
+    )
+    back = read_jsonl(spark, out, schema=ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SE1 — schema evolution: two parquet "ingest generations" of orders (1996
+# rows without o_orderpriority, 1997 rows with it) merged by NAME via
+# read_parquet_merged; the missing column surfaces as NULL and is bucketed
+# as 'UNKNOWN'. Oracle: the same reconstruction from the original table.
+# Staged once per sf_dir.
+# ---------------------------------------------------------------------------
+_EVOLVED_ORDERS: dict[str, tuple[str, str]] = {}
+
+
+def _evolved_orders(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import os
+    import tempfile
+
+    cached = _EVOLVED_ORDERS.get(sf_dir)
+    if cached is not None and all(os.path.isdir(p) for p in cached):
+        return cached
+    o = read_table(spark, sf_dir, "orders")
+    base = tempfile.mkdtemp(prefix="adw_evolve_")
+    v1 = os.path.join(base, "v1")
+    v2 = os.path.join(base, "v2")
+    o.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_totalprice"
+    ).write.parquet(v1)
+    o.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.parquet(v2)
+    _EVOLVED_ORDERS[sf_dir] = (v1, v2)
+    return v1, v2
+
+
+@query(
+    "se1_schema_evolution_orders",
+    oracle="""
+    SELECT CASE WHEN year(o_orderdate) = 1997 THEN o_orderpriority
+                ELSE 'UNKNOWN' END AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY 1
+    """,
+)
+def se1_schema_evolution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.sources.readers import read_parquet_merged
+
+    v1, v2 = _evolved_orders(spark, sf_dir)
+    merged = read_parquet_merged(spark, v1, v2)
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SK1 — key-skew profiler (profile.key_skew): the pre-flight check before
+# any join/groupBy key choice at scale. Oracle re-derives the same four
+# stats from a grouped count in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "sk1_key_skew_orders",
+    oracle="""
+    WITH c AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(max(c) AS BIGINT) AS max_key_rows,
+           round(CAST(max(c) AS DOUBLE) /
+                 (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4)
+             AS skew_factor
+    FROM c
+    """,
+)
+def sk1_key_skew_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return profile.key_skew(o, "o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# MD1 — robust (median/MAD) outlier filter: the fit itself is outlier-
+# resistant, unlike F2's mean±kσ whose fit a single corrupt row can drag.
+# Bounds are computed as literals driver-side (two tiny percentile jobs) and
+# applied as a codegen'd scan filter. The oracle mirrors the arithmetic
+# term-for-term so the boundary doubles are bit-identical.
+# ---------------------------------------------------------------------------
+@query(
+    "md1_mad_outliers_events",
+    oracle="""
+    WITH m AS (SELECT median(value) AS med FROM events),
+         d AS (SELECT median(abs(value - med)) AS mad FROM events, m)
+    SELECT CAST(count(*) FILTER (WHERE value IS NULL
+                  OR (value >= med - 3 * 1.4826 * mad
+                      AND value <= med + 3 * 1.4826 * mad)) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE value IS NOT NULL
+                  AND (value < med - 3 * 1.4826 * mad
+                       OR value > med + 3 * 1.4826 * mad)) AS BIGINT) AS n_dropped,
+           round(sum(value) FILTER (WHERE value IS NULL
+                  OR (value >= med - 3 * 1.4826 * mad
+                      AND value <= med + 3 * 1.4826 * mad)), 2) AS sum_kept
+    FROM events, m, d
+    """,
+)
+def md1_mad_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    total = ev.count()
+    kept = filters.mad_outlier_filter(ev, "value", k=3.0)
+    return kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        (F.lit(total) - F.count(F.lit(1))).cast("bigint").alias("n_dropped"),
+        F.round(F.sum("value"), 2).alias("sum_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ1 — declarative data-quality rule suite (operators/validate.py): five
+# expectations over the dirty events table compiled into ONE aggregate scan
+# (each rule a map-side flag-sum; a per-rule-job expectations framework is
+# the scale trap this design avoids). Oracle: the same counts as SQL
+# aggregates, stacked with UNION ALL.
+# ---------------------------------------------------------------------------
+@query(
+    "dq1_validation_rules_events",
+    oracle="""
+    SELECT 'value_not_null' AS rule,
+           CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT) AS n_violations
+    FROM events
+    UNION ALL
+    SELECT 'value_in_range_0_400',
+           CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                 AND (value < 0 OR value > 400)) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'event_type_accepted',
+           CAST(count(*) FILTER (WHERE event_type IS NOT NULL AND event_type
+                 NOT IN ('click', 'view', 'purchase', 'signup')) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'props_is_json_object',
+           CAST(count(*) FILTER (WHERE props IS NOT NULL
+                 AND NOT regexp_matches(props, '^\\{.*\\}$')) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'event_id_unique',
+           CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT)
+    FROM events
+    """,
+)
+def dq1_validation_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import validate
+
+    ev = read_table(spark, sf_dir, "events")
+    rules = [
+        ("value_not_null", validate.not_null("value")),
+        ("value_in_range_0_400", validate.in_range("value", 0, 400)),
+        (
+            "event_type_accepted",
+            validate.accepted_values(
+                "event_type", ["click", "view", "purchase", "signup"]
+            ),
+        ),
+        ("props_is_json_object", validate.matches("props", r"^\{.*\}$")),
+        ("event_id_unique", validate.unique("event_id")),
+    ]
+    return validate.check_rules(ev, rules)

@@ -133,6 +133,38 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """JSON-lines scan — the training-data interchange staple next to
+    parquet. Splittable (one object per line), so it parallelizes like any
+    text source. Pass ``schema`` at scale: without it Spark runs a full
+    inference pre-pass over the data (twice the IO), and sampled inference
+    can mistype sparse columns. Multiline JSON arrays are deliberately NOT
+    supported here — they are unsplittable (one file = one task), the 100 TB
+    anti-format.
+    """
+    require_exists(path)
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_parquet_merged(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution scan: union N parquet paths written at different
+    schema versions, reconciling by column NAME (``mergeSchema``) — columns
+    absent in older files surface as NULL. This is how a long-lived ingest
+    directory (fields added over months) reads as one table. mergeSchema
+    costs a footer read per file at planning time, so production tables
+    should pin the merged schema in a catalog; for path-based reads this is
+    the correct lever.
+    """
+    for p in paths:
+        require_exists(p)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
 def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
     """Multimodal ingestion (SURVEY §2.7): the ``binaryFile`` source yields
     (path, modificationTime, length, content binary) — one row per file, file

@@ -58,6 +58,8 @@ def write_versioned(
         writer = writer.partitionBy(*partition_by)
     if fmt == "csv":
         writer.option("header", True).csv(out)
+    elif fmt == "json":
+        writer.json(out)  # JSON-lines: one object per line, splittable
     else:
         writer.parquet(out)
     return out

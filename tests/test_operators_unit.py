@@ -308,3 +308,83 @@ def test_sessionize_boundary_exact_gap_continues(spark):
     )
     out = sessionize(df, ["uid"], "ts", gap_seconds=60, tiebreak=["eid"])
     assert {r["session_id"] for r in out.collect()} == {1}
+
+
+def test_mad_filter_robust_where_sigma_filter_is_masked(spark):
+    # Classic masking: with n points, a single outlier's z-score is bounded
+    # by (n-1)/sqrt(n), so at n=10 NO value — however extreme — can exceed
+    # 3σ (9/√10 ≈ 2.85). The mean±kσ rule keeps the 1e9 row; median/MAD
+    # bounds are untouched by it and drop it.
+    vals = [(float(i),) for i in range(1, 10)] + [(1e9,)]
+    df = spark.createDataFrame(vals, "x double")
+    sigma_kept = filters.sigma_outlier_filter(df, ["x"], k=3.0).count()
+    mad_kept = filters.mad_outlier_filter(df, "x", k=3.0).count()
+    assert sigma_kept == 10  # outlier masked its own detection
+    assert mad_kept == 9     # robust fit rejects it
+
+
+def test_mad_filter_keeps_nulls(spark):
+    df = spark.createDataFrame([(1.0,), (2.0,), (3.0,), (None,), (1e9,)], "x double")
+    out = filters.mad_outlier_filter(df, "x", k=3.0)
+    assert out.count() == 4  # 3 inliers + the null row
+
+
+def test_validate_rules_counts(spark):
+    from agent_data_wrangler_spark.operators import validate
+
+    rows = [
+        (1, "a", 5.0), (2, "a", 50.0), (2, "b", None), (4, "zz", -1.0),
+    ]
+    df = spark.createDataFrame(rows, "id int, cat string, v double")
+    out = validate.check_rules(df, [
+        ("v_not_null", validate.not_null("v")),
+        ("v_in_range", validate.in_range("v", 0, 10)),
+        ("cat_ok", validate.accepted_values("cat", ["a", "b"])),
+        ("cat_shape", validate.matches("cat", "^[ab]$")),
+        ("id_unique", validate.unique("id")),
+    ])
+    got = {r["rule"]: r["n_violations"] for r in out.collect()}
+    assert got == {
+        "v_not_null": 1, "v_in_range": 2, "cat_ok": 1, "cat_shape": 1,
+        "id_unique": 1,
+    }
+    # the whole suite must compile to ONE aggregate job feeding stack() —
+    # never a job per rule. (count_distinct makes Catalyst rewrite through
+    # an Expand, which prints a second scan string in the AQE plan; the
+    # bound is 2 scans for a 5-rule suite, not 5.)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "stack(5" in plan
+    assert plan.count("Scan ExistingRDD") <= 2
+
+
+def test_key_skew_profile(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 8 + [(2,)] * 1 + [(3,)] * 1, "k int"
+    )
+    row = profile.key_skew(df, "k").first()
+    assert (row["n_keys"], row["n_rows"], row["max_key_rows"]) == (3, 10, 8)
+    assert row["skew_factor"] == 2.4  # 8 / (10/3)
+
+
+def test_jsonl_roundtrip_and_merged_schema(spark, tmp_path):
+    from agent_data_wrangler_spark.sources.readers import (
+        read_jsonl,
+        read_parquet_merged,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", None)], "id bigint, s string, v double"
+    )
+    p = str(tmp_path / "d.json")
+    df.write.json(p)
+    back = read_jsonl(spark, p, schema=df.schema)
+    assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+        (1, "x", 1.5), (2, "y", None),
+    ]
+
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1,)], "id bigint").write.parquet(v1)
+    spark.createDataFrame([(2, "new")], "id bigint, extra string").write.parquet(v2)
+    merged = read_parquet_merged(spark, v1, v2)
+    got = {r["id"]: r["extra"] for r in merged.collect()}
+    assert got == {1: None, 2: "new"}
