@@ -115,6 +115,43 @@ def salted_join(
     return l_tagged.join(r_tagged, on=[on, "__salt"], how=how).drop("__salt")
 
 
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_dist: int = 3,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Best-fuzzy-match join: each left row gets the right row with the
+    smallest Levenshtein distance to ``left_col`` (≤ ``max_dist``; ties by
+    ascending right value; unmatched rows kept with NULLs) — the JOIN form
+    of T9's fuzzy canonicalization, for reconciling dirty free-text against
+    a canonical dimension.
+
+    Scale contract: the right side is a CANONICAL DIM (country lists, product
+    catalogs — thousands of rows) and is broadcast, so the non-equi distance
+    predicate runs as a BroadcastNestedLoopJoin: |L|·|R| comparisons but zero
+    shuffle and embarrassingly parallel over left partitions. For
+    large×large fuzzy joins, pre-block on cheap keys (length band, first
+    char, phonetic bucket) to restore an equi-join shape — deliberately not
+    hidden inside this helper because the right blocking key is domain
+    knowledge.
+    """
+    dist = F.levenshtein(F.col(left_col), F.col(right_col))
+    r = F.broadcast(right) if broadcast_right else right
+    cand = left.join(r, dist <= max_dist, "left").withColumn("__dist", dist)
+    w = Window.partitionBy(left_col).orderBy(
+        F.col("__dist").asc_nulls_last(), F.col(right_col).asc_nulls_last()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,

@@ -22,9 +22,29 @@ def ranked(
     method: str = "row_number",
     alias: str = "rank",
 ) -> DataFrame:
-    fn = {"row_number": F.row_number, "rank": F.rank, "dense_rank": F.dense_rank}[method]
+    fn = {
+        "row_number": F.row_number,
+        "rank": F.rank,
+        "dense_rank": F.dense_rank,
+        "percent_rank": F.percent_rank,
+        "cume_dist": F.cume_dist,
+    }[method]
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(alias, fn().over(w))
+
+
+def with_ntile(
+    df: DataFrame,
+    n: int,
+    partition_by: list[str],
+    order_by: list[Column],
+    alias: str = "ntile",
+) -> DataFrame:
+    """Equal-frequency bucketing (quartiles/deciles) per group. The order
+    must be TOTAL (add a unique tie-break column) or bucket boundaries are
+    nondeterministic across engines and runs."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(alias, F.ntile(n).over(w))
 
 
 def top_per_group(

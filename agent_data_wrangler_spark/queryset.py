@@ -1772,3 +1772,187 @@ def dq1_validation_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("event_id_unique", validate.unique("event_id")),
     ]
     return validate.check_rules(ev, rules)
+
+
+# ---------------------------------------------------------------------------
+# NT1 — equal-frequency bucketing + percent_rank: quartiles of order value
+# within each priority. The (o_totalprice, o_orderkey) order is TOTAL so
+# ntile bucket boundaries are deterministic cross-engine. One shuffle on
+# priority; both window functions share the spec (single Window operator).
+# ---------------------------------------------------------------------------
+@query(
+    "nt1_quartiles_orders",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority AS priority, o_totalprice,
+             ntile(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile,
+             percent_rank() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS pr
+      FROM orders
+    )
+    SELECT priority, CAST(quartile AS INTEGER) AS quartile,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(pr), 4) AS avg_pr
+    FROM w GROUP BY 1, 2
+    """,
+)
+def nt1_quartiles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    order = [F.asc("o_totalprice"), F.asc("o_orderkey")]
+    tiled = windows.with_ntile(
+        o, 4, ["o_orderpriority"], order, alias="quartile"
+    )
+    tiled = windows.ranked(
+        tiled, ["o_orderpriority"], order, method="percent_rank", alias="pr"
+    )
+    return tiled.groupBy(
+        F.col("o_orderpriority").alias("priority"), "quartile"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+        F.round(F.avg("pr"), 4).alias("avg_pr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FZ1 — fuzzy-match join (joins.fuzzy_join): dirty free-text names
+# reconciled against the nation dimension by best Levenshtein match
+# (broadcast dim → BroadcastNestedLoopJoin, zero shuffle; ties broken by
+# ascending canonical name; no match within 3 edits → NULL). 'NATION_2X' is
+# a deliberate tie (distance 1 to NATION_20..24 by substitution AND to
+# NATION_2 by insertion) pinning the tie-break; 'ZZZZZZZZ' pins the
+# unmatched path.
+# ---------------------------------------------------------------------------
+_FZ1_DIRTY = [
+    "NATON_3", "NATIONN_12", "NATIO_7", "XATION_19", "NATION_2X",
+    "nation_5", "NAT_21", "ZZZZZZZZ",
+]
+_FZ1_VALUES = ", ".join(f"('{v}')" for v in _FZ1_DIRTY)
+
+
+@query(
+    "fz1_fuzzy_match_nation",
+    oracle=f"""
+    WITH dirty(name) AS (VALUES {_FZ1_VALUES}),
+    ranked AS (
+      SELECT d.name, n.n_name AS matched,
+             CAST(levenshtein(d.name, n.n_name) AS INTEGER) AS dist,
+             row_number() OVER (PARTITION BY d.name
+                                ORDER BY levenshtein(d.name, n.n_name) ASC,
+                                         n.n_name ASC) AS rn
+      FROM dirty d LEFT JOIN nation n ON levenshtein(d.name, n.n_name) <= 3
+    )
+    SELECT name, matched, dist FROM ranked WHERE rn = 1
+    """,
+)
+def fz1_fuzzy_match_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirty = spark.createDataFrame([(v,) for v in _FZ1_DIRTY], "name string")
+    nation = read_table(spark, sf_dir, "nation").select("n_name")
+    matched = joins.fuzzy_join(dirty, nation, "name", "n_name", max_dist=3)
+    return matched.select(
+        "name",
+        F.col("n_name").alias("matched"),
+        F.col("__dist").cast("int").alias("dist"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TS1 — time-series resample with gap filling: hourly event counts over a
+# calendar spine built with sequence+explode from ONE 1-row min/max
+# aggregate — the spine is never collected to the driver and never larger
+# than the hour range. Empty hours surface as n=0 (the rows a naive groupBy
+# silently omits — gap-filling is what makes downstream rate/trend math
+# correct). Oracle: DuckDB generate_series spine, same left join.
+# ---------------------------------------------------------------------------
+@query(
+    "ts1_resample_hourly_events",
+    oracle="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS h, value FROM events),
+    hourly AS (SELECT h, count(*) AS c, round(sum(value), 2) AS sv
+               FROM e GROUP BY 1),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds)
+    SELECT s.hour, CAST(coalesce(c, 0) AS BIGINT) AS n, sv AS sum_value
+    FROM spine s LEFT JOIN hourly ON s.hour = hourly.h
+    """,
+)
+def ts1_resample_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "value"
+    )
+    hourly = ev.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum("value"), 2).alias("sv"),
+    )
+    spine = (
+        ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour")
+        )
+    )
+    return spine.join(hourly, spine.hour == hourly.h, "left").select(
+        "hour",
+        F.coalesce(F.col("c"), F.lit(0)).cast("bigint").alias("n"),
+        F.col("sv").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J8 — TPC-H Q3-shaped shipping-priority query: the 3-way
+# customer⋈orders⋈lineitem star join with selective filters on every leg,
+# aggregated and top-10'd. The plan the optimizer should produce: filters
+# pushed into all three scans, customer broadcast into orders, the joint
+# result joined to lineitem on the orderkey, TakeOrderedAndProject for the
+# limit (never a global sort). The total (revenue DESC, orderkey ASC) order
+# makes the top-10 deterministic cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "j8_shipping_priority",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND l.l_shipdate  > DATE '1996-07-01'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, o.o_orderkey ASC LIMIT 10
+    """,
+)
+def j8_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-07-01").cast("date"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    enriched = joins.equi_join(
+        o, c.select(F.col("c_custkey").alias("o_custkey")),
+        on="o_custkey", how="inner", broadcast_right="auto",
+    )
+    full = li.join(
+        enriched.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "inner",
+    )
+    agg = full.groupBy("o_orderkey", "o_orderdate").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return windows.top_k(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)

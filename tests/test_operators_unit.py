@@ -388,3 +388,30 @@ def test_jsonl_roundtrip_and_merged_schema(spark, tmp_path):
     merged = read_parquet_merged(spark, v1, v2)
     got = {r["id"]: r["extra"] for r in merged.collect()}
     assert got == {1: None, 2: "new"}
+
+
+def test_fuzzy_join_best_match_ties_and_unmatched(spark):
+    left = spark.createDataFrame(
+        [("applw",), ("banana",), ("qqqqqq",)], "name string"
+    )
+    right = spark.createDataFrame(
+        [("apple",), ("apply",), ("banana",)], "canon string"
+    )
+    out = joins.fuzzy_join(left, right, "name", "canon", max_dist=2)
+    got = {r["name"]: (r["canon"], r["__dist"]) for r in out.collect()}
+    # 'applw' is distance 1 from BOTH apple and apply -> tie broken asc
+    assert got["applw"] == ("apple", 1)
+    assert got["banana"] == ("banana", 0)
+    assert got["qqqqqq"] == (None, None)  # unmatched kept with NULLs
+    assert len(got) == 3  # exactly one row per left row
+
+
+def test_with_ntile_deterministic_buckets(spark):
+    from agent_data_wrangler_spark.operators.windows import with_ntile
+
+    df = spark.createDataFrame(
+        [("g", i, float(i)) for i in range(1, 9)], "grp string, id int, v double"
+    )
+    out = with_ntile(df, 4, ["grp"], [F.asc("v"), F.asc("id")], alias="q")
+    got = {r["id"]: r["q"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}

@@ -124,3 +124,13 @@ def test_pp1_partition_pruning(spark, sf_dir):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert "= purchase)" in plan
     assert "PushedFilters: []" in plan
+
+
+def test_j8_star_join_plan(spark, sf_dir):
+    """Q3 shape: customer leg broadcast, filters pushed into the scans,
+    top-10 via TakeOrderedAndProject (no global sort stage)."""
+    plan = _plan(spark, "j8_shipping_priority", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
