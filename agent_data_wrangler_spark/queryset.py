@@ -1956,3 +1956,43 @@ def j8_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
     )
     return windows.top_k(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+
+
+# ---------------------------------------------------------------------------
+# TP1 — two-phase (salted) aggregation equivalence: joins.two_phase_agg
+# splits each hot key across 16 salted reducers and merges partials, so a
+# single flooded reducer can't OOM the final merge. Like sj1, the physical
+# path must be byte-identical to the plain groupBy oracle. count/sum/max on
+# integer cents — re-aggregatable partials, exact in any engine.
+# ---------------------------------------------------------------------------
+@query(
+    "tp1_two_phase_agg_orders",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def tp1_two_phase_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    out = joins.two_phase_agg(
+        o,
+        "priority",
+        {
+            "n": (F.count, F.sum, F.lit(1)),
+            "total_cents": (F.sum, F.sum, F.col("cents")),
+            "max_cents": (F.max, F.max, F.col("cents")),
+        },
+        salt=16,
+    )
+    return out.select(
+        "priority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+        F.col("max_cents").cast("bigint").alias("max_cents"),
+    )

@@ -87,7 +87,9 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, StructType]:
         return cached
     batch = read_table(spark, sf_dir, "events")
     staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
-    batch.write.mode("overwrite").parquet(staged)
+    # 4 files so maxFilesPerTrigger=1 consumers (st5) genuinely see multiple
+    # micro-batches; the single-batch drains (st1-st4) are unaffected.
+    batch.repartition(4).write.mode("overwrite").parquet(staged)
     _STAGED_EVENTS[sf_dir] = (staged, batch.schema)
     return _STAGED_EVENTS[sf_dir]
 
@@ -613,3 +615,62 @@ def st4_streaming_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("n").cast("bigint").alias("n_events"),
         F.round(F.sum("v"), 2).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ST5 — incremental rollup maintenance (the hypertable/continuous-aggregate
+# pattern): a daily-by-type materialized aggregate kept current by
+# foreachBatch as micro-batches arrive. maxFilesPerTrigger=1 forces MULTIPLE
+# micro-batches over the staged files, so the rollup really is maintained
+# incrementally (each batch folds new rows into the state store and rewrites
+# the rollup table) rather than computed once. Complete-mode state here is
+# bounded by |days × types|; at 100 TB/day the same shape runs watermarked in
+# append mode into a date-partitioned sink, with foreachBatch doing
+# MERGE-style upserts. Oracle: the batch daily rollup — the maintained table
+# must equal a from-scratch recomputation exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "st5_incremental_rollup_events",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st5_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.streaming import (
+        run_foreach_batch,
+        stream_from_directory,
+    )
+
+    staged, schema = _staged_events(spark, sf_dir)
+    # 2 files per trigger over the 4 staged files → exactly 2 micro-batches:
+    # enough to prove incremental maintenance, half the state-commit cost of
+    # one-batch-per-file.
+    sdf = stream_from_directory(
+        spark, staged, schema, max_files_per_trigger=2
+    ).select("ts", "event_type", "value")
+    agg = sdf.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    rollup_dir = os.path.join(tempfile.mkdtemp(prefix="adw_rollup_"), "daily")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        # Complete mode hands the full current state each batch; the rollup
+        # table is atomically replaced (at scale: partition-overwrite of only
+        # the windows this batch touched, or a MERGE INTO a lakehouse table).
+        batch_df.select(
+            F.col("w").getField("start").alias("day"), "event_type", "n", "sum_value"
+        ).write.mode("overwrite").parquet(rollup_dir)
+
+    ckpt = tempfile.mkdtemp(prefix="adw_ckpt_st5_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        run_foreach_batch(agg, upsert, ckpt, output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(rollup_dir)

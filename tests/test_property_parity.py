@@ -117,3 +117,60 @@ def test_fingerprint_whitespace_invariance(spark, texts):
     for r, t in zip(out, texts):
         assert r.fp == r.fp2  # whitespace-collapse invariant
         assert r.tc == len(t.split())  # whitespace token count == str.split
+
+
+@settings(**SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=40,
+    ),
+    gap=st.integers(1, 100),
+)
+def test_sessionize_matches_pandas_cumsum(spark, events, gap):
+    # unique (user, second) so the tie-break column is irrelevant to the
+    # property; pandas reference: per-user sorted diff > gap → cumsum.
+    uniq = sorted(set(events))
+    rows = [(u, i, t * 1_000_000) for i, (u, t) in enumerate(uniq)]
+    df = spark.createDataFrame(rows, "uid int, eid int, us long").select(
+        "uid", "eid", F.timestamp_micros("us").alias("ts")
+    )
+    from agent_data_wrangler_spark.operators.windows import sessionize
+
+    out = sessionize(df, ["uid"], "ts", gap_seconds=gap, tiebreak=["eid"])
+    got = {(r["uid"], r["eid"]): r["session_id"] for r in out.collect()}
+
+    pdf = pd.DataFrame(uniq, columns=["uid", "t"])
+    pdf["eid"] = [i for i, _ in enumerate(uniq)]
+    want = {}
+    for uid, grp in pdf.groupby("uid"):
+        grp = grp.sort_values("t")
+        new = (grp["t"].diff().isna()) | (grp["t"].diff() > gap)
+        sess = new.cumsum()
+        for eid, s in zip(grp["eid"], sess):
+            want[(uid, eid)] = int(s)
+    assert got == want
+
+
+@settings(**SETTINGS)
+@given(
+    vals=st.lists(st.one_of(st.none(), finite_doubles), min_size=2, max_size=50),
+    k=st.floats(min_value=1.0, max_value=5.0, allow_nan=False),
+)
+def test_mad_filter_matches_numpy(spark, vals, k):
+    import numpy as np
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    kept = sorted(
+        r.x for r in filters.mad_outlier_filter(df, "x", k=k).collect() if r.x is not None
+    )
+    arr = np.array([v for v in vals if v is not None], dtype=float)
+    if arr.size == 0:
+        assert kept == []
+        return
+    med = float(np.percentile(arr, 50, method="linear"))
+    mad = float(np.percentile(np.abs(arr - med), 50, method="linear"))
+    lo, hi = med - k * 1.4826 * mad, med + k * 1.4826 * mad
+    want = sorted(v for v in arr if lo <= v <= hi)
+    assert kept == pytest.approx(want)

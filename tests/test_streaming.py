@@ -201,3 +201,27 @@ def test_enrich_static_stream_matches_batch(spark, stream_dir, tmp_path):
     )
     want = {(r.tier): (r.n, r.v) for r in batch.collect()}
     assert got == want
+
+
+def test_incremental_rollup_multiple_batches(spark, stream_dir, tmp_path):
+    """foreachBatch rollup maintenance: with maxFilesPerTrigger=1 the two
+    staged files arrive as TWO micro-batches (incremental, not one-shot),
+    and the complete-mode state after the last batch equals the batch
+    aggregate over everything."""
+    from agent_data_wrangler_spark.streaming import run_foreach_batch
+
+    sdf = stream_from_directory(spark, stream_dir, SCHEMA, max_files_per_trigger=1)
+    agg = sdf.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("total"),
+    )
+    seen = []
+
+    def upsert(batch_df, batch_id):
+        seen.append({r["event_type"]: (r["n"], r["total"]) for r in batch_df.collect()})
+
+    run_foreach_batch(agg, upsert, str(tmp_path / "ckpt"), output_mode="complete")
+    assert len(seen) == 2  # genuinely incremental
+    # first batch saw only file 1; the final state covers both files
+    assert seen[-1] == {"click": (3, 7.0), "view": (3, 11.0)}
+    assert seen[0] != seen[-1]
