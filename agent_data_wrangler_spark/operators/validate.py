@@ -19,33 +19,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _vsum(flag: Column) -> Column:
+    """Violation count; coalesced so an EMPTY table reports 0 violations per
+    rule (F.sum over zero rows is NULL, which would read as 'unknown')."""
+    return F.coalesce(F.sum(flag), F.lit(0)).cast("bigint")
+
+
 def not_null(column: str) -> Column:
     """Violations = rows where ``column`` is NULL."""
-    return F.sum(F.when(F.col(column).isNull(), 1).otherwise(0)).cast("bigint")
+    return _vsum(F.when(F.col(column).isNull(), 1).otherwise(0))
 
 
 def in_range(column: str, lo: float, hi: float) -> Column:
     """Violations = non-null rows outside [lo, hi]."""
     c = F.col(column)
-    return F.sum(
+    return _vsum(
         F.when(c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi))), 1).otherwise(0)
-    ).cast("bigint")
+    )
 
 
 def accepted_values(column: str, values: list) -> Column:
     """Violations = non-null rows whose value is not in ``values``."""
     c = F.col(column)
-    return F.sum(
-        F.when(c.isNotNull() & ~c.isin(values), 1).otherwise(0)
-    ).cast("bigint")
+    return _vsum(F.when(c.isNotNull() & ~c.isin(values), 1).otherwise(0))
 
 
 def matches(column: str, pattern: str) -> Column:
     """Violations = non-null rows NOT matching the (RE2-ish Java) regex."""
     c = F.col(column)
-    return F.sum(
-        F.when(c.isNotNull() & ~c.rlike(pattern), 1).otherwise(0)
-    ).cast("bigint")
+    return _vsum(F.when(c.isNotNull() & ~c.rlike(pattern), 1).otherwise(0))
 
 
 def unique(column: str) -> Column:

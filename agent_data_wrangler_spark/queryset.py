@@ -1296,6 +1296,56 @@ def u3_trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# U4 — Python UDTF (§2.8, the table-function escape hatch): one doc row →
+# N token rows via a generator class, consumed through a SQL LATERAL join,
+# then aggregated per lang. Oracle: the same explosion as DuckDB unnest.
+# Scale: rows stream through Python — this query EXISTS to prove the wrapper
+# end-to-end; the docstring on make_udtf says prefer F.explode when
+# expressible (ch1/n2 do exactly that), and the token semantics here are
+# whitespace str.split(), matching functions/text.tokens on ASCII corpora.
+# ---------------------------------------------------------------------------
+@query(
+    "u4_udtf_tokens_documents",
+    oracle=r"""
+    WITH tk AS (
+      SELECT lang,
+             unnest(CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = ''
+                         THEN CAST([] AS VARCHAR[])
+                         ELSE regexp_split_to_array(
+                                regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')
+                    END) AS token
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)        AS n_tokens,
+           CAST(sum(len(token)) AS BIGINT) AS total_chars,
+           CAST(max(len(token)) AS INTEGER) AS max_len
+    FROM tk GROUP BY lang
+    """,
+)
+def u4_udtf_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.pandas_ops import make_udtf
+
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for tok in text.split():
+                    yield (tok,)
+
+    spark.udtf.register("u4_tokenize", make_udtf(Tokenize, "token string"))
+    d = read_table(spark, sf_dir, "documents")
+    d.select("lang", "text").createOrReplaceTempView("u4_docs")
+    exploded = spark.sql(
+        "SELECT d.lang, t.token FROM u4_docs d, LATERAL u4_tokenize(d.text) t"
+    )
+    return exploded.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.length("token")).cast("bigint").alias("total_chars"),
+        F.max(F.length("token")).cast("int").alias("max_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CSV1 — the reference's actual ingestion format, end-to-end (S1 + S2 + T13):
 # export events through the versioned no-overwrite CSV sink, re-read with the
 # multi-sentinel inferring CSV reader, and aggregate — proving the

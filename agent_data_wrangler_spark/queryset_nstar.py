@@ -674,3 +674,127 @@ def st5_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.read.parquet(rollup_dir)
+
+
+# ---------------------------------------------------------------------------
+# CH1 — document chunking: fixed-size token windows (50 tokens, stride 40 →
+# 10-token overlap), the step that turns raw documents into training
+# sequences. Pure Column expressions: the token array is bound ONCE per row
+# (the CSE-in-lambda trick from shingles()), chunk starts are a sequence(),
+# sizes a transform(), totals an aggregate() fold — zero Python, zero
+# shuffle before the final tiny groupBy on lang. Oracle: the same closed
+# forms via DuckDB list lambdas. Tokenization is count-only here, so the
+# un-lowered token split is used on both sides.
+# ---------------------------------------------------------------------------
+_CH1_CHUNK = 50
+_CH1_STRIDE = 40
+_DUCK_STRIP_RAW = r"regexp_replace(text, '^\s+|\s+$', '', 'g')"
+
+
+@query(
+    "ch1_chunk_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN {_DUCK_STRIP_RAW} = '' THEN 0
+                  ELSE len(regexp_split_to_array({_DUCK_STRIP_RAW}, '\s+')) END AS n
+      FROM documents
+    ), c AS (
+      SELECT lang, n,
+             CASE WHEN n = 0 THEN 0 ELSE (n - 1) // {_CH1_STRIDE} + 1 END AS n_chunks,
+             coalesce(list_sum(list_transform(
+               generate_series(1, n, {_CH1_STRIDE}),
+               s -> least({_CH1_CHUNK}, n - s + 1))), 0) AS chunk_tokens
+      FROM t
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT)          AS n_docs,
+           CAST(sum(n_chunks) AS BIGINT)     AS n_chunks,
+           CAST(sum(chunk_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY lang
+    """,
+)
+def ch1_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+
+    def per_doc(t):
+        n = F.size(t)
+        starts = F.when(
+            n > 0, F.sequence(F.lit(1), n, F.lit(_CH1_STRIDE))
+        ).otherwise(F.array().cast("array<int>"))
+        sizes = F.transform(starts, lambda s: F.least(F.lit(_CH1_CHUNK), n - s + 1))
+        return F.struct(
+            F.size(starts).cast("bigint").alias("n_chunks"),
+            F.aggregate(
+                sizes, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+            ).alias("chunk_tokens"),
+        )
+
+    st = F.element_at(F.transform(F.array(tokens("text")), per_doc), 1)
+    per = d.select("lang", st.alias("c"))
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("c.n_chunks")).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("c.chunk_tokens")).cast("bigint").alias("chunk_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PK1 — deterministic sequence packing: docs are packed into 2048-token
+# training shards per source in doc_id order; a doc's shard is
+# floor(tokens_before_it / 2048) — the greedy streaming packer expressed as
+# a window cumsum (ONE shuffle on source; 2048 is a power of two, so the
+# double division floors exactly). Output: per-source shard counts and fill.
+# ---------------------------------------------------------------------------
+_PK1_SEQ = 2048
+
+
+@query(
+    "pk1_pack_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CASE WHEN {_DUCK_STRIP_RAW} = '' THEN 0
+                  ELSE len(regexp_split_to_array({_DUCK_STRIP_RAW}, '\s+')) END AS n
+      FROM documents
+    ), w AS (
+      SELECT source, n,
+             sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS cum_before
+      FROM t
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)  AS n_docs,
+           CAST(sum(n) AS BIGINT)    AS total_tokens,
+           CAST(max(cum_before // {_PK1_SEQ}) + 1 AS BIGINT) AS n_shards,
+           round(CAST(sum(n) AS DOUBLE) / (max(cum_before // {_PK1_SEQ}) + 1), 4)
+             AS avg_fill
+    FROM w GROUP BY source
+    """,
+)
+def pk1_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.functions.text import token_count
+
+    d = read_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", token_count("text").alias("n")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.withColumn("cum_before", F.sum("n").over(w) - F.col("n")).withColumn(
+        "shard", F.floor(F.col("cum_before") / _PK1_SEQ)
+    )
+    return packed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        (F.max("shard") + 1).cast("bigint").alias("n_shards"),
+        F.round(
+            F.sum("n").cast("double") / (F.max("shard") + 1), 4
+        ).alias("avg_fill"),
+    )

@@ -415,3 +415,16 @@ def test_with_ntile_deterministic_buckets(spark):
     out = with_ntile(df, 4, ["grp"], [F.asc("v"), F.asc("id")], alias="q")
     got = {r["id"]: r["q"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+
+
+def test_validate_rules_empty_table_reports_zero(spark):
+    from agent_data_wrangler_spark.operators import validate
+
+    df = spark.createDataFrame([], "id int, v double")
+    out = validate.check_rules(df, [
+        ("v_not_null", validate.not_null("v")),
+        ("v_in_range", validate.in_range("v", 0, 1)),
+        ("id_unique", validate.unique("id")),
+    ])
+    got = {r["rule"]: r["n_violations"] for r in out.collect()}
+    assert got == {"v_not_null": 0, "v_in_range": 0, "id_unique": 0}
