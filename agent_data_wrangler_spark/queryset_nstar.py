@@ -798,3 +798,53 @@ def pk1_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("double") / (F.max("shard") + 1), 4
         ).alias("avg_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DC1 — benchmark decontamination: flag training documents sharing any
+# 8-gram with a "benchmark" set (the GPT-3-style n-gram overlap check that
+# keeps eval sets out of training data). The benchmark here is derived
+# deterministically from the corpus itself (docs 0-2), so both engines build
+# it identically. Shape: benchmark shingles are a tiny DISTINCT set
+# (broadcast side); the corpus explodes to (doc_id, shingle) and semi-joins —
+# shuffle carries shingle strings only, never documents, and at 100 TB the
+# benchmark side is still KBs. Oracle: same 8-gram construction via DuckDB
+# list lambdas (lowered tokens, identical to shingles()).
+# ---------------------------------------------------------------------------
+_DC1_K = 8
+_DUCK_SHINGLES8 = (
+    rf"list_transform(generate_series(1, len(toks) - {_DC1_K - 1}), "
+    rf"i -> array_to_string(toks[i:i+{_DC1_K - 1}], ' '))"
+)
+
+
+@query(
+    "dc1_decontaminate_documents",
+    oracle=rf"""
+    WITH tk AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, unnest({_DUCK_SHINGLES8}) AS g FROM tk
+    ), bench AS (
+      SELECT DISTINCT g FROM sh WHERE doc_id < 3
+    ), hits AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.g = b.g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM hits
+    """,
+)
+def dc1_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(dedup.shingles("text", k=_DC1_K)).alias("g")
+    )
+    bench = sh.filter(F.col("doc_id") < 3).select("g").distinct()
+    hits = sh.join(F.broadcast(bench), "g", "left_semi").select("doc_id").distinct()
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_contaminated"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )

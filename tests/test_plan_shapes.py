@@ -134,3 +134,26 @@ def test_j8_star_join_plan(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_ch1_single_exchange(spark, sf_dir):
+    """Chunking is per-row Column folds: the ONLY shuffle is the final tiny
+    groupBy on lang — no Python, no explode-join."""
+    plan = _plan(spark, "ch1_chunk_documents", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Python" not in plan  # pure Column expressions, no UDF boundary
+
+
+def test_pk1_window_partitioning_reused(spark, sf_dir):
+    """The shard-assignment window and the per-source aggregate share the
+    source hash partitioning: exactly one exchange."""
+    plan = _plan(spark, "pk1_pack_documents", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dc1_benchmark_side_broadcast(spark, sf_dir):
+    """Decontamination must semi-join corpus shingles against a BROADCAST
+    benchmark set — a shuffled join here would move the whole exploded
+    corpus for a KB-sized right side."""
+    plan = _plan(spark, "dc1_decontaminate_documents", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
