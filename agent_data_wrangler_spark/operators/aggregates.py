@@ -54,6 +54,21 @@ def seeded_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(withReplacement=False, fraction=fraction, seed=seed)
 
 
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum seeded Bernoulli sample (``sampleBy``) — the downsampling
+    primitive for imbalanced training data (e.g. keep 100% of rare positives,
+    5% of the majority class). Strata absent from ``fractions`` are dropped
+    (fraction 0), matching ``DataFrameStatFunctions.sampleBy``.
+
+    Scale: map-side filter on a hash of (seed, row) gated per-stratum — no
+    shuffle, composes with pushdown, deterministic for a given Spark
+    version/partitioning like seeded_sample. Engine-specific draw → rows-only
+    correctness (count concentration + determinism unit-tested)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
 def approx_distinct(df: DataFrame, column: str, rsd: float = 0.05) -> DataFrame:
     """Approximate distinct count via HyperLogLog++ (SURVEY §2.6).
 

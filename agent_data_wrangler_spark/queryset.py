@@ -1003,6 +1003,22 @@ def sm1_seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # specific; accuracy vs exact is unit-tested). The 100 TB default for
 # cardinality: fixed-size sketches, no shuffle of values.
 # ---------------------------------------------------------------------------
+@query("sb1_stratified_sample_events")
+def sb1_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample (aggregates.stratified_sample): keep all
+    rare 'error' events, 10% of everything else — the imbalanced-training-set
+    primitive. Rows-only: the Bernoulli draw is engine-specific (like sm1);
+    determinism and stratum gating are unit-tested."""
+    from agent_data_wrangler_spark.operators.aggregates import stratified_sample
+
+    ev = read_table(spark, sf_dir, "events")
+    frac = {t: (1.0 if t == "error" else 0.1) for t in _EVENT_TYPES}
+    sampled = stratified_sample(ev, "event_type", frac, seed=42)
+    return sampled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+
+
 @query("ad1_approx_distinct_customers")
 def ad1_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")

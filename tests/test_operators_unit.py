@@ -428,3 +428,41 @@ def test_validate_rules_empty_table_reports_zero(spark):
     ])
     got = {r["rule"]: r["n_violations"] for r in out.collect()}
     assert got == {"v_not_null": 0, "v_in_range": 0, "id_unique": 0}
+
+
+def test_stratified_sample_deterministic_and_stratum_gated(spark):
+    from agent_data_wrangler_spark.operators.aggregates import stratified_sample
+
+    rows = [(i, "common" if i % 10 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, cls string")
+    frac = {"rare": 1.0, "common": 0.1}
+    a = sorted(r["id"] for r in stratified_sample(df, "cls", frac, seed=7).collect())
+    b = sorted(r["id"] for r in stratified_sample(df, "cls", frac, seed=7).collect())
+    assert a == b  # same seed -> identical draw
+    got = stratified_sample(df, "cls", frac, seed=7)
+    per = {r["cls"]: r["n"] for r in got.groupBy("cls").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per["rare"] == 100          # fraction 1.0 keeps every rare row
+    assert 40 <= per.get("common", 0) <= 180  # ~90 expected, loose bound
+    # strata absent from fractions are dropped entirely
+    dropped = stratified_sample(df, "cls", {"rare": 1.0}, seed=7)
+    assert {r["cls"] for r in dropped.select("cls").distinct().collect()} == {"rare"}
+
+
+def test_write_range_sorted_files_have_disjoint_ranges(spark, tmp_path):
+    import glob
+
+    from agent_data_wrangler_spark.sources.writers import write_range_sorted
+
+    df = spark.range(0, 10_000).toDF("x").withColumn(
+        "x", (F.col("x") * 2654435761 % 10_000).cast("bigint")  # shuffled values
+    )
+    out = str(tmp_path / "ranged")
+    write_range_sorted(df, out, "x", num_files=4)
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        pdf = spark.read.parquet(f).agg(F.min("x"), F.max("x")).first()
+        ranges.append((pdf[0], pdf[1]))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint: file-level min/max stats are selective
