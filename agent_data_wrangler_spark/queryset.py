@@ -305,7 +305,10 @@ def t2_mean_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def a4_mode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     mode = impute.fit_mode(o, "o_orderpriority")
-    return spark.createDataFrame([(mode,)], "mode_value string")
+    # range(1)+lit stays JVM-local; createDataFrame([...]) would be an
+    # RDD-backed plan that spins up Python workers for a single literal row
+    # (~1.5s of the query's cost when it is the session's first Python job).
+    return spark.range(1).select(F.lit(mode).alias("mode_value"))
 
 
 # ---------------------------------------------------------------------------
@@ -1431,12 +1434,22 @@ _RJ1_VALUES = ", ".join(
 )
 def rj1_time_bands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events").select("ts", "value")
-    bands = spark.createDataFrame(
-        _RJ1_BANDS, "band string, b_start string, b_end string"
-    ).select(
-        "band",
-        F.to_timestamp("b_start").alias("b_start"),
-        F.to_timestamp("b_end").alias("b_end"),
+    # inline(array(struct...)) keeps the literal band table JVM-local —
+    # createDataFrame from Python rows would be an RDD-backed plan that
+    # costs a Python-worker spin-up.
+    bands = spark.range(1).select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.to_timestamp(F.lit(s)).alias("b_start"),
+                        F.to_timestamp(F.lit(e)).alias("b_end"),
+                    )
+                    for b, s, e in _RJ1_BANDS
+                ]
+            )
+        )
     )
     joined = joins.range_join(ev, bands, "ts", "b_start", "b_end")
     return joined.groupBy("band").agg(
@@ -1916,7 +1929,10 @@ _FZ1_VALUES = ", ".join(f"('{v}')" for v in _FZ1_DIRTY)
     """,
 )
 def fz1_fuzzy_match_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    dirty = spark.createDataFrame([(v,) for v in _FZ1_DIRTY], "name string")
+    # JVM-local literal list (see rj1): no Python-worker cost for 8 rows.
+    dirty = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in _FZ1_DIRTY])).alias("name")
+    )
     nation = read_table(spark, sf_dir, "nation").select("n_name")
     matched = joins.fuzzy_join(dirty, nation, "name", "n_name", max_dist=3)
     return matched.select(
