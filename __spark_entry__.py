@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     new_this_round = (
         "u2_", "u3_", "csv1_", "rj1_", "st4_", "sn1_", "bk1_", "pp1_", "sj1_",
         "js1_", "se1_", "sk1_", "md1_", "dq1_", "nt1_", "fz1_", "ts1_", "j8_",
-        "st5_", "tp1_", "ch1_", "pk1_", "u4_", "dc1_",
+        "st5_", "tp1_", "ch1_", "pk1_", "u4_", "dc1_", "pl1_",
     )
     head = [k for k in q if k in o and not k.startswith(new_this_round)]
     new_tail = [k for k in q if k in o and k.startswith(new_this_round)]

@@ -1315,6 +1315,56 @@ def u3_trimmed_mean_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PL1 — the declarative pipeline layer end-to-end (SURVEY §3/§7): a
+# JSON-shaped spec (drop-null → 3σ filter → p95 cap) resolved against the
+# introspected operator registry, executed by plans/pipeline.Pipeline, and
+# aggregated. This is the deterministic target the reference's LLM planner
+# would emit to — the spec is DATA (loggable, diffable, replayable), and the
+# driver's oracle proves the composed stages compute exactly what the SQL
+# says. Stages stay lazy (count_rows=False): the whole pipeline is ONE
+# Catalyst plan, so the stage-5 aggregate's column pruning reaches the
+# stage-0 scan.
+# ---------------------------------------------------------------------------
+_PL1_SPEC = [
+    {"stage": "drop_null_values", "op": "drop_null_rows",
+     "params": {"subset": ["value"]}},
+    {"stage": "sigma3_filter", "op": "sigma_outlier_filter",
+     "params": {"columns": ["value"], "k": 3.0}},
+    {"stage": "cap_p95", "op": "cap_percentile",
+     "params": {"columns": ["value"], "p": 0.95}},
+]
+
+
+@query(
+    "pl1_pipeline_spec_events",
+    oracle="""
+    WITH base AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+    b AS (SELECT avg(value) - 3 * stddev_samp(value) AS lo,
+                 avg(value) + 3 * stddev_samp(value) AS hi FROM base),
+    f AS (SELECT event_type, value FROM base, b
+          WHERE value >= lo AND value <= hi),
+    p AS (SELECT quantile_cont(value, 0.95) AS p95 FROM f),
+    c AS (SELECT event_type, least(value, p95) AS value FROM f, p)
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS sum_value,
+           round(avg(value), 4) AS avg_value
+    FROM c GROUP BY 1
+    """,
+)
+def pl1_pipeline_spec_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.plans.pipeline import Pipeline
+
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    pipe = Pipeline.from_spec("pl1_clean_events", _PL1_SPEC)
+    cleaned = pipe.run(ev).df
+    return cleaned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # U4 — Python UDTF (§2.8, the table-function escape hatch): one doc row →
 # N token rows via a generator class, consumed through a SQL LATERAL join,
 # then aggregated per lang. Oracle: the same explosion as DuckDB unnest.
