@@ -1,6 +1,8 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a full
+per-query JSON line followed by a short final summary line
+{"metric": ..., "value": N, "unit": "sec", "sf": ...} sized to survive the
+driver's bounded stdout-tail capture (per-query timings also mirror to stderr).
 
 Each query is forced through a noop sink (df.write.format("noop")) so the full
 plan executes — aggregation, shuffle, window — without driver-side collect
@@ -47,7 +49,15 @@ def main() -> None:
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t0, 3)
 
-    sf = sf_dir.rstrip("/").split("sf")[-1]
+    sf_raw = sf_dir.rstrip("/").split("sf")[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    # Round-3 lesson: the driver keeps only a bounded stdout TAIL, and the
+    # single 83-query JSON line outgrew it (BENCH_r03 "parsed": null). So:
+    # full per-query line FIRST (visible when the tail is long enough, and
+    # mirrored per-query on stderr), then a short complete summary line LAST —
+    # the last stdout line must always fit the tail.
+    for name in sorted(timings):
+        print(f"bench_query {name} {timings[name]}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -55,8 +65,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf,
             }
+        )
+    )
+    print(
+        json.dumps(
+            {"metric": "total_query_wall_time", "value": total, "unit": "sec",
+             "sf": sf, "n_queries": len(timings),
+             "failed": sorted(k for k, v in timings.items() if v < 0)}
         )
     )
 
