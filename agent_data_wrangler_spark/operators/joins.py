@@ -225,8 +225,11 @@ def _epoch_num(df: DataFrame, col: str):
     dates → epoch days, numerics → double. Keeps bucket arithmetic uniform."""
     dtype = dict(df.dtypes).get(col)
     c = F.col(col)
-    if dtype == "timestamp":
-        return F.unix_micros(c)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        # NTZ → LTZ cast interprets in the session tz; both sides of the
+        # range join go through the same conversion, so comparisons and
+        # bucket arithmetic are tz-shift invariant.
+        return F.unix_micros(c.cast("timestamp"))
     if dtype == "date":
         return F.datediff(c, F.to_date(F.lit("1970-01-01")))
     return c.cast("double")

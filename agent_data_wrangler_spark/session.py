@@ -45,6 +45,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # read them as raw nano longs and convert in read_parquet — matches the
     # DuckDB/pandas truncation-to-micros semantics.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive (isAdjustedToUTC=false) parquet timestamps read as TIMESTAMP, not
+    # TIMESTAMP_NTZ: with the session tz pinned to UTC the values are
+    # identical, and LTZ is required by unix_micros, watermarks, and window
+    # state — engine policy is "naive means UTC", same as the DuckDB oracle.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Exact shuffle partition count matters less with AQE coalescing; 2x cores
     # locally, and on a real cluster this would be ~2-3x total cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),

@@ -122,6 +122,11 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     nano_cols = _nano_ts_columns(path)
     if nano_cols and _conf_get(spark, "spark.sql.legacy.parquet.nanosAsLong") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Micro/milli naive timestamps would otherwise surface as TIMESTAMP_NTZ
+    # (Spark 4 default), which unix_micros, watermarks, and window state all
+    # reject; engine policy is "naive means UTC" (session tz pinned above).
+    if _conf_get(spark, "spark.sql.parquet.inferTimestampNTZ.enabled") != "false":
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
