@@ -105,6 +105,77 @@ def top_k(df: DataFrame, order_by: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
+def distributed_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    order_col: str,
+    partition_by: list[str] | None = None,
+    *,
+    n_buckets: int = 256,
+    alias: str = "cum_before",
+    inclusive: bool = False,
+) -> DataFrame:
+    """Exact prefix sum of ``value_col`` in ``order_col`` order (per
+    ``partition_by`` group) WITHOUT a single-reducer-per-group window — the
+    scale-safe form of ``sum(v) OVER (PARTITION BY g ORDER BY o)``.
+
+    A plain ordered window funnels each group's entire history through one
+    reducer: with a handful of groups (pack-by-source, global running totals)
+    that is a non-starter at 100 TB, and salting cannot help because a prefix
+    sum needs the order. Classic two-phase scan instead:
+
+    1. bucket ``order_col`` into ``n_buckets`` fixed-width ranges (bounds from
+       a 1-row min/max aggregate — the only driver roundtrip);
+    2. per-(group, bucket) partial sums — a tiny frame,
+       ``|groups| x n_buckets`` rows;
+    3. exclusive cumsum of the partials per group ordered by bucket — a
+       window over the TINY frame, then broadcast the offsets back;
+    4. per-(group, bucket) ordered window adds the local running sum to the
+       bucket offset — parallelism is ``|groups| x n_buckets`` and each
+       reducer sees only its bucket's rows.
+
+    Identical result to the single-reducer window (the bucket boundaries are
+    deterministic, and order within a bucket is ``order_col`` order).
+    ``order_col`` must be numeric and unique within each group — the same
+    totality requirement any cross-engine-deterministic cumsum has.
+    ``inclusive=False`` (default) excludes the current row, the "tokens
+    before me" packing semantics.
+    """
+    keys = list(partition_by or [])
+    bounds = df.agg(
+        F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return df.withColumn(alias, F.lit(0).cast("bigint"))
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = max(1.0, (hi - lo + 1.0) / n_buckets)
+    bucket = F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("bigint")
+    tagged = df.withColumn("__psb", bucket)
+    partials = tagged.groupBy(*keys, "__psb").agg(
+        F.sum(value_col).alias("__psum")
+    )
+    w_off = (
+        Window.partitionBy(*keys).orderBy(F.asc("__psb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = partials.select(
+        *keys,
+        "__psb",
+        (F.sum("__psum").over(w_off) - F.col("__psum")).alias("__poff"),
+    )
+    joined = tagged.join(F.broadcast(offsets), keys + ["__psb"], "inner")
+    w_loc = (
+        Window.partitionBy(*(keys + ["__psb"])).orderBy(F.asc(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.sum(value_col).over(w_loc)
+    if not inclusive:
+        local = local - F.col(value_col)
+    return joined.withColumn(alias, (F.col("__poff") + local).cast("bigint")).drop(
+        "__psb", "__poff"
+    )
+
+
 def sessionize(
     df: DataFrame,
     keys: list[str],

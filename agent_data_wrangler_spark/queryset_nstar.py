@@ -744,9 +744,12 @@ def ch1_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # PK1 — deterministic sequence packing: docs are packed into 2048-token
 # training shards per source in doc_id order; a doc's shard is
-# floor(tokens_before_it / 2048) — the greedy streaming packer expressed as
-# a window cumsum (ONE shuffle on source; 2048 is a power of two, so the
-# double division floors exactly). Output: per-source shard counts and fill.
+# floor(tokens_before_it / 2048). The cumsum goes through
+# windows.distributed_prefix_sum — a per-source ordered window would funnel
+# each source's ENTIRE corpus through one reducer (the round-3 scale-killer);
+# the two-phase form buckets doc_id, offsets per-bucket partials, and runs
+# the ordered window per (source, bucket) instead. Same result, parallelism
+# |sources| x n_buckets. Output: per-source shard counts and fill.
 # ---------------------------------------------------------------------------
 _PK1_SEQ = 2048
 
@@ -775,21 +778,15 @@ _PK1_SEQ = 2048
     """,
 )
 def pk1_pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from agent_data_wrangler_spark.functions.text import token_count
+    from agent_data_wrangler_spark.operators.windows import distributed_prefix_sum
 
     d = read_table(spark, sf_dir, "documents").select(
         "source", "doc_id", token_count("text").alias("n")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.asc("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = d.withColumn("cum_before", F.sum("n").over(w) - F.col("n")).withColumn(
-        "shard", F.floor(F.col("cum_before") / _PK1_SEQ)
-    )
+    packed = distributed_prefix_sum(
+        d, "n", "doc_id", ["source"], alias="cum_before"
+    ).withColumn("shard", F.floor(F.col("cum_before") / _PK1_SEQ))
     return packed.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n").cast("bigint").alias("total_tokens"),

@@ -466,3 +466,35 @@ def test_write_range_sorted_files_have_disjoint_ranges(spark, tmp_path):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint: file-level min/max stats are selective
+
+
+def test_distributed_prefix_sum_matches_plain_window(spark):
+    """Two-phase prefix sum must equal sum() OVER (PARTITION BY g ORDER BY o)
+    exactly — including exclusive/inclusive frames, multiple buckets (n_buckets
+    smaller than the id range forces real bucket offsets), and the empty frame."""
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.operators.windows import distributed_prefix_sum
+
+    rows = [(f"g{i % 3}", i, (i * 7) % 11) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, o long, v long")
+    got = distributed_prefix_sum(df, "v", "o", ["g"], n_buckets=8).select(
+        "g", "o", "cum_before"
+    )
+    w = (
+        Window.partitionBy("g").orderBy(F.asc("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select(
+        "g", "o", (F.sum("v").over(w) - F.col("v")).cast("bigint").alias("cum_before")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    inc = distributed_prefix_sum(df, "v", "o", ["g"], n_buckets=8, inclusive=True)
+    want_inc = df.select(
+        "g", "o", F.sum("v").over(w).cast("bigint").alias("cum_before")
+    )
+    assert inc.select("g", "o", "cum_before").exceptAll(want_inc).count() == 0
+
+    empty = distributed_prefix_sum(df.limit(0), "v", "o", ["g"])
+    assert empty.count() == 0 and "cum_before" in empty.columns

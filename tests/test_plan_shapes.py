@@ -144,11 +144,22 @@ def test_ch1_single_exchange(spark, sf_dir):
     assert "Python" not in plan  # pure Column expressions, no UDF boundary
 
 
-def test_pk1_window_partitioning_reused(spark, sf_dir):
-    """The shard-assignment window and the per-source aggregate share the
-    source hash partitioning: exactly one exchange."""
+def test_pk1_no_single_reducer_per_source_window(spark, sf_dir):
+    """Packing's prefix sum must be the two-phase form: the doc-level ordered
+    window is partitioned by (source, bucket) — NEVER by source alone, which
+    funnels each source's whole corpus through one reducer. The only window
+    allowed to partition by bare source is the offsets cumsum over the tiny
+    per-bucket partials (it orders by the bucket column)."""
     plan = _plan(spark, "pk1_pack_documents", sf_dir)
-    assert plan.count("Exchange hashpartitioning") == 1
+    win_lines = [ln for ln in plan.splitlines() if "Window" in ln and "windowspecdefinition" in ln]
+    assert win_lines, "expected window operators in the pk1 plan"
+    doc_level = [ln for ln in win_lines if "doc_id" in ln]
+    assert doc_level, "expected a doc-ordered window"
+    for ln in doc_level:
+        assert "__psb" in ln.split("windowspecdefinition")[1].split("ASC")[0], (
+            "doc-level window must be partitioned by (source, bucket): " + ln
+        )
+    assert "BroadcastHashJoin" in plan  # offsets re-join is broadcast, not shuffled
 
 
 def test_dc1_benchmark_side_broadcast(spark, sf_dir):
