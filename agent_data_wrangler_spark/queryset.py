@@ -991,14 +991,41 @@ def g1_grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SM1 — seeded Bernoulli sample (rows-only: per-partition XORShift draws are
-# Spark-specific; determinism-for-a-seed is unit-tested). Map-side filter,
-# zero shuffle.
+# SM1 — seeded Bernoulli sample. The per-partition XORShift draws are
+# Spark-specific, so the SAMPLE itself can't be value-matched — but its
+# INVARIANTS can (round-3 verdict): the population count is exact, and the
+# sampled count must land within 6 binomial standard deviations of f·n
+# (p(false alarm) ~1e-9). Spark computes the verdict boolean from the real
+# draw; the oracle states the invariant (`true`) — a drifted sampler
+# hash-mismatches. Determinism-for-a-seed stays unit-tested.
 # ---------------------------------------------------------------------------
-@query("sm1_seeded_sample_orders")
+_SM1_FRACTION = 0.1
+
+
+@query(
+    "sm1_seeded_sample_orders",
+    oracle=f"""
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           true AS sample_within_6sd
+    FROM orders
+    """,
+)
 def sm1_seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
-    return aggregates.seeded_sample(o, 0.1, seed=42).select("o_orderkey")
+    sampled = aggregates.seeded_sample(o, _SM1_FRACTION, seed=42).select(
+        F.lit(1).alias("__s")
+    )
+    counts = o.agg(F.count(F.lit(1)).alias("n_total")).crossJoin(
+        sampled.agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    f = _SM1_FRACTION
+    sd = F.sqrt(F.col("n_total") * f * (1.0 - f))
+    return counts.select(
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (F.abs(F.col("n_sampled") - F.col("n_total") * f) <= 6.0 * sd).alias(
+            "sample_within_6sd"
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1006,26 +1033,81 @@ def sm1_seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # specific; accuracy vs exact is unit-tested). The 100 TB default for
 # cardinality: fixed-size sketches, no shuffle of values.
 # ---------------------------------------------------------------------------
-@query("sb1_stratified_sample_events")
+@query(
+    "sb1_stratified_sample_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_total,
+           true AS stratum_within_6sd
+    FROM events
+    WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
 def sb1_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-rebalancing downsample (aggregates.stratified_sample): keep all
     rare 'error' events, 10% of everything else — the imbalanced-training-set
-    primitive. Rows-only: the Bernoulli draw is engine-specific (like sm1);
-    determinism and stratum gating are unit-tested."""
+    primitive. The Bernoulli draw is engine-specific, so the invariant is the
+    oracle (round-3 verdict): per-stratum population counts are exact, and
+    each stratum's sampled count must land within 6 binomial sd of f·n — with
+    the f=1.0 'error' stratum collapsing to EXACT equality (sd is 0).
+    Determinism and stratum gating stay unit-tested."""
     from agent_data_wrangler_spark.operators.aggregates import stratified_sample
 
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
     frac = {t: (1.0 if t == "error" else 0.1) for t in _EVENT_TYPES}
     sampled = stratified_sample(ev, "event_type", frac, seed=42)
-    return sampled.groupBy("event_type").agg(
+    totals = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_total"))
+    per_stratum = sampled.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_sampled")
+    )
+    fcol = (
+        F.when(F.col("event_type") == "error", F.lit(1.0))
+        .when(F.col("event_type").isin(*_EVENT_TYPES), F.lit(0.1))
+        .otherwise(F.lit(0.0))  # strata outside `frac` are dropped by sampleBy
+    )
+    sd = F.sqrt(F.col("n_total") * fcol * (1.0 - fcol))
+    return (
+        totals.join(per_stratum, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("n_total").cast("bigint").alias("n_total"),
+            (
+                F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - F.col("n_total") * fcol)
+                <= 6.0 * sd
+            ).alias("stratum_within_6sd"),
+        )
     )
 
 
-@query("ad1_approx_distinct_customers")
+@query(
+    "ad1_approx_distinct_customers",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           true AS approx_within_4rsd
+    FROM orders
+    """,
+)
 def ad1_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch values are engine-specific, so the driver-checkable
+    surface is the invariant (round-3 verdict): the exact distinct count
+    (hash-matched against DuckDB) plus a boolean asserting the sketch landed
+    within 4·rsd of it — HLL++ at rsd=0.05 is typically within 2·rsd, so the
+    margin is real but a broken sketch still trips it. One pass computes both
+    aggregates side by side (map-side sketch + distinct shuffle)."""
     o = read_table(spark, sf_dir, "orders")
-    return aggregates.approx_distinct(o, "o_custkey")
+    rsd = 0.05
+    both = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct"),
+        F.approx_count_distinct("o_custkey", rsd=rsd).alias("approx"),
+    )
+    return both.select(
+        F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            <= 4.0 * rsd * F.col("exact_distinct")
+        ).alias("approx_within_4rsd"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1202,14 +1284,80 @@ def s2_setops_priority_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # P5A — describe with APPROXIMATE percentiles: the 100 TB default. Exact
 # percentile (p5) buffers per-partition value maps — the known OOM risk on
-# high-cardinality doubles; percentile_approx is a fixed-size sketch.
-# Rows-only: sketch quantiles are engine-specific (accuracy asserted in unit
-# tests via the operator's approx flag).
+# high-cardinality doubles; percentile_approx is a fixed-size sketch. Sketch
+# quantiles are engine-specific, so the driver-checkable surface (round-3
+# verdict) is the exact moment stats (count/mean/std/min/max, hash-matched)
+# plus per-quartile booleans asserting each sketch value lies within the
+# exact ±1.5%-rank envelope — percentile_approx's documented guarantee is
+# 1% rank error at the default accuracy, so the margin is real but a broken
+# sketch still trips it.
 # ---------------------------------------------------------------------------
-@query("p5a_describe_approx_lineitem")
+_P5A_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+@query(
+    "p5a_describe_approx_lineitem",
+    oracle="""
+    SELECT col AS col_name,
+           CAST(cnt AS BIGINT) AS n, round(mean, 4) AS mean,
+           round(std, 4) AS std, min AS min_v, max AS max_v,
+           true AS p25_in_env, true AS p50_in_env, true AS p75_in_env
+    FROM (
+      SELECT 'l_quantity' AS col, count(l_quantity) AS cnt, avg(l_quantity) AS mean,
+             stddev_samp(l_quantity) AS std, CAST(min(l_quantity) AS DOUBLE) AS min,
+             CAST(max(l_quantity) AS DOUBLE) AS max FROM lineitem
+      UNION ALL
+      SELECT 'l_extendedprice', count(l_extendedprice), avg(l_extendedprice),
+             stddev_samp(l_extendedprice), CAST(min(l_extendedprice) AS DOUBLE),
+             CAST(max(l_extendedprice) AS DOUBLE) FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', count(l_discount), avg(l_discount),
+             stddev_samp(l_discount), CAST(min(l_discount) AS DOUBLE),
+             CAST(max(l_discount) AS DOUBLE) FROM lineitem
+    )
+    ORDER BY col_name
+    """,
+)
 def p5a_describe_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return profile.describe_numeric(li, ["l_quantity", "l_extendedprice", "l_discount"], approx=True)
+    approx = profile.describe_numeric(li, _P5A_COLS, approx=True)
+    # Exact rank envelope: values at ranks p±1.5% via one exact percentile
+    # aggregate (sf-test-sized here; at 100 TB a user verifying a sketch
+    # would sample — the query's point is the driver-checkable invariant).
+    env_aggs = []
+    for c in _P5A_COLS:
+        col = F.col(c).cast("double")
+        env_aggs.append(
+            F.percentile(
+                col,
+                F.array(*[F.lit(p) for p in
+                          (0.235, 0.265, 0.485, 0.515, 0.735, 0.765)]),
+            ).alias(f"{c}__env")
+        )
+    env = li.agg(*env_aggs)
+    rows = ", ".join(
+        f"'{c}', `{c}__env`[0], `{c}__env`[1], `{c}__env`[2], "
+        f"`{c}__env`[3], `{c}__env`[4], `{c}__env`[5]"
+        for c in _P5A_COLS
+    )
+    env_long = env.select(
+        F.expr(
+            f"stack({len(_P5A_COLS)}, {rows}) as "
+            "(column, lo25, hi25, lo50, hi50, lo75, hi75)"
+        )
+    )
+    joined = approx.join(F.broadcast(env_long), "column")
+    return joined.select(
+        F.col("column").alias("col_name"),
+        F.col("count").cast("bigint").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.col("min").cast("double").alias("min_v"),
+        F.col("max").cast("double").alias("max_v"),
+        F.col("p25").between(F.col("lo25"), F.col("hi25")).alias("p25_in_env"),
+        F.col("p50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_env"),
+        F.col("p75").between(F.col("lo75"), F.col("hi75")).alias("p75_in_env"),
+    ).orderBy("col_name")
 
 
 # ---------------------------------------------------------------------------

