@@ -148,3 +148,70 @@ def test_subscribed_bool_parse(customers):
     assert dict(out.dtypes)["Subscribed"] == "boolean"
     vals = {r.Subscribed for r in out.select("Subscribed").distinct().collect()}
     assert vals == {True, False, None}
+
+
+def test_declarative_spec_replays_full_clean(customers):
+    """The ENTIRE fixture-1 cleaning sequence as ONE from_spec JSON pipeline
+    (round-tripped through json.dumps to prove the spec is pure data — the
+    deterministic compilation target an LLM planner would emit, reference
+    tool_call_agent.py:91-171). Same golden invariants as the per-operator
+    tests above, but driven end-to-end through Pipeline.run with the S5
+    event log checked stage by stage."""
+    import json as _json
+
+    from agent_data_wrangler_spark.plans.pipeline import Pipeline
+
+    spec = _json.loads(_json.dumps([
+        {"stage": "dedup", "op": "drop_duplicate_rows"},
+        {"stage": "trim", "op": "trim_columns",
+         "params": {"columns": ["Country", "Name"]}},
+        {"stage": "country_map", "op": "canonicalize_map",
+         "params": {"column": "Country", "mapping": {
+             "canada": "Canada", "mexico": "Mexico", "usa": "USA",
+             "united states": "USA", "uk": "UK", "u.k.": "UK",
+             "germany": "Germany"}}},
+        {"stage": "country_fuzzy", "op": "canonicalize_fuzzy",
+         "params": {"column": "Country", "canonical": CANON_COUNTRIES,
+                    "max_distance": 2}},
+        {"stage": "phones", "op": "normalize_phones",
+         "params": {"columns": ["Phone Number"]}},
+        {"stage": "dates", "op": "parse_dates",
+         "params": {"columns": ["Date Joined"], "formats": ["MM/dd/yyyy"]}},
+        {"stage": "no_future", "op": "future_date_filter",
+         "params": {"date_col": "Date Joined", "as_of": "2026-01-01"}},
+        {"stage": "cap_salary", "op": "cap_percentile",
+         "params": {"columns": ["Salary"], "p": 0.95}},
+        {"stage": "bools", "op": "parse_bools",
+         "params": {"columns": ["Subscribed"]}},
+    ]))
+    pipe = Pipeline.from_spec("fixture1_full_clean", spec, count_rows=True)
+    result = pipe.run(customers)
+    out = result.df
+
+    # Golden: 205 → 200 after exact dedup (FIXTURES.md), then the 2 planted
+    # future dates drop in no_future (plus rows whose date failed to parse).
+    by_stage = {e["stage"]: e for e in result.events if e["event"] == "stage_end"}
+    assert by_stage["dedup"]["rows_in"] == 205
+    assert by_stage["dedup"]["rows_out"] == 200
+    dropped_by_validation = (
+        by_stage["no_future"]["rows_in"] - by_stage["no_future"]["rows_out"]
+    )
+    assert dropped_by_validation >= len(FUTURE_DATES)
+    assert out.filter(F.col("Date Joined") > F.lit("2026-01-01").cast("date")).count() == 0
+
+    # 11 raw country variants → exactly the 5 canonical values.
+    got = {r.Country for r in out.select("Country").distinct().collect()}
+    assert got == set(CANON_COUNTRIES)
+
+    # Phones uniform, salary outlier capped, Subscribed a real boolean.
+    import re
+
+    vals = [r["Phone Number"] for r in out.select("Phone Number").distinct().collect()]
+    assert all(re.fullmatch(r"\+?\d+(x\d+)?", v) for v in vals), vals
+    assert out.agg(F.max("Salary")).first()[0] < 983923
+    assert dict(out.dtypes)["Subscribed"] == "boolean"
+
+    # S5 event log is a faithful recipe: every stage logged with its params.
+    starts = [e for e in result.events if e["event"] == "stage_start"]
+    assert [e["stage"] for e in starts] == [s["stage"] for s in spec]
+    assert starts[2]["params"]["mapping"]["united states"] == "USA"
