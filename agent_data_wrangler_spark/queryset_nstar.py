@@ -845,3 +845,85 @@ def dc1_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RP1 — S4/S5 report renderer, oracle-checked end-to-end: run a 2-stage
+# from_spec pipeline over events (S5 event log, row counts), render the S4
+# text report with a profile section built from the REAL describe_numeric /
+# null_counts operators, then parse the rendered TEXT back into a
+# (item, metric, value) frame. The hashed values are extracted from the
+# report string itself, so a renderer formatting/numbers regression breaks
+# the hash — S4/S5 stop being unit-only (round-3 verdict item 6).
+# Driver-side work is the report's own nature (a report IS a driver-side
+# summary): 3 stage counts + a 1-row describe + a 2-value null-count.
+# ---------------------------------------------------------------------------
+@query(
+    "rp1_report_events",
+    oracle="""
+    WITH nn AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+    s AS (SELECT count(*) AS n_nn, avg(v) AS m, stddev_samp(v) AS sd FROM nn),
+    kept AS (SELECT v FROM nn, s WHERE v >= m - 3 * sd AND v <= m + 3 * sd),
+    k AS (SELECT count(*) AS n_kept, avg(v) AS mean, stddev_samp(v) AS std,
+                 min(v) AS mn, max(v) AS mx FROM kept),
+    tot AS (SELECT count(*) AS n_total,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS np
+            FROM events)
+    SELECT item, metric, value FROM (
+      SELECT 'drop_null_value' AS item, 'rows_in' AS metric, CAST(n_total AS DOUBLE) AS value FROM tot
+      UNION ALL SELECT 'drop_null_value', 'rows_out', CAST(n_nn AS DOUBLE) FROM s
+      UNION ALL SELECT 'sigma3_value', 'rows_in', CAST(n_nn AS DOUBLE) FROM s
+      UNION ALL SELECT 'sigma3_value', 'rows_out', CAST(n_kept AS DOUBLE) FROM k
+      UNION ALL SELECT 'pipeline', 'final_rows', CAST(n_kept AS DOUBLE) FROM k
+      UNION ALL SELECT 'value', 'count', CAST(n_kept AS DOUBLE) FROM k
+      UNION ALL SELECT 'value', 'mean', round(mean, 4) FROM k
+      UNION ALL SELECT 'value', 'std', round(std, 4) FROM k
+      UNION ALL SELECT 'value', 'min', round(mn, 4) FROM k
+      UNION ALL SELECT 'value', 'max', round(mx, 4) FROM k
+      UNION ALL SELECT 'value', 'null_count_raw', CAST(nv AS DOUBLE) FROM tot
+      UNION ALL SELECT 'props', 'null_count_raw', CAST(np AS DOUBLE) FROM tot
+    )
+    """,
+)
+def rp1_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+
+    from agent_data_wrangler_spark.operators.profile import describe_numeric, null_counts
+    from agent_data_wrangler_spark.plans.pipeline import Pipeline
+    from agent_data_wrangler_spark.plans.report import render_report
+
+    ev = read_table(spark, sf_dir, "events")
+    spec = [
+        {"stage": "drop_null_value", "op": "drop_null_rows",
+         "params": {"subset": ["value"]}},
+        {"stage": "sigma3_value", "op": "sigma_outlier_filter",
+         "params": {"columns": ["value"], "k": 3.0}},
+    ]
+    result = Pipeline.from_spec("events_value_clean", spec, count_rows=True).run(ev)
+    prof = describe_numeric(result.df, ["value"]).first()
+    nulls = {r["column"]: int(r["null_count"])
+             for r in null_counts(ev, ["value", "props"]).collect()}
+    profile_lines = [
+        f"value.count = {int(prof['count'])}",
+        f"value.mean = {prof['mean']:.4f}",
+        f"value.std = {prof['std']:.4f}",
+        f"value.min = {prof['min']:.4f}",
+        f"value.max = {prof['max']:.4f}",
+        f"value.null_count_raw = {nulls['value']}",
+        f"props.null_count_raw = {nulls['props']}",
+    ]
+    text = render_report(result, title="Events value clean",
+                         profile_lines=profile_lines)
+    rows: list[tuple[str, str, float]] = []
+    for m in re.finditer(r"^\d+\. (\w+): (\d+) -> (\d+) rows", text, re.M):
+        rows.append((m.group(1), "rows_in", float(m.group(2))))
+        rows.append((m.group(1), "rows_out", float(m.group(3))))
+    for m in re.finditer(r"^\d+\. (\w+): (\d+) rows \(unchanged\)", text, re.M):
+        rows.append((m.group(1), "rows_in", float(m.group(2))))
+        rows.append((m.group(1), "rows_out", float(m.group(2))))
+    final = re.search(r"^Final row count: (\d+)$", text, re.M)
+    rows.append(("pipeline", "final_rows", float(final.group(1))))
+    for m in re.finditer(r"^(\w+)\.(\w+) = (-?[\d.]+)$", text, re.M):
+        rows.append((m.group(1), m.group(2), float(m.group(3))))
+    return spark.createDataFrame(rows, "item string, metric string, value double")
