@@ -81,12 +81,24 @@ _STAGED_EVENTS: dict[str, tuple[str, StructType]] = {}
 _STREAM_SEQ = itertools.count()
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Scratch space for streaming checkpoints/staging: tmpfs when available.
+
+    Local state-store commits fsync per micro-batch; on a disk-backed /tmp
+    that IO dominates the small-SF streaming bench (each query pays ~1s of
+    pure checkpoint latency). /dev/shm removes it. On a real cluster the
+    checkpoint goes to HDFS/S3 and this helper is irrelevant — it only
+    shapes the local harness."""
+    base = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    return tempfile.mkdtemp(prefix=prefix, dir=base)
+
+
 def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, StructType]:
     cached = _STAGED_EVENTS.get(sf_dir)
     if cached is not None and os.path.isdir(cached[0]):
         return cached
     batch = read_table(spark, sf_dir, "events")
-    staged = os.path.join(tempfile.mkdtemp(prefix="adw_stream_"), "events")
+    staged = os.path.join(_scratch_dir("adw_stream_"), "events")
     # 4 files so maxFilesPerTrigger=1 consumers (st5) genuinely see multiple
     # micro-batches; the single-batch drains (st1-st4) are unaffected.
     batch.repartition(4).write.mode("overwrite").parquet(staged)
@@ -107,7 +119,7 @@ def _drain_to_table(spark: SparkSession, stream_df: DataFrame, prefix: str) -> D
     from agent_data_wrangler_spark.streaming import run_available_now
 
     name = f"{prefix}_{next(_STREAM_SEQ)}"
-    ckpt = tempfile.mkdtemp(prefix=f"adw_ckpt_{prefix}_")
+    ckpt = _scratch_dir(f"adw_ckpt_{prefix}_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -656,7 +668,7 @@ def st5_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
-    rollup_dir = os.path.join(tempfile.mkdtemp(prefix="adw_rollup_"), "daily")
+    rollup_dir = os.path.join(_scratch_dir("adw_rollup_"), "daily")
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         # Complete mode hands the full current state each batch; the rollup
@@ -666,7 +678,7 @@ def st5_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("w").getField("start").alias("day"), "event_type", "n", "sum_value"
         ).write.mode("overwrite").parquet(rollup_dir)
 
-    ckpt = tempfile.mkdtemp(prefix="adw_ckpt_st5_")
+    ckpt = _scratch_dir("adw_ckpt_st5_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
