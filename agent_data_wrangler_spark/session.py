@@ -41,6 +41,11 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     # Whole-stage codegen is on by default; keep fallbacks enabled.
     "spark.sql.codegen.wholeStage": "true",
+    # Janino compile of the heavy expression trees (minhash folds, component
+    # propagation) costs seconds; the default 100-entry generated-class cache
+    # evicts them while a many-query workload cycles, forcing recompiles.
+    # Static conf — takes effect for sessions built through this factory.
+    "spark.sql.codegen.cache.maxEntries": "2000",
     # Driver testdata carries TIMESTAMP(NANOS) parquet columns (events.ts);
     # read them as raw nano longs and convert in read_parquet — matches the
     # DuckDB/pandas truncation-to-micros semantics.
@@ -53,7 +58,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # Exact shuffle partition count matters less with AQE coalescing; 2x cores
     # locally, and on a real cluster this would be ~2-3x total cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local[32] makes the driver THE executor: 32 task threads share this
+    # heap with every persisted frame and memory-sink table. 8g produced
+    # multi-second GC noise spikes on random bench queries; the box has
+    # 128 GiB, so size the heap like the single executor it is.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
 }
 
 
