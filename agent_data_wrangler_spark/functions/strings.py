@@ -53,3 +53,33 @@ def normalize_phone(col: Column | str) -> Column:
     ext = F.regexp_extract(c, r"[xX](\d+)\s*$", 1)
     digits = F.regexp_replace(body, r"[^0-9]", "")
     return F.when(ext != "", F.concat(digits, F.lit("x"), ext)).otherwise(digits)
+
+
+#: PII patterns shared by the redactor and the oracle SQL. Kept to syntax
+#: valid in BOTH Java regex (Spark) and RE2 (DuckDB): no backrefs, no
+#: lookaround. Order matters: emails first (their local parts can contain
+#: digit runs a phone pattern would chew on).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+?[0-9][0-9()\- ]{7,}[0-9]", "[PHONE]"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Scrub emails, phone-like digit runs, and IPv4 literals from free text,
+    replacing each with a typed placeholder — the pre-training PII pass every
+    public LLM-data pipeline runs (e.g. C4's and Dolma's regex scrubbers).
+    Chained regexp_replace: pure codegen, scan-stage, zero Python; the same
+    patterns drive the DuckDB oracle, so redaction is hash-checkable."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrence count of one PII pattern (pre-redaction audit metric)."""
+    pattern = next(p for n, p, _t in PII_PATTERNS if n == kind)
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(pattern)).cast("bigint")

@@ -128,3 +128,97 @@ def fingerprint(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
     return F.md5(normalized)
+
+
+def mean_token_len(col: Column | str) -> Column:
+    """Average token length (Gopher-style quality signal: real prose sits in
+    ~3-10 chars; extremes flag boilerplate or garbage)."""
+
+    def avg_len(toks: Column) -> Column:
+        total = F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        )
+        return total.cast("double") / F.nullif(F.size(toks).cast("double"), F.lit(0.0))
+
+    return F.element_at(F.transform(F.array(tokens(col)), avg_len), 1)
+
+
+def dup_ngram_fraction(col: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total; 0 when fewer than one n-gram) — the Gopher
+    "duplicate n-gram fraction" boilerplate detector. Pure Column fold:
+    runs inside the scan stage."""
+
+    def frac(toks: Column) -> Column:
+        m = F.size(toks) - F.lit(n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+        total = m.cast("double")
+        uniq = F.size(F.array_distinct(grams)).cast("double")
+        return F.when(m <= 0, F.lit(0.0)).otherwise(
+            F.round(F.lit(1.0) - uniq / total, 6)
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(col if isinstance(col, Column) else F.col(col)))), frac), 1)
+
+
+def top_token_fraction(col: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token (Gopher's
+    "top word" concentration signal; high values flag keyword-stuffed or
+    templated text). O(unique x tokens) per row as a Column fold — fine for
+    natural-language token counts; all inside the scan stage."""
+
+    def frac(toks: Column) -> Column:
+        counts = F.transform(
+            F.array_distinct(toks),
+            lambda u: F.size(F.filter(toks, lambda t: t == u)),
+        )
+        return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            F.round(
+                F.array_max(counts).cast("double") / F.size(toks).cast("double"), 6
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(col if isinstance(col, Column) else F.col(col)))), frac), 1)
+
+
+def winnow_fingerprints(col: Column | str, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    k-token gram, slide a w-hash window, keep each window's minimum —
+    guaranteed to share fingerprints with any document overlapping by
+    >= w+k-1 tokens. Returns the DISTINCT selected hashes (array<string>).
+
+    The gram hash is an md5-hex prefix rather than a Rabin-Karp rolling hash:
+    winnowing's semantics only need a uniform hash with a total order
+    (lexicographic on fixed-width hex == numeric), and md5 is reproducible in
+    DuckDB for the oracle; a production build would swap in a cheaper rolling
+    hash behind the same signature. Pure Column fold — scan-stage only."""
+
+    def fps(toks: Column) -> Column:
+        m = F.size(toks) - F.lit(k - 1)  # number of k-grams
+        hashes = F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 8),
+        )
+
+        def windows(hs: Column) -> Column:
+            nw = F.size(hs) - F.lit(w - 1)
+            mins = F.transform(
+                F.sequence(F.lit(1), F.greatest(nw, F.lit(1))),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+            # fewer hashes than one window: keep the global min (standard
+            # winnowing boundary rule for short docs)
+            return F.when(F.size(hs) == 0, F.array().cast("array<string>")).otherwise(
+                F.when(nw <= 0, F.array(F.array_min(hs))).otherwise(
+                    F.array_distinct(mins)
+                )
+            )
+
+        return F.when(m <= 0, F.array().cast("array<string>")).otherwise(
+            F.element_at(F.transform(F.array(hashes), windows), 1)
+        )
+
+    return F.element_at(F.transform(F.array(tokens(F.lower(col if isinstance(col, Column) else F.col(col)))), fps), 1)

@@ -939,3 +939,268 @@ def rp1_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     for m in re.finditer(r"^(\w+)\.(\w+) = (-?[\d.]+)$", text, re.M):
         rows.append((m.group(1), m.group(2), float(m.group(3))))
     return spark.createDataFrame(rows, "item string, metric string, value double")
+
+
+# ---------------------------------------------------------------------------
+# SP1 — deterministic train/val/test split (operators/splits.py): assignment
+# is md5(salt:id) hex-prefix vs precomputed boundaries, so every engine and
+# every rerun reproduces it bit-for-bit (randomSplit cannot — its draw
+# depends on partitioning). Scan-stage Column expressions; the only shuffle
+# is the |splits|-row rollup. The oracle CASE is GENERATED from the same
+# boundary table, so query and oracle cannot drift.
+# ---------------------------------------------------------------------------
+_SP1_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _sp1_oracle() -> str:
+    from agent_data_wrangler_spark.operators.splits import split_boundaries_sql
+
+    case = split_boundaries_sql(_SP1_FRACTIONS, "doc_id", salt="split-v1")
+    return f"""
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_id,
+           CAST(max(doc_id) AS BIGINT) AS max_id,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (SELECT doc_id, n_chars, {case} AS split FROM documents)
+    GROUP BY split
+    """
+
+
+@query("sp1_hash_split_documents", oracle=_sp1_oracle())
+def sp1_hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    return hash_split(d, "doc_id", _SP1_FRACTIONS, salt="split-v1").groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_id"),
+        F.max("doc_id").cast("bigint").alias("max_id"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PI1 — PII scrubbing (functions/strings.redact_pii): the synthetic corpus
+# carries no organic PII, so deterministic PII is INJECTED identically on
+# both sides (doc_id-derived email/phone/IP appended to every 7th/11th/13th
+# doc) and then redacted — the op is exercised on real positive cases and
+# the untouched remainder proves no false redactions. Everything is chained
+# regexp_replace/regexp_count in the scan stage; shuffle is one rollup row.
+# ---------------------------------------------------------------------------
+_PI1_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-0199'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+                 ELSE '' END AS text
+  FROM documents
+), red AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+         len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{7,}[0-9]')) AS n_phone,
+         len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?[0-9][0-9()\- ]{7,}[0-9]', '[PHONE]', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS clean
+  FROM aug
+)
+SELECT CAST(sum(n_email) AS BIGINT) AS emails_redacted,
+       CAST(sum(n_phone) AS BIGINT) AS phones_redacted,
+       CAST(sum(n_ip) AS BIGINT)    AS ips_redacted,
+       CAST(count(*) FILTER (WHERE n_email + n_phone + n_ip > 0) AS BIGINT) AS docs_touched,
+       CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+       md5(string_agg(clean, '' ORDER BY doc_id)) AS corpus_md5
+FROM red
+"""
+
+
+@query("pi1_redact_pii_documents", oracle=_PI1_ORACLE)
+def pi1_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.strings import pii_count, redact_pii
+
+    d = read_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                         F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(F.lit(" call +1-555-"),
+                         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                         F.lit("-0199")),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" from 10.0."),
+                         (F.col("doc_id") % 256).cast("string"), F.lit(".1")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    audited = injected.select(
+        "doc_id",
+        pii_count("text", "email").alias("n_email"),
+        pii_count("text", "phone").alias("n_phone"),
+        pii_count("text", "ip").alias("n_ip"),
+        redact_pii("text").alias("clean"),
+    )
+    # corpus_md5 needs a deterministic global concat — tiny here; at scale
+    # the per-doc audit columns are the product and this checksum column
+    # would be per-shard.
+    return audited.agg(
+        F.sum("n_email").cast("bigint").alias("emails_redacted"),
+        F.sum("n_phone").cast("bigint").alias("phones_redacted"),
+        F.sum("n_ip").cast("bigint").alias("ips_redacted"),
+        F.count_if(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
+         .cast("bigint").alias("docs_touched"),
+        F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+        F.md5(F.concat_ws(
+            "", F.array_sort(F.collect_list(F.struct("doc_id", "clean")))
+              .getField("clean"),
+        ).cast("binary")).alias("corpus_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GQ1 — Gopher-style repetition/boilerplate quality filters over documents:
+# duplicate-bigram fraction, top-token concentration, mean token length,
+# with the standard keep-rules (dup_bigrams <= 0.4, top_token <= 0.2,
+# 1 <= mean_len <= 12). All per-row Column folds in the scan stage; the
+# only shuffle is the per-source rollup. Oracle re-derives every fraction
+# with DuckDB list lambdas over the same tokenization.
+# ---------------------------------------------------------------------------
+_GQ1_ORACLE = rf"""
+WITH t AS (
+  SELECT source, {_DUCK_TOKS} AS toks FROM documents
+), m AS (
+  SELECT source,
+         len(toks) AS tc,
+         CASE WHEN len(toks) >= 2 THEN
+           round(1.0 - CAST(len(list_distinct(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1]))) AS DOUBLE)
+                     / CAST(len(toks) - 1 AS DOUBLE), 6)
+         ELSE 0.0 END AS dup_bigram_frac,
+         CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+           round(CAST(list_max(list_transform(list_distinct(toks),
+                     u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE), 6)
+         END AS top_token_frac,
+         CASE WHEN len(toks) = 0 THEN NULL ELSE
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE)
+         END AS mean_len
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(dup_bigram_frac), 6) AS avg_dup_bigram,
+       round(avg(top_token_frac), 6)  AS avg_top_token,
+       round(avg(mean_len), 6)        AS avg_token_len,
+       CAST(count(*) FILTER (WHERE dup_bigram_frac <= 0.4
+                               AND top_token_frac <= 0.2
+                               AND mean_len BETWEEN 1 AND 12) AS BIGINT) AS n_keep
+FROM m GROUP BY source
+"""
+
+
+@query("gq1_repetition_quality_documents", oracle=_GQ1_ORACLE)
+def gq1_repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.text import (
+        dup_ngram_fraction,
+        mean_token_len,
+        top_token_fraction,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        dup_ngram_fraction("text", n=2).alias("dup2"),
+        top_token_fraction("text").alias("top1"),
+        mean_token_len("text").alias("mlen"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("dup2"), 6).alias("avg_dup_bigram"),
+        F.round(F.avg("top1"), 6).alias("avg_top_token"),
+        F.round(F.avg("mlen"), 6).alias("avg_token_len"),
+        F.count_if(
+            (F.col("dup2") <= 0.4) & (F.col("top1") <= 0.2)
+            & F.col("mlen").between(1, 12)
+        ).cast("bigint").alias("n_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RH1 — winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+# MOSS algorithm): hash k-token grams, keep each w-window's min hash —
+# docs sharing any >= (w+k-1)-token run are GUARANTEED a common
+# fingerprint, the copy-detection primitive exact dedup misses. Per-row
+# Column folds; the shuffles carry (source rollup) + (8-char fingerprint,
+# doc count) — never text. Oracle mirrors the gram/min-window selection
+# with DuckDB list lambdas over identical md5-prefix hashes.
+# ---------------------------------------------------------------------------
+_RH1_K, _RH1_W = 5, 4
+_RH1_DUCK_FPS = rf"""
+CASE WHEN len(toks) < {_RH1_K} THEN CAST([] AS VARCHAR[]) ELSE
+  list_distinct((
+    SELECT CASE WHEN len(hs) < {_RH1_W} THEN [list_min(hs)]
+           ELSE list_transform(generate_series(1, len(hs) - {_RH1_W - 1}),
+                               i -> list_min(hs[i:i+{_RH1_W - 1}]))
+           END
+    FROM (SELECT list_transform(
+            generate_series(1, len(toks) - {_RH1_K - 1}),
+            i -> substr(md5(array_to_string(toks[i:i+{_RH1_K - 1}], ' ')), 1, 8)) AS hs)
+  ))
+END
+"""
+
+
+@query(
+    "rh1_winnow_fingerprints_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+    ), f AS (
+      SELECT doc_id, source, {_RH1_DUCK_FPS} AS fps FROM t
+    ), e AS (
+      SELECT source, doc_id, unnest(fps) AS fp FROM f
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_fp,
+           CAST(count(*) AS BIGINT) AS total_fps,
+           CAST(count(DISTINCT fp) AS BIGINT) AS distinct_fps,
+           min(fp) AS min_fp
+    FROM e GROUP BY source
+    """,
+)
+def rh1_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.text import winnow_fingerprints
+
+    d = read_table(spark, sf_dir, "documents")
+    fps = d.select(
+        "doc_id", "source",
+        F.explode(winnow_fingerprints("text", k=_RH1_K, w=_RH1_W)).alias("fp"),
+    )
+    return fps.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_fp"),
+        F.count(F.lit(1)).cast("bigint").alias("total_fps"),
+        F.countDistinct("fp").alias("distinct_fps"),
+        F.min("fp").alias("min_fp"),
+    )

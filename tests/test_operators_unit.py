@@ -498,3 +498,85 @@ def test_distributed_prefix_sum_matches_plain_window(spark):
 
     empty = distributed_prefix_sum(df.limit(0), "v", "o", ["g"])
     assert empty.count() == 0 and "cum_before" in empty.columns
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    """Same salt → identical assignment across calls/partitionings; different
+    salt → a re-draw; observed fractions concentrate near the targets."""
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    b = hash_split(df.repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 3200) < 200   # ~6 sd of binomial(4000, .8)
+    assert abs(counts["val"] - 400) < 150
+
+    c = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="v2")
+    moved = a.join(c.withColumnRenamed("split", "split2"), "k").filter(
+        F.col("split") != F.col("split2")
+    ).count()
+    assert moved > 0  # new salt = new epoch
+
+
+def test_hash_split_boundaries_validate():
+    from agent_data_wrangler_spark.operators.splits import split_boundaries
+
+    with pytest.raises(ValueError):
+        split_boundaries({"a": -0.1, "b": 1.1})
+    with pytest.raises(ValueError):
+        split_boundaries({"a": 0.0})
+    bounds = split_boundaries({"a": 1, "b": 3})  # unnormalized fractions OK
+    assert bounds[0][1] == format(int(0.25 * 16**8), "08x")
+
+
+def test_redact_pii_cases(spark):
+    from agent_data_wrangler_spark.functions.strings import pii_count, redact_pii
+
+    rows = [
+        ("mail me at jo.doe+x@sub.example.org today", "[EMAIL]", "email", 1),
+        ("call +1 (555) 123-4567 now", "[PHONE]", "phone", 1),
+        ("server 192.168.1.254 is down", "[IP]", "ip", 1),
+        ("no pii here at all", None, "email", 0),
+        ("version 1.2 of 3.4 is fine", None, "ip", 0),  # short dotted runs stay
+    ]
+    df = spark.createDataFrame(
+        [(t, exp, kind, n) for t, exp, kind, n in rows],
+        "text string, expect string, kind string, n int",
+    )
+    got = df.select(
+        "text", "expect", "kind", "n",
+        redact_pii("text").alias("clean"),
+        *[pii_count("text", k).alias(f"c_{k}") for k in ("email", "phone", "ip")],
+    ).collect()
+    for r in got:
+        if r["expect"]:
+            assert r["expect"] in r["clean"], r
+        else:
+            assert r["clean"] == r["text"], r
+        assert r[f"c_{r['kind']}"] == r["n"], r
+
+
+def test_winnow_fingerprints_overlap_guarantee(spark):
+    """Two docs sharing a run of >= w+k-1 tokens MUST share a fingerprint;
+    short docs fall back to the global-min rule; sub-k docs yield none."""
+    from agent_data_wrangler_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens = w+k-1
+    rows = [
+        (1, "intro words " + shared + " trailing bits here"),
+        (2, shared + " completely different ending tokens now"),
+        (3, "tiny doc"),                       # < k tokens → no fingerprints
+        (4, "one two three four five six"),    # k..w+k-2 tokens → global min
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: set(r["fps"]) for r in df.select(
+        "id", winnow_fingerprints("text", k=5, w=4).alias("fps")
+    ).collect()}
+    assert out[1] & out[2], "overlapping docs must share a fingerprint"
+    assert out[3] == set()
+    assert len(out[4]) == 1
