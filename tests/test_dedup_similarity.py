@@ -285,3 +285,25 @@ def test_connected_components_local_matches_distributed(spark):
         for r in dedup.connected_components(pairs, local_edge_limit=0).collect()
     }
     assert local == dist and local
+
+
+def test_minhash_strategies_bit_identical(spark, sf_dir):
+    """agg (explode+hash-agg) and fold (Column fold) signature strategies
+    must produce identical signatures — including the all-P sentinel for
+    docs with fewer than k tokens."""
+    from agent_data_wrangler_spark.operators.dedup import minhash_signatures
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    docs = read_table(spark, sf_dir, "documents").limit(300)
+    extra = spark.createDataFrame(
+        [(90001, "one two"), (90002, ""), (90003, "a b c d e")],
+        "doc_id long, text string",
+    )
+    d = docs.select("doc_id", "text").unionByName(extra)
+    a = minhash_signatures(d, "doc_id", "text", strategy="agg")
+    f = minhash_signatures(d, "doc_id", "text", strategy="fold")
+    joined = a.withColumnRenamed("__sig", "sa").join(
+        f.withColumnRenamed("__sig", "sf"), "__id"
+    )
+    assert joined.count() == d.count()
+    assert joined.filter(F.col("sa") != F.col("sf")).count() == 0
