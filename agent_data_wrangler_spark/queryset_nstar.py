@@ -1021,7 +1021,8 @@ SELECT CAST(sum(n_email) AS BIGINT) AS emails_redacted,
        CAST(sum(n_ip) AS BIGINT)    AS ips_redacted,
        CAST(count(*) FILTER (WHERE n_email + n_phone + n_ip > 0) AS BIGINT) AS docs_touched,
        CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
-       md5(string_agg(clean, '' ORDER BY doc_id)) AS corpus_md5
+       CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || clean), 1, 8))::BIGINT)
+            AS BIGINT) AS corpus_checksum
 FROM red
 """
 
@@ -1060,9 +1061,16 @@ def pi1_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count("text", "ip").alias("n_ip"),
         redact_pii("text").alias("clean"),
     )
-    # corpus_md5 needs a deterministic global concat — tiny here; at scale
-    # the per-doc audit columns are the product and this checksum column
-    # would be per-shard.
+    # Corpus checksum: SUM of per-doc md5-prefix ints — commutative, so it
+    # map-side-combines like any sum (an ordered concat-then-md5 would funnel
+    # every document through one reducer, the global-order anti-pattern).
+    doc_sum = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("clean"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("bigint")
     return audited.agg(
         F.sum("n_email").cast("bigint").alias("emails_redacted"),
         F.sum("n_phone").cast("bigint").alias("phones_redacted"),
@@ -1070,10 +1078,7 @@ def pi1_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("n_email") + F.col("n_phone") + F.col("n_ip") > 0)
          .cast("bigint").alias("docs_touched"),
         F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
-        F.md5(F.concat_ws(
-            "", F.array_sort(F.collect_list(F.struct("doc_id", "clean")))
-              .getField("clean"),
-        ).cast("binary")).alias("corpus_md5"),
+        F.sum(doc_sum).cast("bigint").alias("corpus_checksum"),
     )
 
 

@@ -171,3 +171,29 @@ def test_dc1_benchmark_side_broadcast(spark, sf_dir):
     corpus for a KB-sized right side."""
     plan = _plan(spark, "dc1_decontaminate_documents", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "sp1_hash_split_documents",
+    "gq1_repetition_quality_documents",
+    "pi1_redact_pii_documents",
+])
+def test_round4_text_ops_stay_in_codegen(spark, sf_dir, name):
+    """Split assignment, repetition stats, and PII redaction are scan-stage
+    Column expressions: no Python boundary anywhere, exactly one hash
+    exchange (the rollup), and no global sort (pi1's checksum is a
+    commutative sum, not an ordered concat)."""
+    plan = _plan(spark, name, sf_dir)
+    assert "Python" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Sort " not in plan
+
+
+def test_rh1_shuffles_fingerprints_not_text(spark, sf_dir):
+    """Winnowing explodes 8-char fingerprints off the scan; document text
+    must never enter an exchange."""
+    plan = _plan(spark, "rh1_winnow_fingerprints_documents", sf_dir)
+    assert "Python" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
