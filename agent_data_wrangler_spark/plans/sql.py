@@ -1,0 +1,41 @@
+"""ANSI-SQL surface over the engine's tables (SURVEY §7 build plan: "sql.py —
+views + ANSI SQL").
+
+The reference exposes no SQL (its only language is LLM-generated pandas);
+this module is the Spark-native answer: register each testdata/pipeline table
+once as a temp view and hand the string to Catalyst. Anything expressible in
+portable ANSI SQL then runs unchanged on Spark AND on the DuckDB oracle —
+``sq1_portable_sql_revenue`` executes the SAME query text on both engines,
+which is the strongest possible parity statement for the SQL surface.
+
+Scale: ``spark.sql`` plans are identical to DataFrame plans after analysis —
+pushdown, pruning, AQE, broadcast all apply; registering a view is metadata
+only (no scan, no cache).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from agent_data_wrangler_spark.sources.readers import read_table
+
+#: The driver testdata catalog (TESTDATA.md).
+DEFAULT_TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = DEFAULT_TABLES
+) -> None:
+    """Create/replace one temp view per table. Metadata-only; safe to call
+    repeatedly (idempotent per session)."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Register the catalog and run one ANSI-SQL query through Catalyst."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

@@ -1209,3 +1209,31 @@ def rh1_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataF
         F.countDistinct("fp").alias("distinct_fps"),
         F.min("fp").alias("min_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ1 — the ANSI-SQL surface (plans/sql.py): ONE portable SQL string executed
+# VERBATIM by Spark (via spark.sql over registered views) and by the DuckDB
+# oracle — the strongest parity statement the SQL entry point can make.
+# Catalyst treats the string exactly like the DataFrame plans (pushdown,
+# broadcast, AQE all apply), so the scale properties are the j4/j7 ones.
+# ---------------------------------------------------------------------------
+_SQ1_SQL = """
+SELECT r.r_name AS region,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       round(avg(o.o_totalprice), 4) AS avg_order
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY r.r_name
+"""
+
+
+@query("sq1_portable_sql_revenue", oracle=_SQ1_SQL)
+def sq1_portable_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.plans.sql import run_sql
+
+    return run_sql(spark, sf_dir, _SQ1_SQL)

@@ -237,3 +237,22 @@ def test_range_join_timestamps(spark):
     ).select("name", F.to_timestamp("s").alias("s"), F.to_timestamp("e").alias("e"))
     got = sorted((r.id, r.name) for r in range_join(ev, iv, "ts", "s", "e").collect())
     assert got == [(1, "d1"), (2, "d3")]
+
+
+def test_sql_surface_views_and_plan(spark, sf_dir):
+    """plans/sql.py: views register idempotently, SQL strings get the same
+    Catalyst treatment as DataFrames (pushdown + broadcast visible in the
+    plan), and the portable sq1 text parses on both engines (parity test
+    covers value equality)."""
+    from agent_data_wrangler_spark.plans.sql import register_views, run_sql
+
+    register_views(spark, sf_dir)
+    register_views(spark, sf_dir)  # idempotent
+    df = run_sql(
+        spark, sf_dir,
+        "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n "
+        "FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)]" in plan
+    assert df.count() > 0
