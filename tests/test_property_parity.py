@@ -174,3 +174,100 @@ def test_mad_filter_matches_numpy(spark, vals, k):
     lo, hi = med - k * 1.4826 * mad, med + k * 1.4826 * mad
     want = sorted(v for v in arr if lo <= v <= hi)
     assert kept == pytest.approx(want)
+
+
+_word = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=24).map(" ".join)
+
+
+def _py_tokens(text: str) -> list[str]:
+    return text.lower().split()
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_repetition_stats_match_python_model(spark, docs):
+    """dup_ngram_fraction / top_token_fraction / mean_token_len vs direct
+    Python computation on generated word soups (repeats, empties, unicode-free
+    short words — the shapes the Column folds must handle)."""
+    from agent_data_wrangler_spark.functions.text import (
+        dup_ngram_fraction,
+        mean_token_len,
+        top_token_fraction,
+    )
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i int, text string")
+    got = {
+        r["i"]: (r["d2"], r["t1"], r["ml"])
+        for r in df.select(
+            "i",
+            dup_ngram_fraction("text", n=2).alias("d2"),
+            top_token_fraction("text").alias("t1"),
+            mean_token_len("text").alias("ml"),
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = _py_tokens(d)
+        grams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        want_d2 = round(1.0 - len(set(grams)) / len(grams), 6) if grams else 0.0
+        want_t1 = (
+            round(max(toks.count(u) for u in set(toks)) / len(toks), 6) if toks else 0.0
+        )
+        want_ml = (sum(len(t) for t in toks) / len(toks)) if toks else None
+        d2, t1, ml = got[i]
+        assert d2 == pytest.approx(want_d2, abs=1e-9), (d, d2, want_d2)
+        assert t1 == pytest.approx(want_t1, abs=1e-9), (d, t1, want_t1)
+        if want_ml is None:
+            assert ml is None
+        else:
+            assert ml == pytest.approx(want_ml, abs=1e-9), (d, ml, want_ml)
+
+
+@settings(**SETTINGS)
+@given(docs=st.lists(_doc, min_size=1, max_size=6))
+def test_winnow_fingerprints_match_python_model(spark, docs):
+    """Winnowing selection vs a direct Python implementation of the same
+    k-gram md5-prefix + min-per-window rule (including the short-doc
+    global-min fallback and the sub-k empty case)."""
+    import hashlib
+
+    from agent_data_wrangler_spark.functions.text import winnow_fingerprints
+
+    k, w = 3, 2
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i int, text string")
+    got = {
+        r["i"]: set(r["fps"])
+        for r in df.select(
+            "i", winnow_fingerprints("text", k=k, w=w).alias("fps")
+        ).collect()
+    }
+    for i, d in enumerate(docs):
+        toks = _py_tokens(d)
+        grams = [" ".join(toks[j:j + k]) for j in range(len(toks) - k + 1)]
+        hs = [hashlib.md5(g.encode()).hexdigest()[:8] for g in grams]
+        if not hs:
+            want = set()
+        elif len(hs) < w:
+            want = {min(hs)}
+        else:
+            want = {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+        assert got[i] == want, (d, got[i], want)
+
+
+@settings(**SETTINGS)
+@given(ids=st.lists(st.integers(0, 10**9), min_size=1, max_size=40, unique=True))
+def test_hash_split_matches_python_md5(spark, ids):
+    """hash_split's assignment vs direct Python md5 arithmetic over the same
+    boundary table — pins the exact bucket rule, not just the distribution."""
+    import hashlib
+
+    from agent_data_wrangler_spark.operators.splits import hash_split, split_boundaries
+
+    fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    df = spark.createDataFrame([(i,) for i in ids], "k long")
+    got = {r["k"]: r["split"] for r in hash_split(df, "k", fractions).collect()}
+    bounds = split_boundaries(fractions)
+    for i in ids:
+        bucket = hashlib.md5(f"split-v1:{i}".encode()).hexdigest()[:8]
+        want = next((lbl for lbl, hi in bounds[:-1] if bucket <= hi), bounds[-1][0])
+        assert got[i] == want, (i, bucket, got[i], want)
