@@ -149,6 +149,48 @@ def p5_describe_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# P5 variant — describe_auto: the size-based exact/approx switch that is the
+# pipeline default at scale. At test SF Catalyst's sizeInBytes sits far below
+# the 2 GB threshold, so the switch MUST take the exact path — the oracle is
+# the exact describe, and a driver-green row here pins the switch logic
+# itself (a broken size probe that silently flipped to the sketch would
+# hash-mismatch on the percentiles).
+# ---------------------------------------------------------------------------
+_DA1_COLS = ["o_totalprice"]
+
+
+@query(
+    "da1_describe_auto_orders",
+    oracle="""
+    SELECT 'o_totalprice' AS col_name,
+           count(o_totalprice)                         AS n,
+           round(avg(o_totalprice), 4)                 AS mean,
+           round(stddev_samp(o_totalprice), 4)         AS std,
+           round(min(o_totalprice), 4)                 AS min_v,
+           round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           round(max(o_totalprice), 4)                 AS max_v
+    FROM orders
+    """,
+)
+def da1_describe_auto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    d = profile.describe_auto(o, _DA1_COLS)
+    return d.select(
+        F.col("column").alias("col_name"),
+        F.col("count").alias("n"),
+        F.round("mean", 4).alias("mean"),
+        F.round("std", 4).alias("std"),
+        F.round("min", 4).alias("min_v"),
+        F.round("p25", 4).alias("p25"),
+        F.round("p50", 4).alias("p50"),
+        F.round("p75", 4).alias("p75"),
+        F.round("max", 4).alias("max_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # P6/A5 — null counts per column, one pass (events table).
 # ---------------------------------------------------------------------------
 _EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]

@@ -1237,3 +1237,74 @@ def sq1_portable_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.plans.sql import run_sql
 
     return run_sql(spark, sf_dir, _SQ1_SQL)
+
+
+# ---------------------------------------------------------------------------
+# ST6 — CUSTOM stateful streaming operator (applyInPandasWithState) with a
+# full batch oracle: per-user running (event count, value cents) maintained
+# in GroupState across 2 micro-batches (maxFilesPerTrigger=2 over 4 staged
+# files — the state must genuinely carry between batches), drained in update
+# mode, finalized as max-per-user (the totals are monotone), rolled up to a
+# 1-row corpus summary. Money math is integer cents end-to-end, so the
+# cross-engine comparison has zero float noise. The oracle is the plain
+# batch aggregate the maintained state must converge to — equality IS the
+# exactly-once + state-carry proof.
+# ---------------------------------------------------------------------------
+@query(
+    "st6_stateful_user_totals",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             count(*) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(n) AS BIGINT) AS total_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(max(n) AS BIGINT) AS max_user_events
+    FROM per_user
+    """,
+)
+def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from agent_data_wrangler_spark.streaming import (
+        sessionize_stateful,
+        stream_from_directory,
+    )
+
+    staged, schema = _staged_events(spark, sf_dir)
+    sdf = (
+        stream_from_directory(spark, staged, schema, max_files_per_trigger=2)
+        .filter(F.col("value").isNotNull())
+        .select("user_id", F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    )
+
+    def running_totals(key, pdf_iter, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            cents += int(pdf["cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "cents": [cents]}
+        )
+
+    totals = sessionize_stateful(
+        sdf, ["user_id"], running_totals,
+        output_schema="user_id bigint, n bigint, cents bigint",
+        state_schema="n bigint, cents bigint",
+    )
+    out = _drain_to_table(spark, totals, "st6_out")
+    # Update mode emits one row per (user, batch-it-changed-in); the running
+    # totals are monotone, so the final state per user is the max.
+    final = out.groupBy("user_id").agg(
+        F.max("n").alias("n"), F.max("cents").alias("cents")
+    )
+    return final.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("total_events"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.max("n").cast("bigint").alias("max_user_events"),
+    )
