@@ -568,7 +568,27 @@ def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rows-only: byte-level image semantics are pinned by tests/test_multimodal.py;
 # this entry proves the binary-column path runs end-to-end on a real table.
 # ---------------------------------------------------------------------------
-@query("mm1_image_features_documents")
+@query(
+    "mm1_image_features_documents",
+    # The payload is CONSTRUCTED deterministically (4x4 PPM whose pixel bytes
+    # are the doc's first 48 chars, space-padded), so the decode+feature path
+    # has a closed form DuckDB can compute: mean_intensity == mean of the 48
+    # ASCII codes. The oracle re-derives it without any image code — a broken
+    # header parse, stride, or channel split on the Spark side mismatches.
+    oracle="""
+    WITH s AS (
+      SELECT rpad(substr(text, 1, 48), 48, ' ') AS px FROM documents
+    ), m AS (
+      SELECT CAST(list_sum(list_transform(generate_series(1, 48),
+                                          i -> ord(substr(px, i, 1)))) AS DOUBLE)
+             / 48.0 AS mi
+      FROM s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_images,
+           round(avg(mi), 4) AS avg_intensity
+    FROM m
+    """,
+)
 def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.operators.multimodal import image_features
 
