@@ -625,3 +625,45 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     ca = F.col(a) if isinstance(a, str) else a
     cb = F.col(b) if isinstance(b, str) else b
     return F.bit_count(ca.bitwiseXOR(cb))
+
+
+def blocked_editdist_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 40,
+    length_band: int = 16,
+) -> DataFrame:
+    """Record-linkage near-dup candidates: a deterministic blocking key
+    (first token + length band) restores an equi-join shape, then exact
+    Levenshtein distance within blocks → ``(id_a, id_b, dist)`` with
+    ``dist <= max_dist``.
+
+    Complements the shingle/MinHash path: edit distance catches char-level
+    corruption (OCR noise, truncation, small insertions) that token shingles
+    over-penalize, and it is fully deterministic — no engine hash — so the
+    whole pipeline is oracle-checkable. The recall contract is the blocking
+    key (pairs must share the first token and the length band) — the classic
+    record-linkage trade; widen by unioning additional key functions.
+
+    Scale: the only shuffle is the block-key equi-join; the quadratic term is
+    bounded by block size (monitor with profile.key_skew on the block key —
+    a degenerate block is the same hazard as a skewed join key anywhere).
+    """
+    bk = F.concat_ws(
+        ":",
+        F.split_part(F.lower(F.trim(F.col(text_col))), F.lit(" "), F.lit(1)),
+        F.floor(F.length(text_col) / length_band).cast("string"),
+    )
+    b = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), bk.alias("__bk"))
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__t"), F.col("b.__t")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

@@ -1328,3 +1328,45 @@ def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.max("n").cast("bigint").alias("max_user_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BL1 — blocked edit-distance near-dup (the record-linkage school, next to
+# the shingle/MinHash school): deterministic blocking key (first token +
+# length//16 band) equi-join, exact Levenshtein within blocks. No engine
+# hash anywhere, so unlike the LSH funnel the WHOLE pipeline is
+# oracle-checkable. The shuffle carries block keys + text of block-mates
+# only; block-size skew is the monitored hazard (profile.key_skew).
+# ---------------------------------------------------------------------------
+@query(
+    "bl1_blocked_editdist_documents",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             text,
+             split_part(lower(trim(text)), ' ', 1) || ':'
+               || CAST(length(text) // 16 AS VARCHAR) AS bk
+      FROM documents
+    ), p AS (
+      SELECT levenshtein(a.text, b.text) AS d
+      FROM b a JOIN b b ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(*) FILTER (WHERE d <= 40) AS BIGINT) AS n_near_pairs,
+           CAST(min(d) AS BIGINT) AS min_dist,
+           round(avg(CASE WHEN d <= 40 THEN d END), 4) AS avg_near_dist
+    FROM p
+    """,
+)
+def bl1_blocked_editdist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    all_pairs = dedup.blocked_editdist_pairs(
+        d, "doc_id", "text", max_dist=10**9, length_band=16
+    )
+    return all_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.count_if(F.col("dist") <= 40).cast("bigint").alias("n_near_pairs"),
+        F.min("dist").cast("bigint").alias("min_dist"),
+        F.round(F.avg(F.when(F.col("dist") <= 40, F.col("dist"))), 4)
+         .alias("avg_near_dist"),
+    )

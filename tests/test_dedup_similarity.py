@@ -307,3 +307,23 @@ def test_minhash_strategies_bit_identical(spark, sf_dir):
     )
     assert joined.count() == d.count()
     assert joined.filter(F.col("sa") != F.col("sf")).count() == 0
+
+
+def test_blocked_editdist_finds_planted_corruption(spark):
+    """Char-level corruption (OCR-ish edits) that keeps the first token and
+    length band must pair with its original at the true edit distance;
+    docs in different blocks never pair (the documented recall contract)."""
+    from agent_data_wrangler_spark.operators.dedup import blocked_editdist_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base.replace("gamma", "gamna").replace("iota", "i0ta")),  # 2 edits
+        (3, "alpha " + "x" * len(base)),          # same first token, far length band
+        (4, "omega " + base[6:]),                 # different first token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b): r.dist
+             for r in blocked_editdist_pairs(df, "doc_id", "text", max_dist=40).collect()}
+    assert pairs.get((1, 2)) == 2
+    assert all({a, b} == {1, 2} for a, b in pairs), pairs
