@@ -1332,41 +1332,54 @@ def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # BL1 — blocked edit-distance near-dup (the record-linkage school, next to
-# the shingle/MinHash school): deterministic blocking key (first token +
-# length//16 band) equi-join, exact Levenshtein within blocks. No engine
-# hash anywhere, so unlike the LSH funnel the WHOLE pipeline is
-# oracle-checkable. The shuffle carries block keys + text of block-mates
-# only; block-size skew is the monitored hazard (profile.key_skew).
+# the shingle/MinHash school): deterministic blocking key (first 2 tokens +
+# length//16 band) equi-join, THRESHOLDED Levenshtein within blocks. No
+# engine hash anywhere, so unlike the LSH funnel the WHOLE pipeline is
+# oracle-checkable. Candidate volume is derived from block sizes alone
+# (sum nC2 per block — no pair join), so the quadratic work only runs on
+# the near-pair search with the O(max_dist·len) banded DP. The shuffle
+# carries block keys + text of block-mates only.
 # ---------------------------------------------------------------------------
+_BL1_DUCK_BK = ("split_part(lower(trim(text)), ' ', 1) || ' ' || "
+                "split_part(lower(trim(text)), ' ', 2) || ':' "
+                "|| CAST(length(text) // 16 AS VARCHAR)")
+
+
 @query(
     "bl1_blocked_editdist_documents",
-    oracle="""
+    oracle=f"""
     WITH b AS (
-      SELECT doc_id,
-             text,
-             split_part(lower(trim(text)), ' ', 1) || ':'
-               || CAST(length(text) // 16 AS VARCHAR) AS bk
-      FROM documents
-    ), p AS (
-      SELECT levenshtein(a.text, b.text) AS d
-      FROM b a JOIN b b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      SELECT doc_id, text, {_BL1_DUCK_BK} AS bk FROM documents
+    ), blocks AS (
+      SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_candidate_pairs
+      FROM (SELECT count(*) AS n FROM b GROUP BY bk)
+    ), near AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_near_pairs,
+             CAST(min(d) AS BIGINT) AS min_dist,
+             round(avg(d), 4) AS avg_near_dist
+      FROM (
+        SELECT levenshtein(a.text, b.text) AS d
+        FROM b a JOIN b b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      ) WHERE d <= 40
     )
-    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
-           CAST(count(*) FILTER (WHERE d <= 40) AS BIGINT) AS n_near_pairs,
-           CAST(min(d) AS BIGINT) AS min_dist,
-           round(avg(CASE WHEN d <= 40 THEN d END), 4) AS avg_near_dist
-    FROM p
+    SELECT n_candidate_pairs, n_near_pairs, min_dist, avg_near_dist
+    FROM blocks, near
     """,
 )
 def bl1_blocked_editdist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.dedup import editdist_block_key
+
     d = read_table(spark, sf_dir, "documents")
-    all_pairs = dedup.blocked_editdist_pairs(
-        d, "doc_id", "text", max_dist=10**9, length_band=16
+    block_sizes = d.groupBy(editdist_block_key("text").alias("bk")).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    return all_pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
-        F.count_if(F.col("dist") <= 40).cast("bigint").alias("n_near_pairs"),
+    candidates = block_sizes.agg(
+        F.sum((F.col("n") * (F.col("n") - 1)) / 2).cast("bigint")
+         .alias("n_candidate_pairs")
+    )
+    near = dedup.blocked_editdist_pairs(d, "doc_id", "text", max_dist=40).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_pairs"),
         F.min("dist").cast("bigint").alias("min_dist"),
-        F.round(F.avg(F.when(F.col("dist") <= 40, F.col("dist"))), 4)
-         .alias("avg_near_dist"),
+        F.round(F.avg("dist"), 4).alias("avg_near_dist"),
     )
+    return candidates.crossJoin(near)
