@@ -8,9 +8,11 @@ LSH probing — both depend on engine hash functions) register as rows-only
 queries; their semantics are pinned by unit tests on planted near-duplicates
 instead (tests/test_dedup_similarity.py).
 
-Registration order is deliberate: oracle-bearing queries (n1-n6, st1-st3)
-come BEFORE the rows-only approximate tail (n5 aside, n7-n9, mm1) so a
-budget-capped driver oracle pass reaches every checkable query first.
+Registration order is deliberate: oracle-bearing queries come BEFORE the
+rows-only approximate tail (n5, n7-n9) so a budget-capped driver oracle
+pass reaches every checkable query first (final ordering is owned by
+__spark_entry__.queries(): canaries, then never-driver-verified oracles,
+then verified, rows-only last).
 
 Scale notes inline per query — the grading bar is "would this plan survive
 100 TB", not "does it pass at sf0.01".
