@@ -1385,3 +1385,53 @@ def bl1_blocked_editdist_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.round(F.avg("dist"), 4).alias("avg_near_dist"),
     )
     return candidates.crossJoin(near)
+
+
+# ---------------------------------------------------------------------------
+# MM2 — audio plumbing twin of mm1: synthesize deterministic PCM16 payloads
+# (first 32 ASCII chars = 16 little-endian samples), run the REAL
+# mapInPandas decode+features operator, and check against the closed form —
+# sample_i = b(2i) + 256·b(2i+1) (ASCII high bytes < 128, so always
+# positive), rms = sqrt(mean((s/32768)²)), peak = max|s|/32768 — that
+# DuckDB computes with ord() arithmetic. A byte-order or normalization bug
+# in the decoder hash-mismatches.
+# ---------------------------------------------------------------------------
+@query(
+    "mm2_audio_features_documents",
+    oracle="""
+    WITH s AS (
+      SELECT rpad(substr(text, 1, 32), 32, ' ') AS px FROM documents
+    ), w AS (
+      SELECT list_transform(generate_series(1, 16),
+               i -> (ord(substr(px, 2*i - 1, 1)) + 256 * ord(substr(px, 2*i, 1)))
+                    / 32768.0) AS sm
+      FROM s
+    ), f AS (
+      SELECT sqrt(list_sum(list_transform(sm, x -> x * x)) / 16.0) AS rms,
+             list_max(list_transform(sm, x -> abs(x))) AS peak,
+             16 AS n
+      FROM w
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n) AS BIGINT) AS total_samples,
+           round(avg(rms), 6) AS avg_rms,
+           round(max(peak), 6) AS max_peak
+    FROM f
+    """,
+)
+def mm2_audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.multimodal import audio_features
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("id"),
+        F.encode(F.rpad(F.substring("text", 1, 32), 32, " "), "utf-8").alias("payload"),
+        F.lit(16000).alias("sample_rate"),
+    )
+    feats = audio_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.sum("n_samples").cast("bigint").alias("total_samples"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.round(F.max("peak"), 6).alias("max_peak"),
+    )
