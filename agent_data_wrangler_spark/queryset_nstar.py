@@ -1435,3 +1435,65 @@ def mm2_audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("rms"), 6).alias("avg_rms"),
         F.round(F.max("peak"), 6).alias("max_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MM3 — video plumbing: fixed-size frame chunking + every-Nth sampling over
+# deterministic payloads (the doc's text bytes as a raw "video", 12-byte
+# frames, every 2nd frame kept). The mapInPandas fan-out must equal the
+# closed form — n_frames = len//12, kept = ceil(n_frames/2), per-frame byte
+# sums via ord() — completing the oracle-checked modality set
+# (image mm1, audio mm2, video mm3). Sampling-before-decode is the 100 TB
+# cost lever the operator exists to exercise.
+# ---------------------------------------------------------------------------
+_MM3_FB, _MM3_N = 12, 2
+
+
+@query(
+    "mm3_frame_sample_documents",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text, length(text) // {_MM3_FB} AS n_frames FROM documents
+    ), fr AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), {_MM3_N})) AS frame_idx,
+             text
+      FROM v WHERE n_frames > 0
+    ), b AS (
+      SELECT doc_id, frame_idx,
+             list_sum(list_transform(generate_series(1, {_MM3_FB}),
+               i -> ord(substr(text, CAST(frame_idx * {_MM3_FB} + i AS BIGINT), 1)))) AS byte_sum
+      FROM fr
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled_frames,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_videos,
+           CAST(max(frame_idx) AS BIGINT) AS max_frame_idx,
+           CAST(sum(byte_sum) AS BIGINT) AS total_byte_sum
+    FROM b
+    """,
+)
+def mm3_frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.multimodal import sample_frames
+
+    d = read_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(_MM3_FB).alias("frame_bytes"),
+    )
+    frames = sample_frames(media, _MM3_N)
+    # per-frame byte sum: fold over the binary frame (aggregate over 1..12 of
+    # the unsigned byte value) — pure Column expressions post-UDF.
+    byte_sum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MM3_FB)),
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.coalesce(F.ascii(F.decode(F.substring("frame", 1, _MM3_FB), "utf-8").substr(i, F.lit(1))), F.lit(0)),
+    )
+    enriched = frames.withColumn("byte_sum", byte_sum)
+    return enriched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled_frames"),
+        F.countDistinct("id").alias("n_videos"),
+        F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
+        F.sum("byte_sum").cast("bigint").alias("total_byte_sum"),
+    )
