@@ -24,6 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # round's CORRECTNESS file (r03: 50/50 green). These have two rounds of
 # driver history plus the local DuckDB-parity suite, so under a capped oracle
 # pass the scarce driver slots go to queries that have NEVER had a driver row.
+# ROUND-5 NOTE: refresh this set from CORRECTNESS_r04.json (add every newly
+# green query) so the round-4 additions rotate out of the priority block —
+# at 90 oracle queries the 50-slot cap is exactly full (5 canaries + 45
+# never-verified) and any further additions will starve without a refresh.
 DRIVER_VERIFIED = frozenset({
     "a1_pricing_summary", "p2_shape_lineitem", "p5_describe_lineitem",
     "p6_null_counts_events", "p8_value_counts_priority",
