@@ -135,9 +135,11 @@ def distributed_prefix_sum(
        reducer sees only its bucket's rows.
 
     Identical result to the single-reducer window (the bucket boundaries are
-    deterministic, and order within a bucket is ``order_col`` order).
-    ``order_col`` must be numeric and unique within each group — the same
-    totality requirement any cross-engine-deterministic cumsum has.
+    deterministic, and order within a bucket is ``order_col`` order) —
+    including NULL handling: NULL partition keys form their own group
+    (null-safe join) and NULL order values sort first (bucket -1), matching
+    NULLS FIRST. ``order_col`` must be numeric and unique within each group —
+    the same totality requirement any cross-engine-deterministic cumsum has.
     ``inclusive=False`` (default) excludes the current row, the "tokens
     before me" packing semantics.
     """
@@ -149,7 +151,13 @@ def distributed_prefix_sum(
         return df.withColumn(alias, F.lit(0).cast("bigint"))
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     width = max(1.0, (hi - lo + 1.0) / n_buckets)
-    bucket = F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width)).cast("bigint")
+    # NULL order values bucket to -1 — they sort before every real bucket,
+    # matching the plain window's NULLS FIRST order (their cumsum order among
+    # themselves is tie-arbitrary, exactly as in the plain window; the
+    # uniqueness requirement below is what makes either form deterministic).
+    bucket = F.when(F.col(order_col).isNull(), F.lit(-1)).otherwise(
+        F.floor((F.col(order_col) - F.lit(lo)) / F.lit(width))
+    ).cast("bigint")
     tagged = df.withColumn("__psb", bucket)
     partials = tagged.groupBy(*keys, "__psb").agg(
         F.sum(value_col).alias("__psum")
@@ -162,8 +170,16 @@ def distributed_prefix_sum(
         *keys,
         "__psb",
         (F.sum("__psum").over(w_off) - F.col("__psum")).alias("__poff"),
+    ).withColumnsRenamed({k: f"__o_{k}" for k in keys})
+    # Null-safe equality on the partition keys: groupBy treats NULL as a real
+    # group, and a plain equi-join would silently DROP those rows here.
+    off = F.broadcast(offsets.withColumnRenamed("__psb", "__o_psb"))
+    join_cond = F.col("__psb") == F.col("__o_psb")
+    for k in keys:
+        join_cond = join_cond & F.col(k).eqNullSafe(F.col(f"__o_{k}"))
+    joined = tagged.join(off, join_cond, "inner").drop(
+        "__o_psb", *[f"__o_{k}" for k in keys]
     )
-    joined = tagged.join(F.broadcast(offsets), keys + ["__psb"], "inner")
     w_loc = (
         Window.partitionBy(*(keys + ["__psb"])).orderBy(F.asc(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

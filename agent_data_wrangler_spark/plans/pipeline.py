@@ -45,13 +45,14 @@ def default_registry() -> dict:
         profile,
         setops,
         similarity,
+        splits,
         transform,
         windows,
     )
 
     registry: dict = {}
     for mod in (filters, impute, transform, aggregates, windows, pivot, setops,
-                profile, dedup, similarity, multimodal):
+                profile, dedup, similarity, multimodal, splits):
         for fname, fn in vars(mod).items():
             if fname.startswith("_") or not inspect.isfunction(fn):
                 continue

@@ -26,13 +26,21 @@ DEFAULT_TABLES: tuple[str, ...] = (
 )
 
 
+_REGISTERED: set[tuple[int, str, tuple[str, ...]]] = set()
+
+
 def register_views(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = DEFAULT_TABLES
 ) -> None:
-    """Create/replace one temp view per table. Metadata-only; safe to call
-    repeatedly (idempotent per session)."""
+    """Create/replace one temp view per table. No data scan, but each
+    registration re-reads parquet footers (nano-timestamp probe), so repeat
+    calls for the same (session, sf_dir) are memoized."""
+    key = (id(spark), sf_dir, tables)
+    if key in _REGISTERED:
+        return
     for name in tables:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    _REGISTERED.add(key)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -1046,7 +1046,7 @@ _SM1_FRACTION = 0.1
 
 @query(
     "sm1_seeded_sample_orders",
-    oracle=f"""
+    oracle="""
     SELECT CAST(count(*) AS BIGINT) AS n_total,
            true AS sample_within_6sd
     FROM orders

@@ -579,7 +579,8 @@ def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # header parse, stride, or channel split on the Spark side mismatches.
     oracle="""
     WITH s AS (
-      SELECT rpad(substr(text, 1, 48), 48, ' ') AS px FROM documents
+      SELECT rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 48), 48, ' ') AS px
+      FROM documents
     ), m AS (
       SELECT CAST(list_sum(list_transform(generate_series(1, 48),
                                           i -> ord(substr(px, i, 1)))) AS DOUBLE)
@@ -595,9 +596,13 @@ def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.operators.multimodal import image_features
 
     d = read_table(spark, sf_dir, "documents")
+    # ASCII-sanitize before byte-slicing: a multi-byte char would desync the
+    # char-indexed oracle from the byte-indexed decoder (and break the fixed
+    # 48-byte payload contract) if the corpus ever drifts off pure ASCII.
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", " ")
     payload = F.concat(
         F.encode(F.lit("P6\n4 4\n255\n"), "utf-8"),
-        F.encode(F.rpad(F.substring("text", 1, 48), 48, " "), "utf-8"),
+        F.encode(F.rpad(F.substring(ascii_text, 1, 48), 48, " "), "utf-8"),
     )
     media = d.select(F.col("doc_id").alias("id"), payload.alias("payload"))
     feats = image_features(media)
@@ -1319,10 +1324,11 @@ def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         state_schema="n bigint, cents bigint",
     )
     out = _drain_to_table(spark, totals, "st6_out")
-    # Update mode emits one row per (user, batch-it-changed-in); the running
-    # totals are monotone, so the final state per user is the max.
+    # Update mode emits one snapshot row per (user, batch-it-changed-in).
+    # n (a row count) is genuinely monotone; cents is NOT if values can be
+    # negative, so the final snapshot is selected BY n, not by max(cents).
     final = out.groupBy("user_id").agg(
-        F.max("n").alias("n"), F.max("cents").alias("cents")
+        F.max("n").alias("n"), F.max_by("cents", "n").alias("cents")
     )
     return final.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
@@ -1400,7 +1406,8 @@ def bl1_blocked_editdist_documents(spark: SparkSession, sf_dir: str) -> DataFram
     "mm2_audio_features_documents",
     oracle="""
     WITH s AS (
-      SELECT rpad(substr(text, 1, 32), 32, ' ') AS px FROM documents
+      SELECT rpad(substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 32), 32, ' ') AS px
+      FROM documents
     ), w AS (
       SELECT list_transform(generate_series(1, 16),
                i -> (ord(substr(px, 2*i - 1, 1)) + 256 * ord(substr(px, 2*i, 1)))
@@ -1425,7 +1432,10 @@ def mm2_audio_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("id"),
-        F.encode(F.rpad(F.substring("text", 1, 32), 32, " "), "utf-8").alias("payload"),
+        F.encode(
+            F.rpad(F.substring(F.regexp_replace("text", r"[^\x20-\x7e]", " "), 1, 32), 32, " "),
+            "utf-8",
+        ).alias("payload"),
         F.lit(16000).alias("sample_rate"),
     )
     feats = audio_features(media)
@@ -1453,7 +1463,9 @@ _MM3_FB, _MM3_N = 12, 2
     "mm3_frame_sample_documents",
     oracle=f"""
     WITH v AS (
-      SELECT doc_id, text, length(text) // {_MM3_FB} AS n_frames FROM documents
+      SELECT doc_id, regexp_replace(text, '[^ -~]', ' ', 'g') AS text,
+             length(regexp_replace(text, '[^ -~]', ' ', 'g')) // {_MM3_FB} AS n_frames
+      FROM documents
     ), fr AS (
       SELECT doc_id,
              unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT), {_MM3_N})) AS frame_idx,
@@ -1478,7 +1490,7 @@ def mm3_frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     media = d.select(
         F.col("doc_id").alias("id"),
-        F.encode("text", "utf-8").alias("payload"),
+        F.encode(F.regexp_replace("text", r"[^\x20-\x7e]", " "), "utf-8").alias("payload"),
         F.lit(_MM3_FB).alias("frame_bytes"),
     )
     frames = sample_frames(media, _MM3_N)

@@ -580,3 +580,37 @@ def test_winnow_fingerprints_overlap_guarantee(spark):
     assert out[1] & out[2], "overlapping docs must share a fingerprint"
     assert out[3] == set()
     assert len(out[4]) == 1
+
+
+def test_distributed_prefix_sum_null_keys_and_order(spark):
+    """NULL partition keys form their own group (null-safe join keeps them)
+    and NULL order values sort first — matching the plain window's
+    NULLS FIRST, instead of silently dropping rows."""
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.operators.windows import distributed_prefix_sum
+
+    rows = [("a", 1, 10), ("a", 2, 20), (None, 1, 5), (None, 2, 7), ("b", None, 3), ("b", 4, 9)]
+    df = spark.createDataFrame(rows, "g string, o int, v long")
+    got = distributed_prefix_sum(df, "v", "o", ["g"], n_buckets=4)
+    assert got.count() == len(rows)  # nothing dropped
+    vals = {(r["g"], r["o"]): r["cum_before"] for r in got.collect()}
+    assert vals[(None, 1)] == 0 and vals[(None, 2)] == 5
+    assert vals[("b", None)] == 0 and vals[("b", 4)] == 3  # null order first
+    w = (
+        Window.partitionBy("g").orderBy(F.asc_nulls_first("o"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = df.select("g", "o", (F.sum("v").over(w) - F.col("v")).cast("bigint").alias("cum_before"))
+    assert got.select("g", "o", "cum_before").exceptAll(want).count() == 0
+
+
+def test_default_registry_includes_splits(spark):
+    from agent_data_wrangler_spark.plans.pipeline import Pipeline, default_registry
+
+    assert "hash_split" in default_registry()
+    pipe = Pipeline.from_spec("split", [
+        {"op": "hash_split", "params": {"id_col": "k", "fractions": {"a": 0.5, "b": 0.5}}}
+    ])
+    out = pipe.run(spark.range(100).withColumnRenamed("id", "k")).df
+    assert set(out.columns) == {"k", "split"}

@@ -87,7 +87,9 @@ def test_no_cartesian_product_anywhere(spark, sf_dir):
     join lost its keys — the canonical accidental O(n^2). Intentional 1-row
     crossJoins compile to BroadcastNestedLoopJoin over single-row sides and
     are fine. Streaming queries are skipped (building them runs the stream)."""
-    skip = {"st1_streaming_window_counts", "st2_streaming_sessions", "st3_streaming_dedup_count"}
+    skip = {"st1_streaming_window_counts", "st2_streaming_sessions",
+            "st3_streaming_dedup_count", "st4_streaming_enriched_segments",
+            "st5_incremental_rollup_events", "st6_stateful_user_totals"}
     bad = []
     for name, q in {**Q1, **Q2}.items():
         if name in skip:
