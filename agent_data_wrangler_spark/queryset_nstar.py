@@ -1129,7 +1129,7 @@ def pi1_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _GQ1_ORACLE = rf"""
 WITH t AS (
-  SELECT source, {_DUCK_TOKS} AS toks FROM documents
+  SELECT source, text, {_DUCK_TOKS} AS toks FROM documents
 ), m AS (
   SELECT source,
          len(toks) AS tc,
@@ -1147,7 +1147,9 @@ WITH t AS (
          CASE WHEN len(toks) = 0 THEN NULL ELSE
            CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
            / CAST(len(toks) AS DOUBLE)
-         END AS mean_len
+         END AS mean_len,
+         len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
+           + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t]', '', 'g')) AS bpe
   FROM t
 )
 SELECT source,
@@ -1155,6 +1157,7 @@ SELECT source,
        round(avg(dup_bigram_frac), 6) AS avg_dup_bigram,
        round(avg(top_token_frac), 6)  AS avg_top_token,
        round(avg(mean_len), 6)        AS avg_token_len,
+       CAST(sum(bpe) AS BIGINT)       AS total_bpe_tokens,
        CAST(count(*) FILTER (WHERE dup_bigram_frac <= 0.4
                                AND top_token_frac <= 0.2
                                AND mean_len BETWEEN 1 AND 12) AS BIGINT) AS n_keep
@@ -1171,17 +1174,21 @@ def gq1_repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     d = read_table(spark, sf_dir, "documents")
+    from agent_data_wrangler_spark.functions.text import bpe_ish_token_count
+
     per_doc = d.select(
         "source",
         dup_ngram_fraction("text", n=2).alias("dup2"),
         top_token_fraction("text").alias("top1"),
         mean_token_len("text").alias("mlen"),
+        bpe_ish_token_count("text").alias("bpe"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("dup2"), 6).alias("avg_dup_bigram"),
         F.round(F.avg("top1"), 6).alias("avg_top_token"),
         F.round(F.avg("mlen"), 6).alias("avg_token_len"),
+        F.sum("bpe").cast("bigint").alias("total_bpe_tokens"),
         F.count_if(
             (F.col("dup2") <= 0.4) & (F.col("top1") <= 0.2)
             & F.col("mlen").between(1, 12)

@@ -614,3 +614,23 @@ def test_default_registry_includes_splits(spark):
     ])
     out = pipe.run(spark.range(100).withColumnRenamed("id", "k")).df
     assert set(out.columns) == {"k", "split"}
+
+
+def test_bpe_ish_token_count_cases(spark):
+    from agent_data_wrangler_spark.functions.text import bpe_ish_token_count
+
+    rows = [
+        ("hello world", 2),          # plain words
+        ("don't stop!", 4),          # don + t + stop, ' and ! count as pieces -> 3 words + 2 punct
+        ("a,b,,c", 5),               # 3 words + 2 commas
+        ("", 0),
+        ("  ", 0),
+    ]
+    # recompute expected per the documented rule: word-ish runs + punct marks
+    df = spark.createDataFrame([(t,) for t, _ in rows], "text string")
+    got = [r[0] for r in df.select(bpe_ish_token_count("text")).collect()]
+    import re
+    for (t, _), g in zip(rows, got):
+        words = len([w for w in re.split(r"[^A-Za-z0-9]+", t) if w])
+        punct = len(re.findall(r"[^\w\s]", t))
+        assert g == words + punct, (t, g, words, punct)
