@@ -634,3 +634,24 @@ def test_bpe_ish_token_count_cases(spark):
         words = len([w for w in re.split(r"[^A-Za-z0-9]+", t) if w])
         punct = len(re.findall(r"[^\w\s]", t))
         assert g == words + punct, (t, g, words, punct)
+
+
+def test_fill_mode_and_global_stats_direct(spark):
+    """The T3/A1 convenience surfaces: fill_mode fills every listed column
+    with its deterministic mode (ties by ascending value); global_stats is
+    the one-pass single-column describe."""
+    from agent_data_wrangler_spark.operators.aggregates import global_stats
+    from agent_data_wrangler_spark.operators.impute import fill_mode
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 3.0), (None, 3.0), ("b", None), ("a", 2.0)],
+        "s string, v double",
+    )
+    filled = fill_mode(df, ["s", "v"])
+    assert filled.filter(F.col("s").isNull() | F.col("v").isNull()).count() == 0
+    assert filled.filter(F.col("s") == "a").count() == 4       # mode of s
+    assert filled.filter(F.col("v") == 3.0).count() == 4       # mode of v
+
+    row = global_stats(df, "v").first()
+    assert row["n"] == 4 and row["min"] == 1.0 and row["max"] == 3.0
+    assert row["median"] == 2.5 and abs(row["mean"] - 2.25) < 1e-9
