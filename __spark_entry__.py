@@ -20,37 +20,62 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["a1_pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Every query that already holds a green (rows+schema+hash) row in a prior
-# round's CORRECTNESS file (r03: 50/50 green). These have two rounds of
-# driver history plus the local DuckDB-parity suite, so under a capped oracle
-# pass the scarce driver slots go to queries that have NEVER had a driver row.
-# ROUND-5 NOTE: refresh this set from CORRECTNESS_r04.json (add every newly
-# green query) so the round-4 additions rotate out of the priority block —
-# at 90 oracle queries the 50-slot cap is exactly full (5 canaries + 45
-# never-verified) and any further additions will starve without a refresh.
-DRIVER_VERIFIED = frozenset({
-    "a1_pricing_summary", "p2_shape_lineitem", "p5_describe_lineitem",
-    "p6_null_counts_events", "p8_value_counts_priority",
-    "p9_duplicate_count_documents", "f1_f2_dropnull_sigma_events",
-    "t1_median_fill_events", "t2_mean_fill_events", "a4_mode_priority",
-    "t4_fill_min_date_orders", "t5_outlier_null_impute_orders",
-    "t6_cap_p95_orders", "t7t8t9_string_clean_nation",
-    "t10_dual_format_dates", "t11_phone_normalize", "t13_na_sentinel_events",
-    "a2_group_stats_events", "a7_corr_lineitem", "j1_revenue_by_segment",
-    "j2_customers_without_orders", "j3_customers_with_1997_orders",
-    "j4_revenue_by_region", "w1_top_order_per_customer",
-    "w2_cumulative_spend", "w3_event_gaps", "s1_setops_active_customers",
-    "pv1_pivot_events", "r1_rollup_orders", "c1_cube_orders",
-    "k1_top10_orders", "j5_asof_last_purchase", "w4_rolling_avg_spend",
-    "x1_crosstab_events", "g1_grouping_sets_orders",
-    "u1_zscore_by_type_events", "jn1_json_map_events", "j6_brand_revenue",
-    "j7_supplier_region_revenue", "s2_setops_priority_rows",
-    "n1_exact_dedup_documents", "n2_text_stats_documents",
-    "n3_topk_cosine_embeddings", "n4_jaccard_pairs_documents",
-    "cc1_components_documents", "n6_simhash_documents",
-    "st1_streaming_window_counts", "st2_streaming_sessions",
-    "st3_streaming_dedup_count", "u2_name_digitsum_customers",
-})
+# Most recent round in which each query earned a green (rows+schema+hash)
+# driver row, taken from the union of CORRECTNESS_r01..r04.json. Queries
+# absent from this map have never been driver-verified and get first claim on
+# the capped oracle slots; verified queries rotate least-recently-first so
+# every query keeps cycling back through the driver instead of the same ~45
+# re-running forever. Refresh each round from the latest CORRECTNESS file.
+LAST_GREEN_ROUND: dict[str, int] = {
+    # r03 (stalest verified — first in the rotation block)
+    "a2_group_stats_events": 3, "a4_mode_priority": 3, "a7_corr_lineitem": 3,
+    "c1_cube_orders": 3, "cc1_components_documents": 3,
+    "f1_f2_dropnull_sigma_events": 3, "g1_grouping_sets_orders": 3,
+    "j2_customers_without_orders": 3, "j3_customers_with_1997_orders": 3,
+    "j4_revenue_by_region": 3, "j5_asof_last_purchase": 3,
+    "j6_brand_revenue": 3, "j7_supplier_region_revenue": 3,
+    "jn1_json_map_events": 3, "k1_top10_orders": 3,
+    "n2_text_stats_documents": 3, "n3_topk_cosine_embeddings": 3,
+    "n4_jaccard_pairs_documents": 3, "n6_simhash_documents": 3,
+    "pv1_pivot_events": 3, "r1_rollup_orders": 3,
+    "s1_setops_active_customers": 3, "s2_setops_priority_rows": 3,
+    "st2_streaming_sessions": 3, "st3_streaming_dedup_count": 3,
+    "t10_dual_format_dates": 3, "t11_phone_normalize": 3,
+    "t13_na_sentinel_events": 3, "t1_median_fill_events": 3,
+    "t2_mean_fill_events": 3, "t4_fill_min_date_orders": 3,
+    "t5_outlier_null_impute_orders": 3, "t6_cap_p95_orders": 3,
+    "t7t8t9_string_clean_nation": 3, "u1_zscore_by_type_events": 3,
+    "u2_name_digitsum_customers": 3, "w2_cumulative_spend": 3,
+    "w3_event_gaps": 3, "w4_rolling_avg_spend": 3, "x1_crosstab_events": 3,
+    # r04
+    "a1_pricing_summary": 4, "ad1_approx_distinct_customers": 4,
+    "bk1_bucketed_join_revenue": 4, "bl1_blocked_editdist_documents": 4,
+    "ch1_chunk_documents": 4, "csv1_roundtrip_events": 4,
+    "da1_describe_auto_orders": 4, "dc1_decontaminate_documents": 4,
+    "dq1_validation_rules_events": 4, "fz1_fuzzy_match_nation": 4,
+    "gq1_repetition_quality_documents": 4, "j1_revenue_by_segment": 4,
+    "j8_shipping_priority": 4, "js1_jsonl_roundtrip_events": 4,
+    "md1_mad_outliers_events": 4, "mm1_image_features_documents": 4,
+    "mm2_audio_features_documents": 4, "mm3_frame_sample_documents": 4,
+    "n1_exact_dedup_documents": 4, "nt1_quartiles_orders": 4,
+    "p2_shape_lineitem": 4, "p5_describe_lineitem": 4,
+    "p5a_describe_approx_lineitem": 4, "p6_null_counts_events": 4,
+    "p8_value_counts_priority": 4, "p9_duplicate_count_documents": 4,
+    "pi1_redact_pii_documents": 4, "pk1_pack_documents": 4,
+    "pl1_pipeline_spec_events": 4, "pp1_partition_pruned_events": 4,
+    "rh1_winnow_fingerprints_documents": 4, "rj1_time_bands_events": 4,
+    "rp1_report_events": 4, "sb1_stratified_sample_events": 4,
+    "se1_schema_evolution_orders": 4, "sj1_salted_join_segments": 4,
+    "sk1_key_skew_orders": 4, "sm1_seeded_sample_orders": 4,
+    "sn1_sessionize_events": 4, "sp1_hash_split_documents": 4,
+    "sq1_portable_sql_revenue": 4, "st1_streaming_window_counts": 4,
+    "st4_streaming_enriched_segments": 4, "st5_incremental_rollup_events": 4,
+    "st6_stateful_user_totals": 4, "tp1_two_phase_agg_orders": 4,
+    "ts1_resample_hourly_events": 4, "u3_trimmed_mean_orders": 4,
+    "u4_udtf_tokens_documents": 4, "w1_top_order_per_customer": 4,
+}
+
+DRIVER_VERIFIED = frozenset(LAST_GREEN_ROUND)
 
 # Small always-run regression set of established queries, one per tier
 # (relational agg, join, window, dedup, streaming) — kept ahead of the
@@ -68,9 +93,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries, so the slots are rationed — a 5-query established canary set
     first, then every oracle query that has never received a driver
     correctness row (the round-3 lesson: ordering established queries first
-    guaranteed new work was never driver-verified), then the remaining
-    already-verified oracles, and rows-only queries (which get the weaker
-    check regardless) last.
+    guaranteed new work was never driver-verified), then the already-verified
+    oracles LEAST-RECENTLY-verified first (the round-4 lesson: once every
+    query is verified, a static verified set would re-run the same slate
+    forever — rotating by last-green round re-verifies the stalest ~40 each
+    round), and rows-only queries (which get the weaker check regardless)
+    last.
     """
     from agent_data_wrangler_spark.queryset import ORACLE as O1, QUERIES as Q1
     from agent_data_wrangler_spark.queryset_nstar import ORACLE as O2, QUERIES as Q2
@@ -78,9 +106,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q = {**Q1, **Q2}
     o = {**O1, **O2}
     canaries = [k for k in CANARIES if k in q]
-    unverified = [k for k in q if k in o and k not in DRIVER_VERIFIED]
-    verified = [k for k in q
-                if k in o and k in DRIVER_VERIFIED and k not in CANARIES]
+    unverified = [k for k in q if k in o and k not in LAST_GREEN_ROUND]
+    verified = sorted(
+        (k for k in q
+         if k in o and k in LAST_GREEN_ROUND and k not in CANARIES),
+        key=lambda k: (LAST_GREEN_ROUND[k], k))
     rows_only = [k for k in q if k not in o]
     return {k: q[k] for k in canaries + unverified + verified + rows_only}
 

@@ -15,6 +15,8 @@ only (no scan, no cache).
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 from agent_data_wrangler_spark.sources.readers import read_table
@@ -26,7 +28,14 @@ DEFAULT_TABLES: tuple[str, ...] = (
 )
 
 
-_REGISTERED: set[tuple[int, str, tuple[str, ...]]] = set()
+# Session → (sf_dir, tables) CURRENTLY bound as temp views. A session holds
+# exactly one binding at a time (createOrReplaceTempView replaces), so the
+# memo must track the latest registration, not the set of all past ones — an
+# append-only set keyed by id(spark) silently skipped re-registration after
+# an A → B → A sf_dir switch (and id() can be reused after GC). WeakKey so a
+# stopped/collected session never pins stale state onto its id's successor.
+_BOUND: "weakref.WeakKeyDictionary[SparkSession, tuple[str, tuple[str, ...]]]"
+_BOUND = weakref.WeakKeyDictionary()
 
 
 def register_views(
@@ -34,13 +43,13 @@ def register_views(
 ) -> None:
     """Create/replace one temp view per table. No data scan, but each
     registration re-reads parquet footers (nano-timestamp probe), so repeat
-    calls for the same (session, sf_dir) are memoized."""
-    key = (id(spark), sf_dir, tables)
-    if key in _REGISTERED:
+    calls are skipped only while the SAME (sf_dir, tables) is still the
+    session's current binding; any switch re-registers."""
+    if _BOUND.get(spark) == (sf_dir, tables):
         return
     for name in tables:
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
-    _REGISTERED.add(key)
+    _BOUND[spark] = (sf_dir, tables)
 
 
 def run_sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:

@@ -950,7 +950,15 @@ def rp1_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
          "params": {"columns": ["value"], "k": 3.0}},
     ]
     result = Pipeline.from_spec("events_value_clean", spec, count_rows=True).run(ev)
-    prof = describe_numeric(result.df, ["value"]).first()
+    # Round in Spark (BigDecimal HALF_UP — away from zero on ties, same as
+    # DuckDB round()) BEFORE formatting: Python's '%.4f' is round-half-even,
+    # so a value landing on an exact .00005 boundary would flip the hash.
+    # Formatting the already-rounded double is then exact.
+    prof = describe_numeric(result.df, ["value"]).select(
+        "count",
+        F.round("mean", 4).alias("mean"), F.round("std", 4).alias("std"),
+        F.round("min", 4).alias("min"), F.round("max", 4).alias("max"),
+    ).first()
     nulls = {r["column"]: int(r["null_count"])
              for r in null_counts(ev, ["value", "props"]).collect()}
     profile_lines = [
@@ -1149,7 +1157,7 @@ WITH t AS (
            / CAST(len(toks) AS DOUBLE)
          END AS mean_len,
          len(list_filter(regexp_split_to_array(text, '[^A-Za-z0-9]+'), x -> x != ''))
-           + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t]', '', 'g')) AS bpe
+           + length(text) - length(regexp_replace(text, '[^a-zA-Z0-9_ \t\n\r\f\x0B]', '', 'g')) AS bpe
   FROM t
 )
 SELECT source,

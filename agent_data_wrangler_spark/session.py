@@ -20,6 +20,23 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_driver_mem() -> str:
+    """Size the local driver heap from the machine, not from one bench box.
+
+    local[N] makes the driver THE executor: N task threads share this heap
+    with every persisted frame and memory-sink table, and an 8g heap produced
+    multi-second GC noise spikes on the 128 GiB bench host. But a hard-coded
+    24g fails to launch on smaller hosts, so derive ~1/5 of physical RAM
+    clamped to [2g, 24g] (→ 24g on the 128 GiB box, 3g on a 16 GiB laptop).
+    SPARK_GRAFT_DRIVER_MEM overrides for any deployment.
+    """
+    try:
+        total_gib = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")) / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(2, min(24, int(total_gib // 5)))}g"
+
+
 # Defaults chosen for correctness-at-scale, not just local speed.
 _DEFAULT_CONF: dict[str, str] = {
     # Adaptive execution: re-plan with runtime stats (join strategy, skew, AQE
@@ -58,11 +75,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # Exact shuffle partition count matters less with AQE coalescing; 2x cores
     # locally, and on a real cluster this would be ~2-3x total cores.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
-    # local[32] makes the driver THE executor: 32 task threads share this
-    # heap with every persisted frame and memory-sink table. 8g produced
-    # multi-second GC noise spikes on random bench queries; the box has
-    # 128 GiB, so size the heap like the single executor it is.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    # Heap sized from physical RAM (see _default_driver_mem) so the factory
+    # launches out of the box on small hosts AND avoids GC-noise spikes on
+    # the big bench box.
+    "spark.driver.memory": os.environ.get(
+        "SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
 }
 
 

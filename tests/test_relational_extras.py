@@ -256,3 +256,17 @@ def test_sql_surface_views_and_plan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(c_acctbal), GreaterThan(c_acctbal,0.0)]" in plan
     assert df.count() > 0
+
+
+def test_sql_views_rebind_after_sf_switch(spark, sf_dir):
+    """plans/sql.py memo regression (round-5 advice): after an A -> B -> A
+    sf_dir switch in one session, the views must be re-registered for A —
+    the old append-only memo skipped it and silently served B's data."""
+    from agent_data_wrangler_spark.plans.sql import run_sql
+
+    count_sql = "SELECT CAST(count(*) AS BIGINT) AS n FROM customer"
+    other = "/root/testdata/sf0.01"
+    n_a = run_sql(spark, sf_dir, count_sql).first()["n"]
+    n_b = run_sql(spark, other, count_sql).first()["n"]
+    assert n_b != n_a  # distinguishable catalogs, or the test proves nothing
+    assert run_sql(spark, sf_dir, count_sql).first()["n"] == n_a
