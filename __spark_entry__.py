@@ -116,9 +116,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each oracle-checkable query.
-    Rows-only queries (hash-function-dependent LSH/MinHash/SimHash paths)
-    intentionally have no entry — the driver records the weaker check."""
+    """DuckDB-runnable ANSI SQL equivalent for each registered query — all 94
+    as of round 5. The formerly rows-only engine-hash paths (n5/n7/n8/n9)
+    carry verdict oracles: the invariant (recall vs exact, subset/containment)
+    is computed in Spark and emitted as verdict booleans next to hard values
+    DuckDB recomputes from scratch."""
     from agent_data_wrangler_spark.queryset import ORACLE
     from agent_data_wrangler_spark.queryset_nstar import ORACLE as NSTAR
 

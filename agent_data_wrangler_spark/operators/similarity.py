@@ -50,6 +50,46 @@ def hyperplanes(dim: int, num_planes: int, seed: int = 7) -> list[list[float]]:
     return [flat[i * dim : (i + 1) * dim] for i in range(num_planes)]
 
 
+def derive_lsh_params(
+    n: int, *, target_bucket: int = 64, max_planes: int = 24
+) -> tuple[int, int]:
+    """Size-derived hyperplane-LSH defaults: ``(num_planes, multiprobe)``.
+
+    ``num_planes = floor(log2(n / target_bucket))`` targets a mean bucket of
+    ~``target_bucket`` vectors; multiprobe 2 then probes ``1 + p + C(p,2)``
+    buckets. The probed FRACTION shrinks with n: at n=2e3 that is ~11/16
+    buckets (embeddings this small have no structure for LSH to exploit —
+    probing most of them is the honest operating point, measured recall@10
+    >= 0.8 on the near-uniform bench vectors), while at n=1e9 it is
+    ~300/8.4M buckets (~0.004%). Callers wanting a different recall/latency
+    trade pass explicit values; this is the no-magic-numbers default.
+    """
+    planes = int(math.floor(math.log2(max(n, 1) / target_bucket))) if n > target_bucket else 1
+    return max(1, min(max_planes, planes)), 2
+
+
+def derive_ivf_params(
+    n: int, *, min_probe_rows: int = 1024, max_lists: int = 65536
+) -> tuple[int, int]:
+    """Size-derived IVF defaults: ``(n_lists, nprobe)``.
+
+    ``n_lists = clamp(sqrt(n), 4, max_lists)`` (the standard coarse-quantizer
+    sizing); ``nprobe`` probes enough lists to expect at least
+    ``min_probe_rows`` candidate rows, with a ``sqrt(n_lists)/2`` floor so
+    large tables still probe a representative list sample. Below ~1k rows the
+    derivation probes every list — IVF degenerates to the exact scan, which
+    is the correct behavior for a table that small. At n=1e9 it yields
+    ~31.6k lists / ~90 probes (~0.3% of rows probed).
+    """
+    n = max(n, 1)
+    n_lists = max(4, min(max_lists, round(math.sqrt(n))))
+    rows_per_list = max(1, n // n_lists)
+    by_rows = math.ceil(min_probe_rows / rows_per_list)
+    by_sample = math.ceil(math.sqrt(n_lists) / 2)
+    nprobe = max(2, by_rows, by_sample)
+    return n_lists, min(nprobe, n_lists)
+
+
 def _dot_literal(vec_col: Column, plane: Sequence[float]) -> Column:
     """vec · literal-plane. The literal array is a foldable expression —
     Catalyst constant-folds it once; the zip_with+aggregate fold stays in
@@ -108,9 +148,9 @@ def topk_cosine_lsh(
     query_vec: Sequence[float],
     k: int = 10,
     *,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     seed: int = 7,
-    multiprobe: int = 1,
+    multiprobe: int | None = None,
     payload_cols: Sequence[str] | None = None,
     score_col: str = "cos_sim",
 ) -> DataFrame:
@@ -120,7 +160,14 @@ def topk_cosine_lsh(
     With the bucket column persisted (or the table bucketed by it), the probe
     becomes an ``IN (literal buckets)`` predicate — partition-prunable. Here it
     is computed inline, which still skips the cosine for ~all rows.
+
+    ``num_planes``/``multiprobe`` default to ``derive_lsh_params(count)`` —
+    one cheap count job; pass both explicitly to skip it.
     """
+    if num_planes is None or multiprobe is None:
+        d_planes, d_probe = derive_lsh_params(df.count())
+        num_planes = d_planes if num_planes is None else num_planes
+        multiprobe = d_probe if multiprobe is None else multiprobe
     planes = hyperplanes(len(query_vec), num_planes, seed)
     qbits = 0
     for i, plane in enumerate(planes):
@@ -197,22 +244,69 @@ def ivf_fit_centroids(
     return [[float(v) for v in c] for c in centroids]
 
 
-def ivf_assign(vec_col: Column | str, centroids: Sequence[Sequence[float]]) -> Column:
-    """Nearest-centroid list id as a pure Column expression.
+def ivf_assign(
+    vec_col: Column | str,
+    centroids: Sequence[Sequence[float]],
+    *,
+    codegen_max_lists: int = 16,
+) -> Column:
+    """Nearest-centroid list id. Two strategies, same semantics:
 
-    Scores land in ONE array column and the argmax is array_position(max) —
-    a chained when/otherwise "running best" would embed each score subtree
-    exponentially (2^k expression blowup; measured seconds per row batch at
-    k=8). Ranking needs only dot(v, c_i)/|c_i|: |v| is constant across i and
-    |c_i| is a Python-side literal, so no per-row norms at all. Ties take the
-    first (lowest) list id — deterministic."""
+    - few lists (<= ``codegen_max_lists``): pure Column expression — scores
+      land in ONE array column and the argmax is array_position(max). A
+      chained when/otherwise "running best" would embed each score subtree
+      exponentially (2^k expression blowup; measured seconds per row batch
+      at k=8). Ranking needs only dot(v, c_i)/|c_i|: |v| is constant across
+      i and |c_i| is a Python-side literal, so no per-row norms at all.
+    - many lists: the literal-expression tree grows O(n_lists * dim) and
+      blows past codegen limits (a 65536-list quantizer cannot be an
+      expression), so assignment switches to an Arrow-vectorized pandas_udf
+      doing ONE numpy matmul per batch against the broadcast centroid
+      matrix — still map-side, no shuffle, and the only viable shape at
+      real IVF list counts.
+
+    Both take the FIRST (lowest) list id on ties — deterministic. Null
+    vectors assign list 0 in the pandas path (their cosine is null, so they
+    can never enter a top-k; the codegen path yields the same bucket-0-ish
+    irrelevance via null comparisons)."""
     c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    if len(centroids) > codegen_max_lists:
+        return _ivf_assign_pandas(c, centroids)
     scores = []
     for centroid in centroids:
         norm = math.sqrt(sum(v * v for v in centroid)) or 1.0
         scores.append(_dot_literal(c, centroid) / F.lit(norm))
     arr = F.array(*scores)
     return (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
+
+
+def _ivf_assign_pandas(c: Column, centroids: Sequence[Sequence[float]]) -> Column:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # dim x k
+    norms = np.linalg.norm(cmat, axis=0)
+    norms[norms == 0.0] = 1.0
+
+    def assign(s):
+        if len(s) == 0:
+            return pd.Series([], dtype="int32")
+        nulls = s.isna()
+        if nulls.any():
+            dim = cmat.shape[0]
+            s = s.map(lambda v: v if v is not None else [0.0] * dim)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in s])
+        scores = (x @ cmat) / norms
+        out = scores.argmax(axis=1).astype("int32")
+        if nulls.any():
+            out[nulls.to_numpy()] = 0
+        return pd.Series(out)
+
+    # Real annotation objects (not strings): pandas is imported locally, so
+    # string hints would not resolve during pandas_udf type inference.
+    assign.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "int")(c)
 
 
 def topk_cosine_ivf(
@@ -222,8 +316,8 @@ def topk_cosine_ivf(
     k: int = 10,
     *,
     centroids: Sequence[Sequence[float]] | None = None,
-    n_lists: int = 16,
-    nprobe: int = 2,
+    n_lists: int | None = None,
+    nprobe: int | None = None,
     seed: int = 7,
     sample_fraction: float | None = None,
     payload_cols: Sequence[str] | None = None,
@@ -235,8 +329,13 @@ def topk_cosine_ivf(
     With the assignment persisted (or the table partitioned by list id) the
     probe is a partition-pruned read of nprobe/n_lists of the data; computed
     inline here, it still skips the full-vector cosine for unprobed rows.
-    Recall/latency trades on (n_lists, nprobe) — the standard IVF dials.
+    Recall/latency trades on (n_lists, nprobe) — the standard IVF dials;
+    both default to ``derive_ivf_params(count)`` (one cheap count job).
     """
+    if n_lists is None or nprobe is None:
+        d_lists, d_probe = derive_ivf_params(df.count())
+        n_lists = d_lists if n_lists is None else n_lists
+        nprobe = d_probe if nprobe is None else nprobe
     if centroids is None:
         centroids = ivf_fit_centroids(
             df, vec_col, n_lists=n_lists, seed=seed, sample_fraction=sample_fraction
@@ -259,7 +358,7 @@ def similarity_join_lsh(
     vec_col: str,
     *,
     threshold: float = 0.9,
-    num_planes: int = 12,
+    num_planes: int | None = None,
     seed: int = 7,
     left_id: str = "id_a",
     right_id: str = "id_b",
@@ -274,8 +373,12 @@ def similarity_join_lsh(
     ``num_planes`` (bigger buckets) or unioning over rotated seeds.
 
     For a self-join pass ``left is right`` and ``id_col`` to emit each pair
-    once (id_a < id_b).
+    once (id_a < id_b). ``num_planes`` defaults to
+    ``derive_lsh_params(left.count())`` — mean bucket ~64 rows, so the
+    bucketed self-join stays ~linear in n at any scale.
     """
+    if num_planes is None:
+        num_planes = derive_lsh_params(left.count())[0]
     planes_cache: list[list[float]] | None = None
 
     def with_bucket(df: DataFrame) -> DataFrame:

@@ -1,18 +1,17 @@
 """North-star-tier query registry (SURVEY §2.7): dedup / text analysis /
 similarity search over the driver's ``documents`` and ``embeddings`` tables.
 
-Same contract as ``queryset.py``: every oracle-checkable query has a DuckDB
-ANSI-SQL twin with IDENTICAL column names and rounding. Genuinely
-non-SQL-expressible operators (MinHash-LSH candidate generation, hyperplane
-LSH probing — both depend on engine hash functions) register as rows-only
-queries; their semantics are pinned by unit tests on planted near-duplicates
-instead (tests/test_dedup_similarity.py).
-
-Registration order is deliberate: oracle-bearing queries come BEFORE the
-rows-only approximate tail (n5, n7-n9) so a budget-capped driver oracle
-pass reaches every checkable query first (final ordering is owned by
+Same contract as ``queryset.py``: every registered query has a DuckDB
+ANSI-SQL twin with IDENTICAL column names and rounding. Operators whose raw
+output depends on engine hash functions (MinHash-LSH candidate generation,
+hyperplane-LSH/IVF probing — n5, n7-n9) register VERDICT oracles instead:
+the invariant (recall@k vs the exact scan, minhash ⊆ exact-Jaccard pairs,
+planted-copy containment) is computed in Spark and emitted as verdict
+booleans next to hard values DuckDB recomputes from scratch; raw-path
+semantics stay pinned by planted-near-dup unit tests
+(tests/test_dedup_similarity.py). Final driver ordering is owned by
 __spark_entry__.queries(): canaries, then never-driver-verified oracles,
-then verified, rows-only last).
+then least-recently-verified.
 
 Scale notes inline per query — the grading bar is "would this plan survive
 100 TB", not "does it pass at sf0.01".
@@ -291,28 +290,77 @@ def n4_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# N5 — full MinHash+LSH near-dup pipeline (candidates → exact-Jaccard verify
-# → survivor count). Rows-only: candidate generation depends on xxhash64,
-# which DuckDB cannot mirror; recall/precision are pinned by
-# tests/test_dedup_similarity.py on planted near-dups, and the verify stage's
-# math is oracle-checked by N4.
+# N5 — full MinHash+LSH near-dup pipeline, upgraded from rows-only to a
+# verdict oracle (the sm1/sb1/ad1 pattern: compute the invariant IN Spark,
+# emit verdict booleans DuckDB trivially matches, next to hard values it
+# recomputes from scratch). DuckDB cannot mirror xxhash64 candidate
+# generation, but it CAN recompute the exact J>=0.7 pair set (n4's inverted-
+# index query at 0.7), which bounds the approximate path both ways:
+#   subset_ok — every minhash pair is in the exact set (the verify stage
+#     filters candidates on EXACT shingle-Jaccard, so a false here means the
+#     pipeline wiring broke);
+#   recall_ok — minhash recovers >= 90% of the exact pairs. 16 bands of 4
+#     hashes collide a J=0.7 pair w.p. 1-(1-0.7^4)^16 ≈ 0.988 (higher-J
+#     pairs more), so 0.9 has real margin; measured recall is 1.0 at all
+#     three SFs.
+# n_docs / n_pairs_exact are hard value-checked columns.
 # ---------------------------------------------------------------------------
-@query("n5_minhash_neardup_documents")
+@query(
+    "n5_minhash_neardup_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), ex AS (
+      SELECT count(*) AS n_ex FROM (
+        SELECT a.doc_id, b.doc_id,
+               CAST(count(*) AS DOUBLE)
+                 / nullif(CAST(a.n + b.n - count(*) AS DOUBLE), 0.0) AS j
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      ) WHERE round(j, 6) >= 0.7
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           CAST(n_ex AS BIGINT) AS n_pairs_exact,
+           true AS subset_ok,
+           true AS recall_ok
+    FROM ex
+    """,
+)
 def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = read_table(spark, sf_dir, "documents")
-    pairs = dedup.near_dup_pairs_minhash(
+    # Both pair frames are tiny (the funnel's OUTPUT) but referenced twice
+    # (count + anti-join); persisting caps each pipeline at one run.
+    mh = dedup.near_dup_pairs_minhash(
         d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = dedup.near_dup_pairs_exact(
+        d, "doc_id", "text", k=3, threshold=0.7
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    extra = mh.select("id_a", "id_b").join(
+        ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
-    # Survivor count derived from the SAME pair pipeline (keep-first rule:
-    # survivors = docs - distinct id_b) instead of running the LSH twice.
-    stats = pairs.agg(
-        F.count(F.lit(1)).alias("n_neardup_pairs"),
-        F.countDistinct("id_b").alias("__n_losers"),
-    )
-    total = d.agg(F.count(F.lit(1)).alias("__n_docs"))
-    return stats.crossJoin(total).select(
-        "n_neardup_pairs",
-        (F.col("__n_docs") - F.col("__n_losers")).alias("n_survivors"),
+    mh_stats = mh.agg(F.count(F.lit(1)).alias("__mh"))
+    extra_stats = extra.agg(F.count(F.lit(1)).alias("__extra"))
+    ex_stats = ex.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+    docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        docs.crossJoin(ex_stats).crossJoin(mh_stats).crossJoin(extra_stats).select(
+            "n_docs",
+            "n_pairs_exact",
+            (F.col("__extra") == 0).alias("subset_ok"),
+            (
+                F.col("__mh").cast("double")
+                >= F.lit(0.9) * F.col("n_pairs_exact").cast("double")
+            ).alias("recall_ok"),
+        )
     )
 
 
@@ -522,55 +570,194 @@ def st3_streaming_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# N7 — LSH-probed approximate top-k (the 100 TB scale path for N3): probe the
-# query's hyperplane bucket ± 1 bit, brute-force only probed rows. Rows-only
-# (approximate by design); recall-vs-exact is asserted in unit tests.
+# N7 — LSH-probed approximate top-k (the 100 TB scale path for N3), upgraded
+# from rows-only to a verdict oracle: the ANN result itself depends on the
+# engine's hyperplane buckets, but its QUALITY contract — recall@k against
+# the exact scan — is computable IN Spark and verdict-matched by DuckDB,
+# alongside the exact top-1 (vec_id + similarity) that DuckDB recomputes
+# from scratch (real value check; the full exact top-k is already pinned by
+# n3). Params come from derive_lsh_params(n) — no magic numbers: at n=2000
+# that is 4 planes / multiprobe 2 (~11/16 buckets probed — near-uniform
+# bench vectors give LSH nothing to exploit, so probing most of them is the
+# honest operating point; measured recall@10 = 1.0 at all three SFs), at
+# n=1e9 it is 23 planes (~300/8.4M buckets). recall_ok gates at 0.7 —
+# margin under the measured 1.0 for testdata drift; units pin >= 0.8.
 # ---------------------------------------------------------------------------
-@query("n7_lsh_topk_embeddings")
+_ANN_VERDICT_ORACLE = f"""
+    WITH scored AS (
+      SELECT vec_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), CAST({_QV_SQL} AS DOUBLE[]))
+               / nullif(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST({_QV_SQL} AS DOUBLE[]), CAST({_QV_SQL} AS DOUBLE[]))), 0.0)
+               AS cos
+      FROM embeddings
+    ), top1 AS (
+      SELECT vec_id, round(cos, 6) AS sim FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 1
+    )
+    SELECT CAST(vec_id AS BIGINT) AS exact_top1_vec_id,
+           sim AS exact_top1_sim,
+           CAST(least(10, (SELECT count(*) FROM embeddings)) AS BIGINT) AS n_exact,
+           true AS ann_count_ok,
+           true AS recall_ok
+    FROM top1
+"""
+
+
+def _ann_verdict(e: DataFrame, ann: DataFrame) -> DataFrame:
+    """Shared verdict shape for the approximate top-k queries (n7/n9):
+    exact top-1 value columns + recall@k / result-size verdict booleans.
+
+    ``exact`` and ``ann`` are <= k-row frames referenced twice each (overlap
+    join + count); persisting them caps each scan pipeline at one run."""
+    from pyspark import StorageLevel
+
+    ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    exact = similarity.topk_cosine(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    top1 = similarity.topk_cosine(e, "embedding", QUERY_VEC, k=1, payload_cols=["vec_id"]).select(
+        F.col("vec_id").cast("bigint").alias("exact_top1_vec_id"),
+        F.col("cos_sim").alias("exact_top1_sim"),
+    )
+    hits = (
+        ann.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("__hits"))
+    )
+    counts = exact.agg(F.count(F.lit(1)).alias("n_exact")).crossJoin(
+        ann.agg(F.count(F.lit(1)).alias("__ann_n"))
+    )
+    return top1.crossJoin(counts).crossJoin(hits).select(
+        "exact_top1_vec_id",
+        "exact_top1_sim",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.col("__ann_n") == F.col("n_exact")).alias("ann_count_ok"),
+        (
+            F.col("__hits").cast("double")
+            >= F.lit(0.7) * F.col("n_exact").cast("double")
+        ).alias("recall_ok"),
+    )
+
+
+@query("n7_lsh_topk_embeddings", oracle=_ANN_VERDICT_ORACLE)
 def n7_lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    # planes=5/probe=2: recall@10 = 0.8 at sf0.001/0.01/0.1 (measured sweep;
-    # planes=10 scored 0.0-0.3 — 1024 buckets over <=2000 vectors is
-    # bucket-starved). The synthetic embeddings are near-uniform, which lower-
-    # bounds any bucketed ANN's recall at ~fraction-probed; sign-hash locality
-    # is what lifts 50% probed to 0.8 here.
-    return similarity.topk_cosine_lsh(
-        e, "embedding", QUERY_VEC, k=10, num_planes=5, multiprobe=2,
-        payload_cols=["vec_id", "label"],
+    ann = similarity.topk_cosine_lsh(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
     )
+    return _ann_verdict(e, ann)
 
 
 # ---------------------------------------------------------------------------
 # N8 — embedding-cosine near-dup pairs via the bucketed LSH similarity
-# self-join (compact bigint join key; cosine verify inside pairs). Rows-only.
+# self-join, upgraded from rows-only to a planted-pair verdict oracle: the
+# bench embeddings are near-uniform (zero natural pairs at cos >= 0.90 — by
+# measurement), so the query PLANTS 25 exact copies (vec_id + 1e6) and
+# checks the pipeline recovers them. Identical vectors share every LSH
+# bucket, so planted recall is deterministically 1.0 — planted_found_ok is
+# a wiring check, not a luck check. n_pairs_exact is a hard value both
+# engines compute from scratch over the bounded 50-row planted subset
+# (base 25 + copies; broadcast nested-loop — the bounded exact-verify leg),
+# and lsh_subset_ok pins that the LSH pairs within that subset are a subset
+# of the exact pairs (the verify stage filters on true cosine).
 # ---------------------------------------------------------------------------
-@query("n8_embedding_neardup_pairs")
-def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = read_table(spark, sf_dir, "embeddings")
-    pairs = similarity.similarity_join_lsh(
-        e, e, "embedding", threshold=0.95, num_planes=8, id_col="vec_id"
+_N8_PLANT = 25
+_N8_OFFSET = 1_000_000
+
+
+@query(
+    "n8_embedding_neardup_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {_N8_PLANT}
+    ), aug AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_N8_OFFSET} AS vec_id, v FROM base
+    ), ex AS (
+      SELECT count(*) AS n_ex FROM (
+        SELECT round(list_dot_product(a.v, b.v)
+                     / nullif(sqrt(list_dot_product(a.v, a.v))
+                              * sqrt(list_dot_product(b.v, b.v)), 0.0), 6) AS cs
+        FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      ) WHERE cs >= 0.95
     )
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    SELECT CAST({_N8_PLANT} AS BIGINT) AS n_planted,
+           CAST(n_ex AS BIGINT) AS n_pairs_exact,
+           true AS planted_found_ok,
+           true AS lsh_subset_ok
+    FROM ex
+    """,
+)
+def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.vectors import cosine_similarity
+
+    from pyspark import StorageLevel
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.orderBy("vec_id").limit(_N8_PLANT)
+    planted = base.select(
+        (F.col("vec_id") + F.lit(_N8_OFFSET)).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(planted)
+    # The LSH self-join output is referenced twice (planted count + subset
+    # check) and is tiny by construction; persist caps it at one run.
+    pairs = similarity.similarity_join_lsh(
+        aug, aug, "embedding", threshold=0.95, id_col="vec_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Bounded exact leg: all pairs within the 50-row planted subset. The
+    # non-equi join compiles to BroadcastNestedLoopJoin over a constant-size
+    # side — the exact-verify baseline, bounded at any corpus scale.
+    small = base.unionByName(planted)
+    a = small.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    b = small.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    exact_pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cs", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cs") >= 0.95)
+        .select("id_a", "id_b")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ids_small = small.select("vec_id")
+    lsh_sub = (
+        pairs.join(ids_small.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
+        .join(ids_small.withColumnRenamed("vec_id", "id_b"), "id_b", "left_semi")
+        .select("id_a", "id_b")
+    )
+    extra = lsh_sub.join(exact_pairs, ["id_a", "id_b"], "left_anti")
+    planted_cnt = pairs.filter(
+        F.col("id_b") - F.col("id_a") == F.lit(_N8_OFFSET)
+    ).agg(F.count(F.lit(1)).alias("__planted"))
+    return (
+        exact_pairs.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+        .crossJoin(planted_cnt)
+        .crossJoin(extra.agg(F.count(F.lit(1)).alias("__extra")))
+        .select(
+            F.lit(_N8_PLANT).cast("bigint").alias("n_planted"),
+            F.col("n_pairs_exact").cast("bigint").alias("n_pairs_exact"),
+            (F.col("__planted") == F.lit(_N8_PLANT)).alias("planted_found_ok"),
+            (F.col("__extra") == 0).alias("lsh_subset_ok"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
 # N9 — IVF approximate top-k (the other scale path besides hyperplane LSH):
-# seeded-KMeans coarse quantizer → probe the 2 nearest inverted lists →
-# brute-force only probed rows. Rows-only (KMeans init is engine-specific);
-# recall vs exact is unit-tested on planted neighbours.
+# seeded-KMeans coarse quantizer → probe the nearest inverted lists →
+# brute-force only probed rows. Same verdict-oracle shape as n7 (the KMeans
+# fit is engine-specific, its recall contract is not). Params come from
+# derive_ivf_params(n): at n=2000 that is 45 lists / 24 probes (~53% of
+# near-uniform rows probed — the data's own recall ceiling; measured
+# recall@10 = 0.8 at sf0.1, 1.0 below, units pin >= 0.8), at n=1e9 it is
+# ~31.6k lists / ~90 probes (~0.3% probed). recall_ok gates at 0.7.
 # ---------------------------------------------------------------------------
-@query("n9_ivf_topk_embeddings")
+@query("n9_ivf_topk_embeddings", oracle=_ANN_VERDICT_ORACLE)
 def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
-    # lists=4/nprobe=2: recall@10 = 0.9 at sf0.01/0.1 (measured sweep;
-    # 8/2 scored 0.2-0.5). Uniform synthetic embeddings give IVF no cluster
-    # structure to exploit, so recall ~ nprobe/n_lists is the data's own
-    # ceiling — on real embedding distributions the same shape does far
-    # better with far smaller probed fractions.
-    return similarity.topk_cosine_ivf(
-        e, "embedding", QUERY_VEC, k=10, n_lists=4, nprobe=2,
-        payload_cols=["vec_id", "label"],
+    ann = similarity.topk_cosine_ivf(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
     )
+    return _ann_verdict(e, ann)
 
 
 # ---------------------------------------------------------------------------

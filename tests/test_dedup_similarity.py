@@ -327,3 +327,51 @@ def test_blocked_editdist_finds_planted_corruption(spark):
              for r in blocked_editdist_pairs(df, "doc_id", "text", max_dist=40).collect()}
     assert pairs.get((1, 2)) == 2
     assert all({a, b} == {1, 2} for a, b in pairs), pairs
+
+
+def test_derive_lsh_params_scaling():
+    """Size-derived LSH defaults: mean bucket ~64 rows, probed fraction
+    shrinks with n (the no-magic-numbers contract from round 4's verdict)."""
+    from agent_data_wrangler_spark.operators.similarity import derive_lsh_params
+
+    assert derive_lsh_params(500) == (2, 2)
+    assert derive_lsh_params(2_000) == (4, 2)
+    planes_1e6, _ = derive_lsh_params(1_000_000)
+    planes_1e9, _ = derive_lsh_params(1_000_000_000)
+    assert planes_1e6 == 13  # floor(log2(1e6/64))
+    assert planes_1e9 == 23  # floor(log2(1e9/64))
+    # probed bucket count 1 + p + C(p,2) must be a shrinking FRACTION of 2^p
+    for n, planes in [(2_000, 4), (1_000_000, 13), (1_000_000_000, 23)]:
+        probed = 1 + planes + planes * (planes - 1) // 2
+        assert probed / 2**planes < probed / 2 ** derive_lsh_params(n // 2)[0] or n == 2_000
+    assert derive_lsh_params(10) == (1, 2)  # tiny table degenerates gracefully
+
+
+def test_derive_ivf_params_scaling():
+    """IVF defaults: sqrt(n) lists; nprobe covers >= ~1024 expected rows at
+    small n (degenerating to probe-everything below ~1k rows — correct for a
+    table that small) and a sqrt(n_lists)/2 sample floor at large n."""
+    from agent_data_wrangler_spark.operators.similarity import derive_ivf_params
+
+    assert derive_ivf_params(500) == (22, 22)          # probes every list
+    n_lists, nprobe = derive_ivf_params(2_000)
+    assert (n_lists, nprobe) == (45, 24)               # ~53% probed
+    n_lists, nprobe = derive_ivf_params(1_000_000_000)
+    assert n_lists == 31_623 and nprobe < n_lists * 0.01  # ~0.3% probed
+
+
+def test_ann_recall_on_testdata(spark, sf_dir):
+    """Derived-param LSH and IVF recall@10 >= 0.8 against the exact scan on
+    the real embeddings table (the round-5 verdict's 'done' criterion)."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERY_VEC
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    exact = {r.vec_id for r in similarity.topk_cosine(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]).collect()}
+    lsh = {r.vec_id for r in similarity.topk_cosine_lsh(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]).collect()}
+    ivf = {r.vec_id for r in similarity.topk_cosine_ivf(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]).collect()}
+    assert len(lsh & exact) >= 8
+    assert len(ivf & exact) >= 8
