@@ -652,7 +652,9 @@ def blocked_editdist_pairs(
     max_dist: int = 40,
     block_tokens: int = 2,
     length_band: int = 16,
-) -> DataFrame:
+    max_block_size: int | None = None,
+    with_metrics: bool = False,
+):
     """Record-linkage near-dup candidates: a deterministic blocking key
     (leading tokens + length band) restores an equi-join shape, then
     THRESHOLDED Levenshtein within blocks → ``(id_a, id_b, dist)`` with
@@ -672,16 +674,57 @@ def blocked_editdist_pairs(
     exits the DP at O(max_dist·len) per pair instead of O(len²) — on the
     sf0.1 word-soup corpus that plus 2-token blocking took the stage from
     37s to under a second.
+
+    ``max_block_size`` is the degenerate-block GUARD (same philosophy as
+    ``max_shingle_df``): a hot block — every doc sharing the leading tokens
+    and length band, e.g. boilerplate — re-creates the quadratic join no
+    matter how good the average block is. Blocks over the cap are refined by
+    EXACT length (a strictly finer key, so no pair is double-counted across
+    the split; cross-length pairs inside a hot block are the documented
+    recall narrowing); refined blocks still over the cap are skipped
+    entirely. ``with_metrics=True`` additionally returns a 1-row DataFrame
+    ``(n_blocks_refined, n_blocks_skipped, n_rows_skipped)`` so pipelines
+    can alert on silent coverage loss instead of guessing.
     """
     bk = editdist_block_key(
         text_col, block_tokens=block_tokens, length_band=length_band
     )
     b = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"), bk.alias("__bk"))
+    refined = skipped = None
+    if max_block_size is not None:
+        big = (
+            b.groupBy("__bk")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block_size)
+            .select("__bk", F.lit(True).alias("__big"))
+        )
+        refined = big.select("__bk")
+        # Refine rows of oversized blocks with the exact length (finer key);
+        # the join is on the block key — small right side, AQE broadcasts it.
+        b = (
+            b.join(big, "__bk", "left")
+            .withColumn(
+                "__bk",
+                F.when(
+                    F.col("__big"),
+                    F.concat_ws("#", F.col("__bk"), F.length("__t").cast("string")),
+                ).otherwise(F.col("__bk")),
+            )
+            .drop("__big")
+        )
+        still_big = (
+            b.groupBy("__bk")
+            .agg(F.count(F.lit(1)).alias("__bs"))
+            .filter(F.col("__bs") > max_block_size)
+            .select("__bk")
+        )
+        skipped = b.join(still_big, "__bk", "left_semi")
+        b = b.join(still_big, "__bk", "left_anti")
     a, c = b.alias("a"), b.alias("b")
     # threshold=-1 sentinel for "beyond max_dist": filter on >= 0 keeps only
     # real distances, so callers never see the sentinel.
     dist = F.levenshtein(F.col("a.__t"), F.col("b.__t"), threshold=max_dist)
-    return (
+    pairs = (
         a.join(c, (F.col("a.__bk") == F.col("b.__bk")) & (F.col("a.__id") < F.col("b.__id")))
         .select(
             F.col("a.__id").alias("id_a"),
@@ -690,3 +733,22 @@ def blocked_editdist_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+    if not with_metrics:
+        return pairs
+    if max_block_size is None:
+        metrics = df.sparkSession.range(1).select(
+            F.lit(0).cast("bigint").alias("n_blocks_refined"),
+            F.lit(0).cast("bigint").alias("n_blocks_skipped"),
+            F.lit(0).cast("bigint").alias("n_rows_skipped"),
+        )
+    else:
+        metrics = (
+            refined.agg(F.count(F.lit(1)).cast("bigint").alias("n_blocks_refined"))
+            .crossJoin(
+                skipped.agg(
+                    F.countDistinct("__bk").cast("bigint").alias("n_blocks_skipped"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows_skipped"),
+                )
+            )
+        )
+    return pairs, metrics

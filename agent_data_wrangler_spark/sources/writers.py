@@ -119,6 +119,56 @@ def write_range_sorted(
     )
 
 
+def compact(
+    spark,
+    path: str,
+    *,
+    target_mb: int = 128,
+    fmt: str = "parquet",
+    shuffle: bool = False,
+    in_place: bool = False,
+) -> str:
+    """Small-file compaction — the fourth layout tool (with versioned,
+    bucketed, and range-sorted writes) a 100 TB pipeline actually runs
+    daily: streaming sinks and per-micro-batch writes accrete thousands of
+    KB-sized files whose open/footer overhead eventually dominates scans.
+
+    Rewrites the directory into ``ceil(total_bytes / target_mb)`` files.
+    ``shuffle=False`` (default) uses ``coalesce`` — a shuffle-free merge of
+    scan partitions, the cheap path when input files are roughly even;
+    ``shuffle=True`` uses ``repartition`` to also rebalance skewed inputs.
+
+    By default writes a versioned sibling (``{path}_compacted[...]``, the
+    S2 never-overwrite convention) and returns its path. ``in_place=True``
+    swaps the compacted directory over the original via renames — correct
+    on a real filesystem; on object stores without atomic rename, prefer
+    the default versioned mode plus a catalog pointer flip.
+    """
+    import math
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue  # _SUCCESS, hidden CRCs — not data
+            total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    df = spark.read.format(fmt).load(path)
+    sized = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    if in_place:
+        tmp = path.rstrip("/") + ".__compacting__"
+        sized.write.mode("error").format(fmt).save(tmp)
+        bak = path.rstrip("/") + ".__pre_compact__"
+        os.rename(path, bak)
+        os.rename(tmp, path)
+        shutil.rmtree(bak)
+        return path
+    out = next_version_path(path, suffix="compacted")
+    sized.write.mode("error").format(fmt).save(out)
+    return out
+
+
 def latest_version_path(path: str, suffix: str = "clean") -> str:
     """S3: resolve the newest existing clean version of ``path`` — the
     reference's each-stage-reads-the-latest-output convention

@@ -375,3 +375,45 @@ def test_ann_recall_on_testdata(spark, sf_dir):
         e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]).collect()}
     assert len(lsh & exact) >= 8
     assert len(ivf & exact) >= 8
+
+
+def test_blocked_editdist_max_block_size_guard(spark):
+    """A degenerate block (every doc shares the leading 2 tokens + length
+    band) must not re-create the quadratic join: oversized blocks are
+    refined by exact length; still-oversized refined blocks are skipped
+    with a reported metric (the max_shingle_df philosophy)."""
+    from agent_data_wrangler_spark.operators.dedup import blocked_editdist_pairs
+
+    # 30 docs, identical leading tokens, SAME exact length -> one hot block
+    # that length-refinement cannot split (skip path). 12 more docs sharing
+    # one other length band but spread over 6 exact lengths (2 each) ->
+    # oversized block that length-refinement DOES split into pairs (refine
+    # path keeps their within-length pairs).
+    hot = [(i, "common prefix " + f"body{i:02d}") for i in range(30)]
+    vari = [
+        (100 + 10 * j + r, "common prefix " + "y" * (81 + j) + ("z" if r else "y"))
+        for j in range(6) for r in range(2)
+    ]
+    df = spark.createDataFrame(hot + vari, "doc_id long, text string")
+
+    uncapped = blocked_editdist_pairs(df, "doc_id", "text", max_dist=100)
+    assert uncapped.filter((F.col("id_a") < 30) & (F.col("id_b") < 30)).count() == 30 * 29 // 2
+
+    pairs, metrics = blocked_editdist_pairs(
+        df, "doc_id", "text", max_dist=100, max_block_size=10, with_metrics=True
+    )
+    got = pairs.collect()
+    # the unsplittable hot block is skipped entirely...
+    assert not [r for r in got if r.id_a < 30 and r.id_b < 30]
+    # ...while the splittable one keeps exactly its 6 within-length pairs
+    vari_pairs = {(r.id_a, r.id_b) for r in got if r.id_a >= 100}
+    assert vari_pairs == {(100 + 10 * j, 101 + 10 * j) for j in range(6)}
+    m = metrics.collect()[0]
+    assert m.n_blocks_skipped == 1 and m.n_rows_skipped == 30
+    assert m.n_blocks_refined == 2
+
+    # metrics without a cap report zeros (and the no-metrics default returns
+    # a bare DataFrame, unchanged API)
+    _, m0 = blocked_editdist_pairs(df, "doc_id", "text", with_metrics=True)
+    r0 = m0.collect()[0]
+    assert (r0.n_blocks_refined, r0.n_blocks_skipped, r0.n_rows_skipped) == (0, 0, 0)

@@ -655,3 +655,35 @@ def test_fill_mode_and_global_stats_direct(spark):
     row = global_stats(df, "v").first()
     assert row["n"] == 4 and row["min"] == 1.0 and row["max"] == 3.0
     assert row["median"] == 2.5 and abs(row["mean"] - 2.25) < 1e-9
+
+
+def test_compact_many_tiny_files(spark, tmp_path):
+    """Small-file compaction: 64 tiny parquet files rewrite into
+    ~total_bytes/target files, values intact; in_place swaps the directory."""
+    import glob
+    import os
+
+    from agent_data_wrangler_spark.sources.writers import compact
+
+    src = str(tmp_path / "tiny")
+    df = spark.range(20_000).withColumn("payload", F.md5(F.col("id").cast("string")))
+    df.repartition(64).write.parquet(src)
+    data_files = glob.glob(src + "/part-*.parquet")
+    assert len(data_files) == 64
+    total = sum(os.path.getsize(f) for f in data_files)
+
+    target_mb = 1  # force a deterministic small file budget
+    out = compact(spark, src, target_mb=target_mb)
+    got_files = glob.glob(out + "/part-*.parquet")
+    import math
+    assert len(got_files) == max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    assert len(got_files) < 64
+    # round-trip: same rows, and the original is untouched (S2 convention)
+    assert spark.read.parquet(out).orderBy("id").collect() == df.orderBy("id").collect()
+    assert len(glob.glob(src + "/part-*.parquet")) == 64
+
+    # in-place mode swaps the directory itself
+    out2 = compact(spark, src, target_mb=1024, in_place=True)
+    assert out2 == src
+    assert len(glob.glob(src + "/part-*.parquet")) == 1
+    assert spark.read.parquet(src).count() == 20_000

@@ -225,3 +225,56 @@ def test_incremental_rollup_multiple_batches(spark, stream_dir, tmp_path):
     # first batch saw only file 1; the final state covers both files
     assert seen[-1] == {"click": (3, 7.0), "view": (3, 11.0)}
     assert seen[0] != seen[-1]
+
+
+def test_foreach_batch_checkpoint_recovery(spark, stream_dir, tmp_path):
+    """The 100 TB operational property SCALE.md claims for st5: a foreachBatch
+    rollup stopped after a committed micro-batch and RESTARTED from the same
+    checkpoint dir must (a) restore the aggregation state — the final
+    complete-mode emission equals the batch answer over everything — and
+    (b) not re-deliver the already-committed micro-batch (exactly-once
+    bookkeeping via checkpoint + batch id)."""
+    import glob
+    import shutil
+
+    from agent_data_wrangler_spark.streaming import run_foreach_batch
+
+    src_files = sorted(glob.glob(stream_dir + "/*.parquet"))
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    delivered: dict[int, dict] = {}
+
+    def upsert(batch_df, batch_id):
+        assert batch_id not in delivered, f"micro-batch {batch_id} double-applied"
+        delivered[batch_id] = {
+            r["event_type"]: (r["n"], r["total"]) for r in batch_df.collect()
+        }
+
+    agg_of = lambda sdf: sdf.groupBy("event_type").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("value").alias("total"),
+    )
+
+    # Run 1: only file 1 staged; AvailableNow drains it and stops — the
+    # deterministic stand-in for "killed after a committed micro-batch".
+    shutil.copy(src_files[0], staged / "part0.parquet")
+    sdf = stream_from_directory(spark, str(staged), SCHEMA)
+    run_foreach_batch(agg_of(sdf), upsert, ckpt, output_mode="complete")
+    assert list(delivered) == [0]
+    assert delivered[0] == {"click": (2, 3.0), "view": (2, 6.0)}
+
+    # Run 2: file 2 arrives; a NEW query object restarts from the SAME
+    # checkpoint. State is restored (complete state covers both files) and
+    # batch 0 is not re-delivered.
+    shutil.copy(src_files[1], staged / "part1.parquet")
+    sdf2 = stream_from_directory(spark, str(staged), SCHEMA)
+    run_foreach_batch(agg_of(sdf2), upsert, ckpt, output_mode="complete")
+    assert list(delivered) == [0, 1]
+    batch = (
+        spark.read.schema(SCHEMA).parquet(str(staged))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("value").alias("total"))
+    )
+    want = {r["event_type"]: (r["n"], r["total"]) for r in batch.collect()}
+    assert delivered[1] == want
