@@ -337,13 +337,17 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     # Both pair frames are tiny (the funnel's OUTPUT) but referenced twice
-    # (count + anti-join); persisting caps each pipeline at one run.
+    # (count + anti-join). Persist AND materialize: lazy persists referenced
+    # several times inside one action recompute the pipeline first (measured
+    # 19s -> ~4s cold at sf0.1).
     mh = dedup.near_dup_pairs_minhash(
         d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    mh.count()
     ex = dedup.near_dup_pairs_exact(
         d, "doc_id", "text", k=3, threshold=0.7
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    ex.count()
     extra = mh.select("id_a", "id_b").join(
         ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
@@ -608,13 +612,17 @@ def _ann_verdict(e: DataFrame, ann: DataFrame) -> DataFrame:
     exact top-1 value columns + recall@k / result-size verdict booleans.
 
     ``exact`` and ``ann`` are <= k-row frames referenced twice each (overlap
-    join + count); persisting them caps each scan pipeline at one run."""
+    join + count). Persist AND materialize (count) before the multi-reference
+    plan: lazy persists referenced several times inside one action recompute
+    the pipeline before the cache exists."""
     from pyspark import StorageLevel
 
     ann = ann.persist(StorageLevel.MEMORY_AND_DISK)
+    ann.count()
     exact = similarity.topk_cosine(
         e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    exact.count()
     top1 = similarity.topk_cosine(e, "embedding", QUERY_VEC, k=1, payload_cols=["vec_id"]).select(
         F.col("vec_id").cast("bigint").alias("exact_top1_vec_id"),
         F.col("cos_sim").alias("exact_top1_sim"),
@@ -702,10 +710,13 @@ def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     aug = e.unionByName(planted)
     # The LSH self-join output is referenced twice (planted count + subset
-    # check) and is tiny by construction; persist caps it at one run.
+    # check) and is tiny by construction; persist + materialize caps it at
+    # one run (a lazy persist would recompute under the multi-reference
+    # final action).
     pairs = similarity.similarity_join_lsh(
         aug, aug, "embedding", threshold=0.95, id_col="vec_id"
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs.count()
     # Bounded exact leg: all pairs within the 50-row planted subset. The
     # non-equi join compiles to BroadcastNestedLoopJoin over a constant-size
     # side — the exact-verify baseline, bounded at any corpus scale.
@@ -718,6 +729,7 @@ def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cs") >= 0.95)
         .select("id_a", "id_b")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    exact_pairs.count()
     ids_small = small.select("vec_id")
     lsh_sub = (
         pairs.join(ids_small.withColumnRenamed("vec_id", "id_a"), "id_a", "left_semi")
