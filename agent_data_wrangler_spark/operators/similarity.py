@@ -142,6 +142,31 @@ def topk_cosine(
     return ranked.select(*cols, F.round(F.col("__score"), 6).alias(score_col))
 
 
+def probe_buckets(
+    query_vec: Sequence[float],
+    planes: Sequence[Sequence[float]],
+    multiprobe: int = 1,
+) -> list[int]:
+    """The query's sign bucket plus all hamming-<=``multiprobe`` neighbours
+    — the literal probe set every LSH read path filters on."""
+    num_planes = len(planes)
+    qbits = 0
+    for i, plane in enumerate(planes):
+        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
+        if dot >= 0:
+            qbits += 2**i
+    probes = {qbits}
+    if multiprobe >= 1:
+        probes |= {qbits ^ (1 << i) for i in range(num_planes)}
+    if multiprobe >= 2:
+        probes |= {
+            qbits ^ (1 << i) ^ (1 << j)
+            for i in range(num_planes)
+            for j in range(i + 1, num_planes)
+        }
+    return sorted(int(p) for p in probes)
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     vec_col: str,
@@ -157,9 +182,9 @@ def topk_cosine_lsh(
     """Approximate top-k: probe the query's sign bucket ± hamming-`multiprobe`
     neighbours, brute-force only the probed rows.
 
-    With the bucket column persisted (or the table bucketed by it), the probe
-    becomes an ``IN (literal buckets)`` predicate — partition-prunable. Here it
-    is computed inline, which still skips the cosine for ~all rows.
+    With the bucket column persisted (``write_lsh_bucketed`` +
+    ``topk_cosine_lsh_pruned``) the probe becomes a partition-PRUNED read;
+    computed inline here, it still skips the cosine for ~all rows.
 
     ``num_planes``/``multiprobe`` default to ``derive_lsh_params(count)`` —
     one cheap count job; pass both explicitly to skip it.
@@ -169,22 +194,76 @@ def topk_cosine_lsh(
         num_planes = d_planes if num_planes is None else num_planes
         multiprobe = d_probe if multiprobe is None else multiprobe
     planes = hyperplanes(len(query_vec), num_planes, seed)
-    qbits = 0
-    for i, plane in enumerate(planes):
-        dot = sum(float(a) * float(b) for a, b in zip(query_vec, plane))
-        if dot >= 0:
-            qbits += 2**i
-    probes = {qbits}
-    if multiprobe >= 1:
-        probes |= {qbits ^ (1 << i) for i in range(num_planes)}
-    if multiprobe >= 2:
-        probes |= {
-            qbits ^ (1 << i) ^ (1 << j)
-            for i in range(num_planes)
-            for j in range(i + 1, num_planes)
-        }
+    probes = probe_buckets(query_vec, planes, multiprobe)
     bucketed = df.withColumn("__bucket", lsh_bucket(vec_col, planes))
-    probed = bucketed.filter(F.col("__bucket").isin(*[int(p) for p in probes])).drop("__bucket")
+    probed = bucketed.filter(F.col("__bucket").isin(probes)).drop("__bucket")
+    return topk_cosine(probed, vec_col, query_vec, k, payload_cols=payload_cols, score_col=score_col)
+
+
+def write_lsh_bucketed(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    *,
+    num_planes: int | None = None,
+    seed: int = 7,
+    partition_bits: int = 10,
+) -> tuple[int, int]:
+    """Write the ANN SERVING layout: parquet partitioned by the hyperplane
+    sign bucket, so a later query READS only its probe buckets — partition
+    pruning at the source, the real 100 TB shape (the inline
+    ``topk_cosine_lsh`` still scans everything to compute buckets).
+
+    Directory fan-out is capped at ``2^partition_bits`` partitions: the
+    partition key is the bucket's HIGH ``partition_bits`` bits, the full
+    bucket stays as a data column (its ``IN`` filter pushes down to parquet
+    row-group stats). At 23 derived planes, partitioning on the raw bucket
+    would mean 8.4M directories — a filesystem/metastore non-starter; a
+    10-bit prefix keeps ~1024 partitions with ~1/1024 pruning, and the
+    remaining 2^13 in-partition buckets prune via row groups.
+
+    Returns ``(num_planes, shift)`` — the reader needs both.
+    """
+    if num_planes is None:
+        num_planes = derive_lsh_params(df.count())[0]
+    first = df.select(F.size(vec_col).alias("n")).limit(1).collect()
+    dim = int(first[0]["n"]) if first else 0
+    planes = hyperplanes(dim, num_planes, seed)
+    shift = max(0, num_planes - partition_bits)
+    out = df.withColumn("__bucket", lsh_bucket(vec_col, planes)).withColumn(
+        "__bpart", F.shiftright(F.col("__bucket"), shift)
+    )
+    out.write.mode("error").partitionBy("__bpart").parquet(path)
+    return num_planes, shift
+
+
+def topk_cosine_lsh_pruned(
+    spark,
+    path: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    num_planes: int,
+    shift: int = 0,
+    seed: int = 7,
+    multiprobe: int = 2,
+    payload_cols: Sequence[str] | None = None,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Approximate top-k over a ``write_lsh_bucketed`` layout: the probe set
+    becomes a partition filter (``__bpart IN (...)`` — pruned at planning
+    time, verifiable in the plan's ``PartitionFilters``) plus an exact
+    ``__bucket IN (...)`` data filter pushed to parquet row groups. Only the
+    probed fraction of the table is ever read."""
+    planes = hyperplanes(len(query_vec), num_planes, seed)
+    probes = probe_buckets(query_vec, planes, multiprobe)
+    parts = sorted({p >> shift for p in probes})
+    probed = (
+        spark.read.parquet(path)
+        .filter(F.col("__bpart").isin(parts) & F.col("__bucket").isin(probes))
+        .drop("__bucket", "__bpart")
+    )
     return topk_cosine(probed, vec_col, query_vec, k, payload_cols=payload_cols, score_col=score_col)
 
 

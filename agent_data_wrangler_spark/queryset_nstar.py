@@ -79,6 +79,7 @@ _DUCK_TOKS = (
 # bench run. At scale the stream source is Kafka/json and this step vanishes.
 # ---------------------------------------------------------------------------
 _STAGED_EVENTS: dict[str, tuple[str, StructType]] = {}
+_STAGED_LSH: dict[str, tuple[str, int, int]] = {}
 _STREAM_SEQ = itertools.count()
 
 
@@ -768,6 +769,43 @@ def n9_ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = read_table(spark, sf_dir, "embeddings")
     ann = similarity.topk_cosine_ivf(
         e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
+    )
+    return _ann_verdict(e, ann)
+
+
+def _staged_lsh(spark: SparkSession, sf_dir: str) -> tuple[str, int, int]:
+    """Build (once per sf_dir) the ANN serving layout: embeddings written
+    partitioned by hyperplane sign bucket (similarity.write_lsh_bucketed).
+    At 100 TB this write happens once in the pipeline and every query is a
+    partition-pruned read; here it is staged to scratch like the streaming
+    sources."""
+    cached = _STAGED_LSH.get(sf_dir)
+    if cached is not None and os.path.isdir(cached[0]):
+        return cached
+    e = read_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_scratch_dir("adw_lsh_"), "embeddings_lsh")
+    num_planes, shift = similarity.write_lsh_bucketed(e, "embedding", path)
+    _STAGED_LSH[sf_dir] = (path, num_planes, shift)
+    return _STAGED_LSH[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# N10 — ANN over the BUCKETED SERVING LAYOUT: the probe set becomes a
+# partition filter (PartitionFilters in the plan — pruned before any IO)
+# plus a row-group-pruned exact bucket filter. n7 computes buckets inline
+# (full scan, skipped cosine); this is the shape a 100 TB deployment
+# actually runs — write once partitioned by bucket prefix, read only the
+# probed fraction per query. Same verdict oracle as n7: identical planes,
+# probes, and data, so identical recall contract; the layout/pruning is
+# additionally pinned by a PartitionFilters plan test.
+# ---------------------------------------------------------------------------
+@query("n10_lsh_pruned_topk_embeddings", oracle=_ANN_VERDICT_ORACLE)
+def n10_lsh_pruned_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    path, num_planes, shift = _staged_lsh(spark, sf_dir)
+    ann = similarity.topk_cosine_lsh_pruned(
+        spark, path, "embedding", QUERY_VEC, k=10,
+        num_planes=num_planes, shift=shift, payload_cols=["vec_id"],
     )
     return _ann_verdict(e, ann)
 
@@ -1732,4 +1770,54 @@ def mm3_frame_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("id").alias("n_videos"),
         F.max("frame_idx").cast("bigint").alias("max_frame_idx"),
         F.sum("byte_sum").cast("bigint").alias("total_byte_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QS1 — per-source quota cap: keep at most N documents per source (the
+# standard web-pipeline "domain cap" preventing one crawl host from
+# dominating the training mix). One shuffle on the source key
+# (windows.top_per_group row_number), deterministic keep rule (lowest
+# doc_id). The oracle value-checks the SELECTION, not just the counts:
+# max_kept_doc_id pins which rows survived.
+# ---------------------------------------------------------------------------
+_QS1_CAP = 5
+
+
+@query(
+    "qs1_source_quota_documents",
+    oracle=f"""
+    WITH r AS (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n_total
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(max(n_total) - count(*) AS BIGINT) AS n_dropped,
+           CAST(max(doc_id) AS BIGINT) AS max_kept_doc_id
+    FROM r WHERE rn <= {_QS1_CAP}
+    GROUP BY source
+    """,
+)
+def qs1_source_quota_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import windows
+
+    d = read_table(spark, sf_dir, "documents")
+    capped = windows.top_per_group(d, ["source"], [F.asc("doc_id")], n=_QS1_CAP)
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.max("doc_id").cast("bigint").alias("max_kept_doc_id"),
+        )
+        .join(totals, "source")
+        .select(
+            "source",
+            "n_kept",
+            (F.col("__total") - F.col("n_kept")).cast("bigint").alias("n_dropped"),
+            "max_kept_doc_id",
+        )
     )

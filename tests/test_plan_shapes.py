@@ -199,3 +199,43 @@ def test_rh1_shuffles_fingerprints_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_n10_lsh_layout_partition_pruned(spark, sf_dir):
+    """The bucketed ANN serving layout must prune at the PARTITION level:
+    the probe set appears as a __bpart IN (...) PartitionFilter (no full
+    directory scan) and the exact bucket filter is pushed to parquet row
+    groups."""
+    plan = _plan(spark, "n10_lsh_pruned_topk_embeddings", sf_dir)
+    layout_scans = [ln for ln in plan.splitlines()
+                    if "FileScan" in ln and "embeddings_lsh" in ln]
+    assert layout_scans, plan
+    for ln in layout_scans:
+        part = ln.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+        assert "__bpart" in part, ln
+        assert "__bucket" in ln.split("DataFilters:", 1)[1].split("]", 1)[0], ln
+
+
+def test_n10_layout_probes_subset_of_partitions(spark, sf_dir, tmp_path):
+    """write_lsh_bucketed + topk_cosine_lsh_pruned round-trip on a fresh
+    layout: the pruned read returns the same top-k as the inline LSH probe
+    over the same planes (identical probe semantics, different physics)."""
+    from agent_data_wrangler_spark.operators import similarity as similarity_ops
+    from agent_data_wrangler_spark.queryset_nstar import QUERY_VEC
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_layout")
+    num_planes, shift = similarity_ops.write_lsh_bucketed(
+        e, "embedding", path, partition_bits=2
+    )
+    assert shift == max(0, num_planes - 2)
+    pruned = similarity_ops.topk_cosine_lsh_pruned(
+        spark, path, "embedding", QUERY_VEC, k=10,
+        num_planes=num_planes, shift=shift, payload_cols=["vec_id"],
+    ).collect()
+    inline = similarity_ops.topk_cosine_lsh(
+        e, "embedding", QUERY_VEC, k=10,
+        num_planes=num_planes, multiprobe=2, payload_cols=["vec_id"],
+    ).collect()
+    assert [r.vec_id for r in pruned] == [r.vec_id for r in inline]
