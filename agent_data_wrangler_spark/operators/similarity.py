@@ -234,7 +234,39 @@ def write_lsh_bucketed(
         "__bpart", F.shiftright(F.col("__bucket"), shift)
     )
     out.write.mode("error").partitionBy("__bpart").parquet(path)
+    _write_index_meta(
+        path, kind="lsh",
+        num_planes=num_planes, shift=shift, seed=seed, dim=dim,
+    )
     return num_planes, shift
+
+
+_INDEX_META_FILE = "_ann_index_meta.json"
+
+
+def _write_index_meta(path: str, **meta) -> None:
+    """Sidecar index metadata inside the layout directory. The leading
+    underscore makes Spark's file index skip it as a data file — the same
+    convention as _SUCCESS — so the layout stays self-describing: readers
+    need the PATH only, not out-of-band plane/centroid parameters.
+
+    Plain ``open()`` is the local-filesystem path this engine's harness
+    uses; a cluster deployment writes the same JSON through the Hadoop
+    FileSystem API (the convention — underscore-prefixed sidecar — is
+    identical on HDFS/S3)."""
+    import json
+    import os
+
+    with open(os.path.join(path, _INDEX_META_FILE), "w", encoding="utf-8") as fh:
+        json.dump(meta, fh)
+
+
+def read_index_meta(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, _INDEX_META_FILE), encoding="utf-8") as fh:
+        return json.load(fh)
 
 
 def topk_cosine_lsh_pruned(
@@ -244,9 +276,9 @@ def topk_cosine_lsh_pruned(
     query_vec: Sequence[float],
     k: int = 10,
     *,
-    num_planes: int,
-    shift: int = 0,
-    seed: int = 7,
+    num_planes: int | None = None,
+    shift: int | None = None,
+    seed: int | None = None,
     multiprobe: int = 2,
     payload_cols: Sequence[str] | None = None,
     score_col: str = "cos_sim",
@@ -255,7 +287,16 @@ def topk_cosine_lsh_pruned(
     becomes a partition filter (``__bpart IN (...)`` — pruned at planning
     time, verifiable in the plan's ``PartitionFilters``) plus an exact
     ``__bucket IN (...)`` data filter pushed to parquet row groups. Only the
-    probed fraction of the table is ever read."""
+    probed fraction of the table is ever read.
+
+    Plane parameters default to the layout's sidecar metadata
+    (``_ann_index_meta.json``) — the layout is self-describing; pass them
+    explicitly only to override."""
+    if num_planes is None or shift is None or seed is None:
+        meta = read_index_meta(path)
+        num_planes = meta["num_planes"] if num_planes is None else num_planes
+        shift = meta["shift"] if shift is None else shift
+        seed = meta["seed"] if seed is None else seed
     planes = hyperplanes(len(query_vec), num_planes, seed)
     probes = probe_buckets(query_vec, planes, multiprobe)
     parts = sorted({p >> shift for p in probes})
@@ -505,3 +546,73 @@ def similarity_join_lsh(
         .filter(F.col(score_col) >= threshold)
         .drop("__va", "__vb", "__na", "__nb", "__bucket")
     )
+
+
+def write_ivf_partitioned(
+    df: DataFrame,
+    vec_col: str,
+    path: str,
+    *,
+    n_lists: int | None = None,
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Write the IVF SERVING layout: the table partitioned by inverted-list
+    id, with the fitted centroids in the sidecar metadata — the layout is
+    self-describing, a reader needs only the path. Directory fan-out equals
+    ``n_lists`` (= ~sqrt(n) derived), which is inherently metastore-safe:
+    31.6k partitions at n=1e9, each ~sqrt(n) rows.
+
+    Returns the centroids (also persisted in ``_ann_index_meta.json``).
+    """
+    if n_lists is None:
+        n_lists = derive_ivf_params(df.count())[0]
+    centroids = ivf_fit_centroids(
+        df, vec_col, n_lists=n_lists, seed=seed, sample_fraction=sample_fraction
+    )
+    out = df.withColumn("__list", ivf_assign(vec_col, centroids))
+    out.write.mode("error").partitionBy("__list").parquet(path)
+    _write_index_meta(
+        path, kind="ivf", n_lists=len(centroids), seed=seed, centroids=centroids
+    )
+    return centroids
+
+
+def topk_cosine_ivf_pruned(
+    spark,
+    path: str,
+    vec_col: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    *,
+    nprobe: int | None = None,
+    centroids: Sequence[Sequence[float]] | None = None,
+    payload_cols: Sequence[str] | None = None,
+    score_col: str = "cos_sim",
+) -> DataFrame:
+    """Approximate top-k over a ``write_ivf_partitioned`` layout: rank the
+    sidecar centroids against the query on the driver (n_lists-sized python
+    loop — the coarse quantizer IS small), then read ONLY the ``nprobe``
+    nearest list partitions (``__list IN (...)`` PartitionFilter). The
+    brute-force cosine runs over the probed fraction alone."""
+    if centroids is None:
+        centroids = read_index_meta(path)["centroids"]
+    qnorm = math.sqrt(sum(float(v) ** 2 for v in query_vec)) or 1.0
+    sims = []
+    for i, centroid in enumerate(centroids):
+        cnorm = math.sqrt(sum(v * v for v in centroid)) or 1.0
+        dot = sum(float(a) * b for a, b in zip(query_vec, centroid))
+        sims.append((dot / (qnorm * cnorm), i))
+    if nprobe is None:
+        # match the inline path's derivation so recall contracts carry over:
+        # nprobe depends on n, approximated here by n_lists^2 (the sqrt(n)
+        # sizing inverted) — exact n is not in the metadata by design (the
+        # layout may be appended to).
+        nprobe = derive_ivf_params(len(centroids) ** 2)[1]
+    probe_ids = [i for _, i in sorted(sims, reverse=True)[: max(1, nprobe)]]
+    probed = (
+        spark.read.parquet(path)
+        .filter(F.col("__list").isin(probe_ids))
+        .drop("__list")
+    )
+    return topk_cosine(probed, vec_col, query_vec, k, payload_cols=payload_cols, score_col=score_col)

@@ -810,6 +810,40 @@ def n10_lsh_pruned_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return _ann_verdict(e, ann)
 
 
+_STAGED_IVF: dict[str, str] = {}
+
+
+def _staged_ivf(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the IVF serving layout: embeddings written
+    partitioned by inverted-list id, centroids in the sidecar metadata."""
+    cached = _STAGED_IVF.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    e = read_table(spark, sf_dir, "embeddings")
+    path = os.path.join(_scratch_dir("adw_ivf_"), "embeddings_ivf")
+    similarity.write_ivf_partitioned(e, "embedding", path)
+    _STAGED_IVF[sf_dir] = path
+    return path
+
+
+# ---------------------------------------------------------------------------
+# N11 — IVF over the PARTITIONED SERVING LAYOUT (the IVF twin of n10):
+# write once partitioned by inverted-list id with the centroids in the
+# layout's sidecar metadata; each query ranks the sidecar centroids on the
+# driver and reads ONLY the nprobe nearest list partitions (__list IN (...)
+# PartitionFilter). Same verdict oracle as n9 — the layout changes the
+# physics, not the recall contract — plus a PartitionFilters plan test.
+# ---------------------------------------------------------------------------
+@query("n11_ivf_pruned_topk_embeddings", oracle=_ANN_VERDICT_ORACLE)
+def n11_ivf_pruned_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    path = _staged_ivf(spark, sf_dir)
+    ann = similarity.topk_cosine_ivf_pruned(
+        spark, path, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
+    )
+    return _ann_verdict(e, ann)
+
+
 # ---------------------------------------------------------------------------
 # MM1 — multimodal plumbing over testdata: synthesize a deterministic PPM
 # payload per document (header + first 48 ASCII bytes as 4x4 RGB), then run

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from agent_data_wrangler_spark.operators import similarity as similarity_ops
 from agent_data_wrangler_spark.queryset import QUERIES as Q1
 from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q2
 
@@ -220,7 +221,6 @@ def test_n10_layout_probes_subset_of_partitions(spark, sf_dir, tmp_path):
     """write_lsh_bucketed + topk_cosine_lsh_pruned round-trip on a fresh
     layout: the pruned read returns the same top-k as the inline LSH probe
     over the same planes (identical probe semantics, different physics)."""
-    from agent_data_wrangler_spark.operators import similarity as similarity_ops
     from agent_data_wrangler_spark.queryset_nstar import QUERY_VEC
     from agent_data_wrangler_spark.sources.readers import read_table
 
@@ -237,5 +237,38 @@ def test_n10_layout_probes_subset_of_partitions(spark, sf_dir, tmp_path):
     inline = similarity_ops.topk_cosine_lsh(
         e, "embedding", QUERY_VEC, k=10,
         num_planes=num_planes, multiprobe=2, payload_cols=["vec_id"],
+    ).collect()
+    assert [r.vec_id for r in pruned] == [r.vec_id for r in inline]
+
+
+def test_n11_ivf_layout_partition_pruned(spark, sf_dir):
+    """The IVF serving layout must read only the probed inverted lists:
+    __list IN (...) resolves as a PartitionFilter on the layout scan."""
+    plan = _plan(spark, "n11_ivf_pruned_topk_embeddings", sf_dir)
+    layout_scans = [ln for ln in plan.splitlines()
+                    if "FileScan" in ln and "embeddings_ivf" in ln]
+    assert layout_scans, plan
+    for ln in layout_scans:
+        part = ln.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+        assert "__list" in part, ln
+
+
+def test_ivf_pruned_layout_self_describing(spark, sf_dir, tmp_path):
+    """write_ivf_partitioned + topk_cosine_ivf_pruned round-trip using ONLY
+    the path (centroids come from the sidecar metadata), matching the inline
+    IVF result over the same fit."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERY_VEC
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_layout")
+    centroids = similarity_ops.write_ivf_partitioned(e, "embedding", path)
+    meta = similarity_ops.read_index_meta(path)
+    assert meta["kind"] == "ivf" and meta["centroids"] == centroids
+    pruned = similarity_ops.topk_cosine_ivf_pruned(
+        spark, path, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
+    ).collect()
+    inline = similarity_ops.topk_cosine_ivf(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
     ).collect()
     assert [r.vec_id for r in pruned] == [r.vec_id for r in inline]
