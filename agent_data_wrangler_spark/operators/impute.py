@@ -110,3 +110,59 @@ def cap_percentile(df: DataFrame, columns: list[str], p: float = 0.95) -> DataFr
         if cap is not None:
             out = out.withColumn(c, F.least(F.col(c), F.lit(cap).cast(dict(df.dtypes)[c])))
     return out
+
+
+def forward_fill(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    partition_by: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Time-series gap fill: replace NULLs with the most recent non-NULL
+    value per partition (pandas ``ffill`` / gap-fill in a resampled series).
+
+    ``order_by`` should totally order rows within a partition (e.g.
+    ``["ts", "event_id"]``) so the fill is deterministic under shuffle.
+
+    Scale: one shuffle on ``partition_by``; ``last(ignorenulls)`` over an
+    unbounded-preceding frame is evaluated streamingly per partition (O(n),
+    constant state — Spark keeps the one last-seen value, not the frame).
+    Partition keys must be real entities (user, device); a global fill over
+    one partition is the single-reducer anti-pattern and is on the caller.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
+    return out
+
+
+def backward_fill(
+    df: DataFrame,
+    columns: list[str],
+    *,
+    partition_by: list[str],
+    order_by: list[str],
+) -> DataFrame:
+    """Mirror of :func:`forward_fill`: take the next non-NULL value
+    (pandas ``bfill``). Same one-shuffle / streaming-frame plan, with the
+    frame reversed (current row → unbounded following, ``first`` ignorenulls).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*[F.col(c).asc() for c in order_by])
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = df
+    for c in columns:
+        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+    return out

@@ -26,6 +26,7 @@ from agent_data_wrangler_spark.functions.dates import to_date_multi
 from agent_data_wrangler_spark.functions.strings import normalize_phone
 from agent_data_wrangler_spark.operators import (
     aggregates,
+    cdc,
     filters,
     impute,
     joins,
@@ -2317,4 +2318,253 @@ def tp1_two_phase_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("total_cents").cast("bigint").alias("total_cents"),
         F.col("max_cents").cast("bigint").alias("max_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CD1 — CDC MERGE (net-effect upsert): apply a keyed changeset (two updates
+# per key where the later seq must win, deletes, inserts) to the orders
+# snapshot. The changeset is DERIVED deterministically from orders itself so
+# both engines build bit-identical inputs: keys %10==1 get a stale seq-1
+# update (+1.0, '9-STALE') that must LOSE to the seq-2 update (*1.1,
+# '0-UPDATED'); keys %10==2 are deleted; keys %10==3 spawn inserts at
+# key+20_000_000. Per-row double arithmetic (x+1.0, x*1.1) is IEEE-754
+# deterministic — no sums, so no rounding needed.
+# Scale: window over the CHANGESET only (row_number per key), then one hash
+# anti-join + union against the base — the copy-on-write MERGE plan; the
+# snapshot is never windowed.
+# ---------------------------------------------------------------------------
+def _orders_changeset(o: DataFrame) -> DataFrame:
+    key = F.col("o_orderkey")
+    upd1 = o.filter(key % 10 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(1.0)).alias("o_totalprice"),
+        "o_orderdate", F.lit("9-STALE").alias("o_orderpriority"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    upd2 = o.filter(key % 10 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        (F.col("o_totalprice") * F.lit(1.1)).alias("o_totalprice"),
+        "o_orderdate", F.lit("0-UPDATED").alias("o_orderpriority"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    dels = o.filter(key % 10 == 2).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.lit("D").alias("op"), F.lit(1).alias("seq"),
+    )
+    ins = o.filter(key % 10 == 3).select(
+        (key + F.lit(20000000)).alias("o_orderkey"), "o_custkey",
+        F.lit("N").alias("o_orderstatus"), "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+        F.lit("I").alias("op"), F.lit(1).alias("seq"),
+    )
+    return upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+
+
+_CD1_CHANGES_SQL = """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice + 1.0 AS o_totalprice, o_orderdate,
+             '9-STALE' AS o_orderpriority, 'U' AS op, 1 AS seq
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             o_totalprice * 1.1, o_orderdate, '0-UPDATED', 'U', 2
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+             o_orderdate, o_orderpriority, 'D', 1
+      FROM orders WHERE o_orderkey % 10 = 2
+      UNION ALL
+      SELECT o_orderkey + 20000000, o_custkey, 'N', o_totalprice,
+             o_orderdate, o_orderpriority, 'I', 1
+      FROM orders WHERE o_orderkey % 10 = 3
+"""
+
+
+@query(
+    "cd1_apply_changes_orders",
+    oracle=f"""
+    WITH changes AS ({_CD1_CHANGES_SQL}
+    ), latest AS (
+      SELECT * FROM (
+        SELECT c.*, row_number() OVER (PARTITION BY o_orderkey
+                                       ORDER BY seq DESC) AS rn
+        FROM changes c
+      ) WHERE rn = 1
+    )
+    SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus, b.o_totalprice,
+           b.o_orderdate, b.o_orderpriority
+    FROM orders b LEFT JOIN latest l ON b.o_orderkey = l.o_orderkey
+    WHERE l.o_orderkey IS NULL
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM latest WHERE op <> 'D'
+    """,
+)
+def cd1_apply_changes_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    return cdc.apply_changes(
+        o, _orders_changeset(o), "o_orderkey", seq_col="seq", op_col="op"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CD2 — SCD Type-2 history: the updated keys' version chain (base row as
+# seq 0, the two updates as seq 1/2) becomes validity intervals — each
+# version carries the NEXT version's seq as effective_to (NULL = current).
+# One lead() window pass shuffled on the key; O(history), never O(snapshot).
+# ---------------------------------------------------------------------------
+@query(
+    "cd2_scd2_orders",
+    oracle="""
+    WITH hist AS (
+      SELECT o_orderkey, 0 AS seq, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, 1, o_totalprice + 1.0
+      FROM orders WHERE o_orderkey % 10 = 1
+      UNION ALL
+      SELECT o_orderkey, 2, o_totalprice * 1.1
+      FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT o_orderkey, seq, price,
+           lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS effective_to,
+           lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) IS NULL AS is_current
+    FROM hist
+    """,
+)
+def cd2_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 1)
+    price = F.col("o_totalprice")
+    hist = (
+        o.select("o_orderkey", F.lit(0).alias("seq"), price.alias("price"))
+        .unionByName(o.select("o_orderkey", F.lit(1).alias("seq"),
+                              (price + F.lit(1.0)).alias("price")))
+        .unionByName(o.select("o_orderkey", F.lit(2).alias("seq"),
+                              (price * F.lit(1.1)).alias("price")))
+    )
+    return cdc.scd2_history(hist, "o_orderkey", "seq")
+
+
+# ---------------------------------------------------------------------------
+# TS2 — time-series gap fill (pandas ffill at scale): NULL gaps are planted
+# deterministically (event_id % 7 == 3), then forward-filled with the most
+# recent non-NULL value per user ordered by (ts, event_id). Leading NULLs
+# (gap before a user's first real value) stay NULL — same on both engines.
+# Scale: ONE shuffle on user_id; last(ignorenulls) over unbounded-preceding
+# is a streaming frame (constant state per partition).
+# ---------------------------------------------------------------------------
+@query(
+    "ts2_gap_fill_events",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 7 = 3 THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def ts2_gap_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 3, F.lit(None)).otherwise(F.col("value")),
+    )
+    filled = impute.forward_fill(
+        e, ["value"], partition_by=["user_id"], order_by=["ts", "event_id"]
+    )
+    return filled.select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# SUB1 — correlated scalar subquery (TPC-H Q17 shape): revenue lost to
+# small-quantity orders — lineitems of one brand whose quantity is below
+# 20% of that part's average quantity. The Spark side is the DECORRELATED
+# plan written out (per-part aggregate + joins) — exactly what Catalyst's
+# subquery decorrelation produces — while the oracle keeps the textbook
+# correlated form; matching results pin the rewrite's semantics.
+# Sum runs on integer cents (order-independent), /100/7 at the end.
+# Scale: the per-part avg is a partial+final agg on l_partkey; both joins
+# hash on the part key; the brand dim side is broadcastable.
+# ---------------------------------------------------------------------------
+@query(
+    "sub1_small_quantity_revenue",
+    oracle="""
+    SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / 100.0 / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#19'
+      AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def sub1_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    parts = read_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#19"
+    ).select("p_partkey")
+    # Decorrelated: per-part quantity limit, computed only for the brand's
+    # parts (semi-join reduction), then joined back.
+    limits = (
+        li.join(parts, li["l_partkey"] == parts["p_partkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg("l_quantity")).alias("__limit"))
+    )
+    return (
+        li.join(parts, li["l_partkey"] == parts["p_partkey"])
+        .join(limits, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__limit"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+                / F.lit(100.0) / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB2 — IN-subquery with HAVING (TPC-H Q18 shape): customers holding
+# large-volume orders (total quantity > 200). The oracle keeps the IN +
+# GROUP BY/HAVING form; the Spark side is the semi-join rewrite Catalyst
+# would emit. Quantities are integer-valued doubles, so the HAVING sum is
+# exact in any summation order.
+# Scale: the HAVING aggregate shuffles on l_orderkey (partial agg shrinks
+# it first); the filtered key set is small → broadcast semi join into
+# orders; customer join hashes on custkey.
+# ---------------------------------------------------------------------------
+@query(
+    "sub2_large_volume_customers",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    """,
+)
+def sub2_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        )
     )

@@ -1855,3 +1855,90 @@ def qs1_source_quota_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_kept_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N12 — INCREMENTAL near-dup: a new batch (doc_id % 5 == 0) checked against
+# the existing corpus (the rest) with a batch-vs-corpus LSH band join ONLY —
+# never corpus x corpus. This is the daily-ingestion shape at 100 TB: the
+# corpus was deduped once; each batch pays O(|batch| x bands), not
+# O(|corpus| x bands). Verdict oracle (same scheme as n5): the verified pair
+# set is by construction a subset of the exact cross-Jaccard pairs (subset_ok
+# re-checked as a hard anti-join count) and must recall >= 90% of them;
+# n_batch / n_corpus / n_pairs_exact are hard value-checked columns DuckDB
+# recomputes from scratch (inverted shingle index restricted to cross pairs).
+# 16 bands x 4 rows at J=0.7: P(candidate) = 1-(1-0.7^4)^16 ≈ 0.99.
+# ---------------------------------------------------------------------------
+@query(
+    "n12_incremental_neardup_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t
+    ), ex AS (
+      SELECT count(*) AS n_ex FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS DOUBLE)
+                 / nullif(CAST(a.n + b.n - count(*) AS DOUBLE), 0.0) AS j
+        FROM e a JOIN e b
+          ON a.s = b.s AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      ) WHERE round(j, 6) >= 0.7
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 0) AS n_batch,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 <> 0) AS n_corpus,
+           CAST(n_ex AS BIGINT) AS n_pairs_exact,
+           true AS subset_ok,
+           true AS recall_ok
+    FROM ex
+    """,
+)
+def n12_incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = read_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") % 5 == 0)
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    inc = dedup.near_dup_pairs_incremental(
+        corpus, batch, "doc_id", "text", k=3, num_hashes=64, bands=16,
+        threshold=0.7,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    inc.count()
+    # Exact cross-pair leg: the full exact pair set filtered to one-side-in-
+    # batch pairs (near_dup_pairs_exact emits id_a < id_b, so a cross pair
+    # may carry the batch doc on either side).
+    ex = (
+        dedup.near_dup_pairs_exact(d, "doc_id", "text", k=3, threshold=0.7)
+        .filter((F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ex.count()
+    # Canonicalize the incremental pairs to (id_a, id_b) = (min, max) for the
+    # subset anti-join against the exact leg's id_a < id_b convention.
+    canon = inc.select(
+        F.least("batch_id", "corpus_id").alias("id_a"),
+        F.greatest("batch_id", "corpus_id").alias("id_b"),
+    )
+    extra = canon.join(ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+    return (
+        batch.agg(F.count(F.lit(1)).alias("n_batch"))
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("n_corpus")))
+        .crossJoin(ex.agg(F.count(F.lit(1)).alias("n_pairs_exact")))
+        .crossJoin(canon.agg(F.count(F.lit(1)).alias("__inc")))
+        .crossJoin(extra.agg(F.count(F.lit(1)).alias("__extra")))
+        .select(
+            "n_batch",
+            "n_corpus",
+            "n_pairs_exact",
+            (F.col("__extra") == 0).alias("subset_ok"),
+            (
+                F.col("__inc").cast("double")
+                >= F.lit(0.9) * F.col("n_pairs_exact").cast("double")
+            ).alias("recall_ok"),
+        )
+    )

@@ -272,3 +272,30 @@ def test_ivf_pruned_layout_self_describing(spark, sf_dir, tmp_path):
         e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
     ).collect()
     assert [r.vec_id for r in pruned] == [r.vec_id for r in inline]
+
+
+def test_cd1_merge_base_never_shuffled(spark, sf_dir):
+    """CDC MERGE (cd1): the base snapshot side must reach the anti-join by
+    broadcast of the changed-key set — never by shuffling the base. The
+    changeset window gets rank-limit pushdown (WindowGroupLimit) so only
+    the per-key winner crosses its exchange."""
+    plan = _plan(spark, "cd1_apply_changes_orders", sf_dir)
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan  # top-1-per-key pushed below the shuffle
+    # Only the changeset (tiny) may hash-shuffle — once per window instance.
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_ts2_gap_fill_single_exchange(spark, sf_dir):
+    """Forward fill is ONE shuffle on user_id; the null-planting CASE stays
+    in the scan stage's projection."""
+    plan = _plan(spark, "ts2_gap_fill_events", sf_dir)
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_sub1_decorrelated_no_cartesian(spark, sf_dir):
+    """The hand-decorrelated Q17 shape: per-part limit aggregate + two hash
+    joins on the part key; no nested-loop anywhere."""
+    plan = _plan(spark, "sub1_small_quantity_revenue", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
