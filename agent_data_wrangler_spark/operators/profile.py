@@ -190,3 +190,27 @@ class TableProfile:
             dtypes=df.dtypes,
             null_counts=nulls,
         )
+
+
+def histogram(df: DataFrame, column: str, *, bucket_width: float) -> DataFrame:
+    """Fixed-width histogram of a numeric column: bucket index, row count,
+    and the bucket's [lo, hi) bounds. The profiling step after describe() —
+    shape, not just moments.
+
+    Scale: bucket assignment is a scan-stage expression; the groupBy shuffles
+    |buckets| partial counts (map-side combine), never rows. Fixed widths
+    (vs equi-depth) keep the op one-pass and deterministic; for equi-depth
+    use describe()'s exact percentiles as the edges.
+    """
+    b = F.floor(F.col(column) / F.lit(bucket_width)).cast("bigint")
+    return (
+        df.filter(F.col(column).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(bucket_width)).alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(bucket_width)).alias("hi"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+    )

@@ -70,3 +70,60 @@ def split_boundaries_sql(fractions: dict[str, float], id_expr: str, salt: str = 
         f" WHEN {bucket} <= '{hi}' THEN '{label}'" for label, hi in bounds[:-1]
     )
     return f"CASE{cases} ELSE '{bounds[-1][0]}' END"
+
+
+def mixture_sample(
+    df: DataFrame,
+    source_col: str,
+    id_col: str,
+    weights: dict[str, float],
+    *,
+    target_fraction: float,
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Deterministic mixture sampling: downsample each source toward a target
+    mixture — the "data recipe" op of LLM corpus construction (e.g. 30% of
+    the corpus re-weighted so source s contributes ``weights[s]`` of it).
+
+    Per source s: target rows = ``target_fraction * N_total * weights[s]``;
+    sampling fraction = min(1, target / n_s). Selection is the same
+    md5-uniform draw as :func:`hash_split` (u = first 8 hex chars of
+    md5(salt:id) as a 32-bit integer / 2^32), so the selected set is exactly
+    reproducible across engines, reruns, and partitionings — a dataset-card
+    guarantee randomSplit/sample cannot give. Sources missing from
+    ``weights`` get weight 0 (dropped).
+
+    Scale: per-source counts are a partial+final aggregate (|sources| rows)
+    broadcast-joined back; the draw and comparison are scan-stage Column
+    expressions. No shuffle of the data rows, no RNG state, no collect.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    # Global N over the tiny |sources|-row counts frame — a single-partition
+    # window here is fine; the corpus itself never sees it.
+    counts = counts.withColumn("__n_total", F.sum("__n_s").over(Window.partitionBy()))
+    weight_expr = F.coalesce(
+        *[
+            F.when(F.col(source_col) == F.lit(s), F.lit(float(w)))
+            for s, w in weights.items()
+        ],
+        F.lit(0.0),
+    ) if weights else F.lit(0.0)
+    frac = F.least(
+        F.lit(1.0),
+        (F.lit(float(target_fraction)) * F.col("__n_total") * weight_expr)
+        / F.col("__n_s"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    joined = df.join(F.broadcast(counts), source_col)
+    return joined.filter(u < frac).select(*df.columns)

@@ -223,3 +223,52 @@ def sessionize(
     new_session = (prev.isNull() | ((us - prev) > gap_seconds * 1_000_000)).cast("int")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_col, F.sum(new_session).over(run))
+
+
+def rolling_anomaly(
+    df: DataFrame,
+    value_cents: Column | str,
+    *,
+    partition_by: list[str],
+    order_by: list[Column],
+    lookback: int = 10,
+    min_history: int = 5,
+    k: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags: each row is compared against the mean
+    and sample stddev of its previous ``lookback`` values (the row itself
+    EXCLUDED — no self-masking) within its partition; rows with fewer than
+    ``min_history`` preceding values are never flagged.
+
+    ``value_cents`` must be an INTEGER column (e.g. cents): the rolling mean
+    and variance are derived from integer sum / sum-of-squares, so they are
+    bit-identical in any engine and any frame-evaluation order — a rolling
+    aggregate over doubles is NOT (DuckDB's segment-tree windows sum in a
+    different order than Spark's streaming frames).
+
+    Output adds ``roll_n``, ``roll_mean``, ``is_anomaly``.
+    Scale: one shuffle on ``partition_by``; bounded frames are O(lookback)
+    per row.
+    """
+    v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-lookback, -1)
+    )
+    n = F.count(v).over(w)
+    s = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    mean = s.cast("double") / n.cast("double")
+    # Sample variance from exact integer sums: (s2 - s^2/n) / (n-1).
+    var = (s2.cast("double") - s.cast("double") * s.cast("double") / n.cast("double")) / (
+        n.cast("double") - F.lit(1.0)
+    )
+    flag = (n >= min_history) & (
+        F.abs(v.cast("double") - mean) > F.lit(k) * F.sqrt(F.greatest(var, F.lit(0.0)))
+    )
+    return (
+        df.withColumn("roll_n", n.cast("bigint"))
+        .withColumn("roll_mean", F.round(mean, 4))
+        .withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))
+    )

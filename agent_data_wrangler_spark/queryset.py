@@ -2568,3 +2568,113 @@ def sub2_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# AN1 — rolling z-score anomaly flags: each event vs the mean/stddev of its
+# user's previous 10 values (self excluded; <5 history never flags). All
+# rolling statistics derive from integer-cents sum and sum-of-squares —
+# rolling aggregates over raw doubles are NOT cross-engine stable (DuckDB's
+# segment-tree windows sum in a different order than Spark's frames), but
+# integer sums are exact in any order, and every downstream double op
+# (mean, variance, sqrt, compare) is then IEEE-deterministic.
+# Scale: one shuffle on user_id; bounded frames are O(lookback) per row.
+# ---------------------------------------------------------------------------
+@query(
+    "an1_rolling_anomaly_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT event_id, user_id, v,
+             count(v) OVER w AS n, sum(v) OVER w AS s, sum(v * v) OVER w AS s2
+      FROM c
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, CAST(n AS BIGINT) AS roll_n,
+           round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 4) AS roll_mean
+    FROM r
+    WHERE n >= 5
+      AND abs(CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          > 3.0 * sqrt(greatest(
+              (CAST(s2 AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+              / (CAST(n AS DOUBLE) - 1.0), 0.0))
+    """,
+)
+def an1_rolling_anomaly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "v", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = windows.rolling_anomaly(
+        e, "v",
+        partition_by=["user_id"],
+        order_by=[F.col("ts").asc(), F.col("event_id").asc()],
+        lookback=10, min_history=5, k=3.0,
+    )
+    return out.filter(F.col("is_anomaly")).select(
+        "event_id", "user_id", "roll_n", "roll_mean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HG1 — fixed-width histogram of order totals: the profiling step after
+# describe() (shape, not just moments). Bucket assignment is scan-stage;
+# the shuffle carries |buckets| partial counts.
+# ---------------------------------------------------------------------------
+@query(
+    "hg1_histogram_totalprice",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000.0) AS BIGINT) * 25000.0 AS lo,
+           (CAST(floor(o_totalprice / 25000.0) AS BIGINT) + 1) * 25000.0 AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_totalprice IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def hg1_histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return profile.histogram(
+        read_table(spark, sf_dir, "orders"), "o_totalprice", bucket_width=25000.0
+    )
+
+
+# ---------------------------------------------------------------------------
+# OR1 — ORC source/sink roundtrip (the Hive-lake columnar interchange
+# format next to parquet): project events, write a versioned ORC copy, read
+# it back with the native vectorized ORC reader, aggregate. The oracle reads
+# the ORIGINAL parquet, so any row loss, type drift, or value mangling in
+# the ORC path breaks the hash.
+# ---------------------------------------------------------------------------
+@query(
+    "or1_orc_roundtrip_events",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           round(min(value), 4) AS min_value, round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def or1_orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.readers import read_orc
+    from agent_data_wrangler_spark.sources.writers import write_versioned
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = write_versioned(
+        ev, os.path.join(tempfile.mkdtemp(prefix="adw_orc_"), "events.orc"),
+        fmt="orc",
+    )
+    back = read_orc(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )

@@ -1942,3 +1942,109 @@ def n12_incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataF
             ).alias("recall_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MX1 — mixture sampling (the "data recipe" op of corpus construction):
+# downsample each source so the selected subset approximates a target
+# mixture (here weight_i ∝ i+1 over src0..src19, at 30% of the corpus).
+# Selection is the same md5-uniform draw as sp1 — u = first 8 md5 hex chars
+# as a 32-bit int / 2^32 — so the selected SET is exactly reproducible
+# across engines/partitionings/reruns and the oracle value-checks the real
+# per-source selection, not a distributional bound.
+# Scale: per-source counts are a tiny aggregate broadcast back; the draw is
+# a scan-stage expression. No data shuffle, no RNG state.
+# ---------------------------------------------------------------------------
+_MX_WEIGHTS: dict[str, float] = {f"src{i}": (i + 1) / 210.0 for i in range(20)}
+_MX_CASE_SQL = (
+    "CASE d.source "
+    + " ".join(f"WHEN '{s}' THEN {w!r}" for s, w in _MX_WEIGHTS.items())
+    + " ELSE 0.0 END"
+)
+
+
+@query(
+    "mx1_mixture_sample_documents",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+    ), t AS (SELECT CAST(sum(n_s) AS BIGINT) AS n_total FROM c),
+    sel AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN c ON d.source = c.source CROSS JOIN t
+      WHERE CAST(('0x' || substr(md5('mix-v1:' || CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              / 4294967296.0
+            < least(1.0, 0.3 * t.n_total * ({_MX_CASE_SQL}) / c.n_s)
+    )
+    SELECT c.source, c.n_s AS n_source,
+           CAST(coalesce(k.n_selected, 0) AS BIGINT) AS n_selected
+    FROM c LEFT JOIN (
+      SELECT source, count(*) AS n_selected FROM sel GROUP BY source
+    ) k ON c.source = k.source
+    """,
+)
+def mx1_mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.splits import mixture_sample
+
+    d = read_table(spark, sf_dir, "documents")
+    picked = mixture_sample(
+        d, "source", "doc_id", _MX_WEIGHTS, target_fraction=0.3, salt="mix-v1"
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_source"))
+    sel = picked.groupBy("source").agg(F.count(F.lit(1)).alias("__k"))
+    return (
+        counts.join(sel, "source", "left")
+        .select(
+            "source", "n_source",
+            F.coalesce(F.col("__k"), F.lit(0)).cast("bigint").alias("n_selected"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST7 — stream-stream INNER join with an event-time bound: click → purchase
+# attribution within 1 hour per user. Two file-source streams (same staged
+# events, disjoint projections), both watermarked; the time-range condition
+# gives Spark per-side state-eviction bounds — the one stream-stream shape
+# whose state stays bounded at 100 TB/day. Joined pairs drain append-mode to
+# a memory table, then a batch rollup per user. Oracle: the equivalent batch
+# self-join (with complete data, a watermarked stream-stream inner join
+# equals the batch join).
+# ---------------------------------------------------------------------------
+@query(
+    "st7_stream_stream_join_events",
+    oracle="""
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    GROUP BY a.user_id
+    """,
+)
+def st7_stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.streaming import (
+        stream_from_directory,
+        stream_interval_join,
+    )
+
+    staged, schema = _staged_events(spark, sf_dir)
+    clicks = (
+        stream_from_directory(spark, staged, schema)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        stream_from_directory(spark, staged, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    joined = stream_interval_join(
+        clicks, purchases, [("c_user", "p_user")],
+        left_time="c_ts", right_time="p_ts",
+        max_delay="1 HOUR", watermark="365 days",
+    )
+    out = _drain_to_table(spark, joined, "st7_out")
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )

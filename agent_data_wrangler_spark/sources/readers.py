@@ -184,3 +184,13 @@ def read_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the other columnar interchange format (Hive-ecosystem
+    lakes). Spark's native vectorized ORC reader gives the same predicate
+    pushdown / column pruning / stripe skipping story as parquet; the engine
+    treats the two as interchangeable at the source layer.
+    """
+    require_exists(path)
+    return spark.read.orc(path)

@@ -61,6 +61,8 @@ def write_versioned(
         writer.option("header", True).csv(out)
     elif fmt == "json":
         writer.json(out)  # JSON-lines: one object per line, splittable
+    elif fmt == "orc":
+        writer.orc(out)  # columnar alternative; same pushdown/pruning story
     else:
         writer.parquet(out)
     return out

@@ -9,6 +9,7 @@ from agent_data_wrangler_spark.streaming.ops import (
     session_agg,
     sessionize_stateful,
     stream_from_directory,
+    stream_interval_join,
     windowed_agg,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "session_agg",
     "sessionize_stateful",
     "stream_from_directory",
+    "stream_interval_join",
     "windowed_agg",
 ]

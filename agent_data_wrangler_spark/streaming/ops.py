@@ -220,3 +220,43 @@ def _default_mode(sdf: DataFrame) -> str:
     if "FlatMapGroupsInPandasWithState" in plan:
         return "update"
     return "complete" if "Aggregate" in plan else "append"
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    *,
+    left_time: str,
+    right_time: str,
+    max_delay: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time bound: pair each left row
+    with right rows on the same key where
+    ``left_time <= right_time <= left_time + max_delay`` (the
+    click-then-purchase / request-then-response attribution shape).
+
+    ``on`` is a list of (left_col, right_col) equality pairs — column names
+    must be DISJOINT across the two sides (rename before calling; streaming
+    self-joins of one source otherwise produce ambiguous lineage).
+
+    State-bound mechanics (the 100 TB property): BOTH sides get a watermark,
+    and the time-range condition lets Spark derive per-side state-eviction
+    bounds — left rows are dropped once the right watermark passes
+    left_time + max_delay; right rows once the left watermark passes
+    right_time. Without the range condition the join would buffer both
+    streams forever. Inner join output is append-mode by construction.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = None
+    for lc, rc in on:
+        eq = l[lc] == r[rc]
+        cond = eq if cond is None else (cond & eq)
+    cond = (
+        cond
+        & (r[right_time] >= l[left_time])
+        & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "inner")

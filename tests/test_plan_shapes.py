@@ -299,3 +299,10 @@ def test_sub1_decorrelated_no_cartesian(spark, sf_dir):
     plan = _plan(spark, "sub1_small_quantity_revenue", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_an1_rolling_anomaly_single_exchange(spark, sf_dir):
+    """Rolling anomaly: all three frame aggregates (count/sum/sum-sq) share
+    ONE window spec — one shuffle on user_id, no extra sorts."""
+    plan = _plan(spark, "an1_rolling_anomaly_events", sf_dir)
+    assert plan.count("Exchange") == 1, plan

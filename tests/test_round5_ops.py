@@ -1,0 +1,130 @@
+"""Unit pins for the second round-5 batch: rolling anomaly flags, fixed-width
+histogram, mixture sampling, ORC roundtrip, and the stream-stream interval
+join."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+
+from agent_data_wrangler_spark.operators.profile import histogram
+from agent_data_wrangler_spark.operators.splits import mixture_sample
+from agent_data_wrangler_spark.operators.windows import rolling_anomaly
+
+
+def test_rolling_anomaly_flags_planted_spike(spark):
+    # 12 calm values then a spike; the spike's frame excludes itself.
+    rows = [("u", i, 100 + (i % 3)) for i in range(12)] + [("u", 12, 10000)]
+    df = spark.createDataFrame(rows, "g string, i int, v long")
+    out = rolling_anomaly(
+        df, "v", partition_by=["g"], order_by=[F.col("i").asc()],
+        lookback=10, min_history=5, k=3.0,
+    )
+    flags = {r["i"]: r["is_anomaly"] for r in out.collect()}
+    assert flags[12] is True
+    assert not any(flags[i] for i in range(12))
+
+
+def test_rolling_anomaly_needs_history(spark):
+    # A wild second value cannot be flagged: only 1 row of history (< 5).
+    df = spark.createDataFrame(
+        [("u", 1, 100), ("u", 2, 99999)], "g string, i int, v long"
+    )
+    out = rolling_anomaly(
+        df, "v", partition_by=["g"], order_by=[F.col("i").asc()], min_history=5
+    )
+    assert all(r["is_anomaly"] is False for r in out.collect())
+
+
+def test_histogram_buckets_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(0.5,), (1.5,), (1.7,), (None,), (3.2,)], "x double"
+    )
+    out = {r["bucket"]: (r["lo"], r["hi"], r["n"])
+           for r in histogram(df, "x", bucket_width=1.0).collect()}
+    assert out == {0: (0.0, 1.0, 1), 1: (1.0, 2.0, 2), 3: (3.0, 4.0, 1)}
+
+
+def test_mixture_sample_deterministic_and_weighted(spark):
+    rows = [(i, "a" if i < 400 else "b") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"a": 0.5, "b": 0.5}
+    s1 = mixture_sample(df, "source", "doc_id", weights, target_fraction=0.4)
+    s2 = mixture_sample(df, "source", "doc_id", weights, target_fraction=0.4)
+    ids1 = sorted(r["doc_id"] for r in s1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in s2.collect())  # exact replay
+    per = {r["source"]: r["n"] for r in
+           s1.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # target per source = 0.4 * 500 * 0.5 = 100; source b has exactly 100
+    # rows -> fraction 1.0 keeps ALL of b; a is thinned toward ~100.
+    assert per["b"] == 100
+    assert 60 <= per["a"] <= 140  # md5-uniform around 100, loose bound
+
+
+def test_mixture_sample_zero_weight_drops_source(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(50)] + [(i + 100, "junk") for i in range(50)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(df, "source", "doc_id", {"a": 1.0}, target_fraction=1.0)
+    assert {r["source"] for r in out.collect()} == {"a"}
+    assert out.count() == 50  # fraction clamps at 1.0, all of a kept
+
+
+def test_orc_roundtrip_preserves_values(spark, tmp_path):
+    from agent_data_wrangler_spark.sources.readers import read_orc
+    from agent_data_wrangler_spark.sources.writers import write_versioned
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5), (2, "y", None)], "id long, s string, v double"
+    )
+    out = write_versioned(df, os.path.join(str(tmp_path), "t.orc"), fmt="orc")
+    back = read_orc(spark, out)
+    assert back.schema == df.schema
+    assert sorted(tuple(r) for r in back.collect()) == [(1, "x", 1.5), (2, "y", None)]
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """AvailableNow-drained stream-stream interval join equals the batch
+    join on the same (complete) data."""
+    from agent_data_wrangler_spark.streaming import (
+        run_available_now,
+        stream_from_directory,
+        stream_interval_join,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2):
+        for m in (0, 10, 200):
+            rows.append((u, "A", t0 + datetime.timedelta(minutes=m)))
+        for m in (5, 30, 205):
+            rows.append((u, "B", t0 + datetime.timedelta(minutes=m)))
+    df = spark.createDataFrame(rows, "user long, kind string, ts timestamp")
+    path = os.path.join(str(tmp_path), "events")
+    df.repartition(2).write.parquet(path)
+
+    src = lambda: stream_from_directory(spark, path, df.schema)  # noqa: E731
+    a = src().filter(F.col("kind") == "A").select(
+        F.col("user").alias("a_user"), F.col("ts").alias("a_ts"))
+    b = src().filter(F.col("kind") == "B").select(
+        F.col("user").alias("b_user"), F.col("ts").alias("b_ts"))
+    joined = stream_interval_join(
+        a, b, [("a_user", "b_user")], left_time="a_ts", right_time="b_ts",
+        max_delay="1 HOUR", watermark="3650 days",
+    )
+    run_available_now(
+        joined, "ssj_out", os.path.join(str(tmp_path), "ckpt")
+    )
+    got = sorted(tuple(r) for r in spark.table("ssj_out").collect())
+
+    batch = df.filter(F.col("kind") == "A").alias("x").join(
+        df.filter(F.col("kind") == "B").alias("y"),
+        (F.col("x.user") == F.col("y.user"))
+        & (F.col("y.ts") >= F.col("x.ts"))
+        & (F.col("y.ts") <= F.col("x.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(F.col("x.user"), F.col("x.ts"), F.col("y.user"), F.col("y.ts"))
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(want) > 0
