@@ -77,3 +77,28 @@ def approx_distinct(df: DataFrame, column: str, rsd: float = 0.05) -> DataFrame:
     full shuffle. rsd=0.05 ≈ 1.5 KB of sketch. Engine-specific sketch → no
     value oracle; accuracy vs exact is unit-tested."""
     return df.agg(F.approx_count_distinct(column, rsd=rsd).alias(f"approx_distinct_{column}"))
+
+
+def merge_partial_aggregates(
+    frames: list[DataFrame],
+    keys: list[str],
+    sum_cols: list[str],
+) -> DataFrame:
+    """Merge pre-aggregated partials (counts / sums — the mergeable
+    aggregate algebra) into one rollup: union, re-sum per key.
+
+    This is incremental aggregate maintenance in batch form — the
+    100 TB pattern where yesterday's rollup plus today's delta-aggregate
+    replaces a from-scratch recompute over the full history. Means and
+    ratios must be carried as (sum, count) partials and derived at read
+    time; they do NOT merge directly.
+
+    Scale: the inputs are already |groups|-sized, so the union + final
+    aggregate shuffles rollup rows, never raw history.
+    """
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in sum_cols]
+    )

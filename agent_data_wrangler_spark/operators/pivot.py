@@ -49,3 +49,34 @@ def grouping_sets_agg(
     grouping-set lists (Spark 4 native ``DataFrame.groupingSets``). Same
     map-side row multiplication as rollup: one copy per set the row feeds."""
     return df.groupingSets(sets, *keys).agg(*aggs)
+
+
+def chi2_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Contingency-table independence diagnostics: per observed (a, b) cell,
+    the count, the independence-expected count (row_total x col_total / N),
+    and the chi-square contribution (obs - exp)^2 / exp — the drift /
+    association check between two categorical columns.
+
+    Cells with zero observations are absent from the output (they are absent
+    from the groupBy); totals are unaffected since empty cells contribute 0.
+    All totals are integer sums (exact in any order), so expected /
+    contribution are IEEE-deterministic — safe to value-check cross-engine.
+
+    Scale: ONE shuffle for the contingency counts (map-side combine →
+    |cells| rows); the three window total passes run over the tiny cells
+    frame, not the data.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    obs = df.groupBy(col_a, col_b).agg(F.count(F.lit(1)).alias("observed"))
+    row_t = F.sum("observed").over(Window.partitionBy(col_a))
+    col_t = F.sum("observed").over(Window.partitionBy(col_b))
+    n = F.sum("observed").over(Window.partitionBy())
+    exp = row_t.cast("double") * col_t.cast("double") / n.cast("double")
+    o = F.col("observed").cast("double")
+    return (
+        obs.withColumn("expected", F.round(exp, 6))
+        .withColumn("contribution", F.round((o - exp) * (o - exp) / exp, 6))
+        .withColumn("observed", F.col("observed").cast("bigint"))
+    )

@@ -69,3 +69,27 @@ def check_rules(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     return wide.select(
         F.expr(f"stack({len(rules)}, {pairs}) as (rule, n_violations)")
     )
+
+
+def fk_orphan_counts(
+    child: DataFrame, pairs: list[tuple[str, DataFrame, str]]
+) -> DataFrame:
+    """Referential-integrity check: one row with, per (child_key, parent,
+    parent_key) pair, the number of child rows whose key has no match in the
+    parent (NULL child keys are not orphans — SQL FK semantics).
+
+    Mechanism: each pair is a LEFT ANTI join (broadcast when the parent's
+    key column is small — the usual case for dimension tables) counted into
+    one output row. Cross-TABLE rules complement the single-scan rule suite
+    in :func:`check_rules`, which by design never leaves its one table.
+    """
+    agg = None
+    for child_key, parent, parent_key in pairs:
+        keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
+        orphans = (
+            child.filter(F.col(child_key).isNotNull())
+            .join(keys, child[child_key] == keys["__pk"], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(f"orphans_{child_key}"))
+        )
+        agg = orphans if agg is None else agg.crossJoin(orphans)
+    return agg

@@ -2678,3 +2678,132 @@ def or1_orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 4).alias("min_value"),
         F.round(F.max("value"), 4).alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IM1 — incremental aggregate maintenance, batch form (the batch twin of the
+# st5 streaming rollup): a monthly rollup maintained as OLD-epoch rollup +
+# NEW-epoch delta merged through the mergeable-aggregate algebra
+# (counts/sums re-summed per key) — must equal the from-scratch rollup the
+# oracle computes. At 100 TB this replaces recomputing history every day:
+# the merge shuffles |groups| rollup rows, never raw history.
+# ---------------------------------------------------------------------------
+@query(
+    "im1_incremental_rollup_orders",
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+           o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def im1_incremental_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("__d"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("__cents"),
+    )
+    cutoff = F.lit("1996-01-01 00:00:00").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("month", "priority").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("__cents").alias("total_cents")
+        )
+
+    old_rollup = partial(o.filter(F.col("__d") < cutoff))
+    delta = partial(o.filter(F.col("__d") >= cutoff))
+    merged = aggregates.merge_partial_aggregates(
+        [old_rollup, delta], ["month", "priority"], ["n", "total_cents"]
+    )
+    return merged.select(
+        "month", "priority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_cents").cast("bigint").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RI1 — referential integrity across the star schema: orphan counts for the
+# four FK edges (lineitem→orders/part/supplier, orders→customer). Cross-
+# table data-quality rules complementing the single-scan suite (dq1). Each
+# check is a LEFT ANTI join against the parent's distinct keys (broadcast
+# for dim-sized parents); testdata is clean, so the oracle hash pins zeros —
+# the planted-orphan path is unit-tested.
+# ---------------------------------------------------------------------------
+@query(
+    "ri1_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+          ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL) AS orphans_l_orderkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+          ON l.l_partkey = p.p_partkey
+       WHERE l.l_partkey IS NOT NULL AND p.p_partkey IS NULL) AS orphans_l_partkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+          ON l.l_suppkey = s.s_suppkey
+       WHERE l.l_suppkey IS NOT NULL AND s.s_suppkey IS NULL) AS orphans_l_suppkey,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey
+       WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS orphans_o_custkey
+    """,
+)
+def ri1_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.validate import fk_orphan_counts
+
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    child_checks = fk_orphan_counts(li, [
+        ("l_orderkey", o, "o_orderkey"),
+        ("l_partkey", read_table(spark, sf_dir, "part"), "p_partkey"),
+        ("l_suppkey", read_table(spark, sf_dir, "supplier"), "s_suppkey"),
+    ])
+    order_checks = fk_orphan_counts(o, [
+        ("o_custkey", read_table(spark, sf_dir, "customer"), "c_custkey"),
+    ])
+    return child_checks.crossJoin(order_checks)
+
+
+# ---------------------------------------------------------------------------
+# CT1 — chi-square contingency diagnostics between event_type and a derived
+# user cohort: per observed cell, count, independence-expected count, and
+# chi-square contribution. Totals are integer sums (exact in any order), so
+# the derived doubles are IEEE-deterministic cross-engine. Zero cells are
+# absent on both engines (same groupBy).
+# ---------------------------------------------------------------------------
+@query(
+    "ct1_chi2_events",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(user_id % 5 AS BIGINT) AS cohort,
+             CAST(count(*) AS BIGINT) AS observed
+      FROM events GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, cohort, observed,
+             sum(observed) OVER (PARTITION BY event_type) AS rt,
+             sum(observed) OVER (PARTITION BY cohort) AS ct,
+             sum(observed) OVER () AS n
+      FROM obs
+    )
+    SELECT event_type, cohort, observed,
+           round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 6) AS expected,
+           round((CAST(observed AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(observed AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+             AS contribution
+    FROM t
+    """,
+)
+def ct1_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").withColumn(
+        "cohort", (F.col("user_id") % 5).cast("bigint")
+    )
+    return pivot.chi2_contingency(e, "event_type", "cohort")

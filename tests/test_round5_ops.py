@@ -128,3 +128,54 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     ).select(F.col("x.user"), F.col("x.ts"), F.col("y.user"), F.col("y.ts"))
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(want) > 0
+
+
+def test_merge_partial_aggregates_equals_full(spark):
+    from agent_data_wrangler_spark.operators.aggregates import (
+        merge_partial_aggregates,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, i * 10) for i in range(6)] + [("b", i, i) for i in range(4)],
+        "k string, epoch int, v long",
+    )
+    full = df.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")
+    )
+    parts = [
+        df.filter(F.col("epoch") < 3).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")),
+        df.filter(F.col("epoch") >= 3).groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")),
+    ]
+    merged = merge_partial_aggregates(parts, ["k"], ["n", "s"])
+    assert sorted(tuple(r) for r in merged.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+
+
+def test_fk_orphans_planted_and_null_exempt(spark):
+    from agent_data_wrangler_spark.operators.validate import fk_orphan_counts
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, None)], "id long, fk long"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    out = fk_orphan_counts(child, [("fk", parent, "pk")]).collect()[0]
+    # id=3 is an orphan; id=4's NULL key is NOT (SQL FK semantics).
+    assert out["orphans_fk"] == 1
+
+
+def test_chi2_contingency_independent_uniform(spark):
+    from agent_data_wrangler_spark.operators.pivot import chi2_contingency
+
+    # Perfectly independent 2x2 with equal counts: expected == observed,
+    # contribution == 0 in every cell.
+    rows = [(a, b) for a in ("x", "y") for b in (0, 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    out = chi2_contingency(df, "a", "b").collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["observed"] == 5
+        assert r["expected"] == 5.0
+        assert r["contribution"] == 0.0
