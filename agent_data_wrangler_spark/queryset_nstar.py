@@ -2048,3 +2048,44 @@ def st7_stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.groupBy(F.col("c_user").alias("user_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# MF1 — dataset manifest (the "dataset card" artifact shipped with a
+# training corpus): per (split x source) cell — doc count, total chars, and
+# a content checksum. The checksum is a COMMUTATIVE sum of per-doc md5-prefix
+# integers (order-free, map-side combinable — the pi1 lesson: never an
+# ordered concat), so a single flipped byte anywhere in the corpus changes
+# the manifest. Split assignment reuses hash_split's md5 boundaries; the
+# oracle regenerates the same CASE from the same boundary table.
+# Scale: one scan-stage projection + one |splits x sources| aggregate.
+# ---------------------------------------------------------------------------
+def _mf1_oracle() -> str:
+    from agent_data_wrangler_spark.operators.splits import split_boundaries_sql
+
+    case = split_boundaries_sql(_SP1_FRACTIONS, "doc_id", salt="split-v1")
+    return f"""
+    SELECT split, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT)) AS BIGINT)
+             AS checksum
+    FROM (SELECT doc_id, source, n_chars, text, {case} AS split FROM documents)
+    GROUP BY split, source
+    """
+
+
+@query("mf1_dataset_manifest_documents", oracle=_mf1_oracle())
+def mf1_dataset_manifest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    d = hash_split(
+        read_table(spark, sf_dir, "documents"), "doc_id", _SP1_FRACTIONS,
+        salt="split-v1",
+    )
+    doc_hash = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("bigint")
+    return d.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(doc_hash).cast("bigint").alias("checksum"),
+    )

@@ -179,3 +179,36 @@ def test_chi2_contingency_independent_uniform(spark):
         assert r["observed"] == 5
         assert r["expected"] == 5.0
         assert r["contribution"] == 0.0
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-order files must have narrow per-file min/max spans on BOTH
+    clustered columns; a single-column range sort only narrows its own."""
+    import glob
+
+    from agent_data_wrangler_spark.sources.writers import (
+        write_range_sorted,
+        write_zorder,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], "x int, y int"
+    )
+    zpath = os.path.join(str(tmp_path), "z")
+    rpath = os.path.join(str(tmp_path), "r")
+    write_zorder(grid, zpath, ["x", "y"], num_files=16, bits=8)
+    write_range_sorted(grid, rpath, "x", num_files=16)
+
+    def mean_span(path, col):
+        spans = []
+        for f in glob.glob(os.path.join(path, "part-*.parquet")):
+            agg = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+            spans.append(agg["hi"] - agg["lo"])
+        return sum(spans) / len(spans)
+
+    # 16 files over a 64x64 grid: ideal z-order tiles are 16x16 -> span ~16
+    # per dim. Allow generous slack; the x-only sort leaves y unclustered
+    # (span ~63 per file).
+    assert mean_span(zpath, "x") < 32 and mean_span(zpath, "y") < 32
+    assert mean_span(rpath, "y") > 48  # the contrast the z-layout buys
