@@ -54,3 +54,28 @@ def array_l2_normalize(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     norm = F.nullif(l2_norm(c), F.lit(0.0))
     return F.transform(c, lambda x: x.cast("double") / norm)
+
+
+def variant_get_typed(col, path: str, dtype: str):
+    """Spark 4 VARIANT path extraction: parse once into the binary variant
+    encoding, then ``variant_get`` with a target type. Versus string-path
+    ``get_json_object`` (json_get_typed), the variant is parsed ONCE per row
+    and each extraction is a binary traversal — the right engine path when a
+    row yields several fields or the column is stored as VARIANT in the
+    table. Both stay in whole-stage codegen.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.variant_get(F.parse_json(c), path, dtype)
+
+
+def variant_schema(col):
+    """Per-row inferred schema string of a JSON document via the VARIANT
+    encoding (``schema_of_variant``) — the drift detector for
+    semi-structured columns: group by this to see every shape in the data.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.schema_of_variant(F.parse_json(c))

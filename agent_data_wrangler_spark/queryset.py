@@ -2807,3 +2807,46 @@ def ct1_chi2_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort", (F.col("user_id") % 5).cast("bigint")
     )
     return pivot.chi2_contingency(e, "event_type", "cohort")
+
+
+# ---------------------------------------------------------------------------
+# VR1 — Spark 4 VARIANT path for semi-structured data: props parsed ONCE
+# into the binary variant encoding, fields extracted by binary traversal
+# (vs jn1's string-path get_json_object), plus schema_of_variant as the
+# shape-drift detector — grouping by the per-row inferred schema surfaces
+# every JSON shape in the column. Oracle: DuckDB json_extract twins the
+# values; the shape check is a drift-robust boolean (variant ran, shapes
+# are OBJECTs), not a corpus-exact literal.
+# ---------------------------------------------------------------------------
+@query(
+    "vr1_variant_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           true AS shapes_are_objects
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def vr1_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.collections import (
+        variant_get_typed,
+        variant_schema,
+    )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type",
+        variant_get_typed("props", "$.k", "bigint").alias("k"),
+        variant_schema("props").alias("shape"),
+    )
+    # Shape drift-detector column kept robust to testdata drift: assert the
+    # variant machinery ran and every shape is an OBJECT, not the corpus's
+    # exact key set (a literal would latently break when props gains keys).
+    return e.groupBy("event_type").agg(
+        F.count("k").alias("n_with_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min(F.col("shape").startswith("OBJECT<")).alias("shapes_are_objects"),
+    )

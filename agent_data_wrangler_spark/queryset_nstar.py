@@ -2089,3 +2089,41 @@ def mf1_dataset_manifest_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.sum(doc_hash).cast("bigint").alias("checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PD1 — custom connector through Spark 4's Python Data Source API
+# (sources/python_datasource.py): a deterministic sharded generator read
+# with one task per InputPartition, rolled up per shard. Every value is
+# integer arithmetic on doc_id (Knuth multiplicative hash mod 1000), so
+# DuckDB generate_series recomputes the connector's entire output — the
+# oracle checks the CONNECTOR (partitioning, row generation, schema), not
+# just the rollup. 8 shards x 250 rows; sums are integer-exact.
+# ---------------------------------------------------------------------------
+@query(
+    "pd1_python_datasource",
+    oracle="""
+    SELECT CAST(id // 250 AS INTEGER) AS shard,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum((id * 2654435761) % 1000) AS BIGINT) AS total_score_milli,
+           CAST(sum(CAST(('0x' || substr(md5('doc-' || CAST(id AS VARCHAR)), 1, 8))
+                         AS UBIGINT)) AS BIGINT) AS payload_checksum
+    FROM generate_series(0, 1999) t(id)
+    GROUP BY 1
+    """,
+)
+def pd1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    src = (
+        spark.read.format("synthetic_docs")
+        .option("shards", 8).option("rows_per_shard", 250)
+        .load()
+    )
+    payload_hash = F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("bigint")
+    return src.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("score_milli").cast("bigint").alias("total_score_milli"),
+        F.sum(payload_hash).cast("bigint").alias("payload_checksum"),
+    )

@@ -212,3 +212,21 @@ def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     # (span ~63 per file).
     assert mean_span(zpath, "x") < 32 and mean_span(zpath, "y") < 32
     assert mean_span(rpath, "y") > 48  # the contrast the z-layout buys
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    """The custom connector reads with one task per declared shard, and its
+    rows are the deterministic integer-arithmetic values the oracle mirrors."""
+    from agent_data_wrangler_spark.sources import python_datasource
+
+    python_datasource.register(spark)
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("shards", 3).option("rows_per_shard", 4)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3  # one task per InputPartition
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) == 12
+    assert rows[7]["shard"] == 1 and rows[7]["payload"] == "doc-7"
+    assert rows[7]["score_milli"] == (7 * 2654435761) % 1000
