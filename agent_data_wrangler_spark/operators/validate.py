@@ -78,18 +78,26 @@ def fk_orphan_counts(
     parent_key) pair, the number of child rows whose key has no match in the
     parent (NULL child keys are not orphans — SQL FK semantics).
 
-    Mechanism: each pair is a LEFT ANTI join (broadcast when the parent's
-    key column is small — the usual case for dimension tables) counted into
-    one output row. Cross-TABLE rules complement the single-scan rule suite
-    in :func:`check_rules`, which by design never leaves its one table.
+    Mechanism: ONE pass over the child — every parent's distinct keys are
+    LEFT-joined (broadcast: parent key sets are dim-sized) onto the same
+    child frame, then a single aggregate counts, per edge, the rows whose
+    key is present but unmatched. N edges cost one child scan + N broadcast
+    builds, not N child scans — the difference between one and N full-table
+    reads at 100 TB. Cross-TABLE rules complement the single-scan rule
+    suite in :func:`check_rules`, which by design never leaves its one
+    table.
     """
-    agg = None
-    for child_key, parent, parent_key in pairs:
-        keys = parent.select(F.col(parent_key).alias("__pk")).distinct()
-        orphans = (
-            child.filter(F.col(child_key).isNotNull())
-            .join(keys, child[child_key] == keys["__pk"], "left_anti")
-            .agg(F.count(F.lit(1)).cast("bigint").alias(f"orphans_{child_key}"))
+    out = child
+    marks = []
+    for i, (child_key, parent, parent_key) in enumerate(pairs):
+        pk = f"__pk_{i}"
+        keys = parent.select(F.col(parent_key).alias(pk)).distinct()
+        out = out.join(
+            F.broadcast(keys), out[child_key] == keys[pk], "left"
         )
-        agg = orphans if agg is None else agg.crossJoin(orphans)
-    return agg
+        marks.append(
+            F.sum(
+                (F.col(child_key).isNotNull() & F.col(pk).isNull()).cast("long")
+            ).cast("bigint").alias(f"orphans_{child_key}")
+        )
+    return out.agg(*marks)

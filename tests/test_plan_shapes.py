@@ -306,3 +306,12 @@ def test_an1_rolling_anomaly_single_exchange(spark, sf_dir):
     ONE window spec — one shuffle on user_id, no extra sorts."""
     plan = _plan(spark, "an1_rolling_anomaly_events", sf_dir)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_ri1_single_child_scan(spark, sf_dir):
+    """All three lineitem FK edges must check in ONE lineitem scan (chained
+    broadcast left joins + one aggregate), not one scan per edge."""
+    plan = _plan(spark, "ri1_referential_integrity", sf_dir)
+    lineitem_scans = plan.count("lineitem.parquet")
+    assert lineitem_scans == 1, f"{lineitem_scans} lineitem scans\n{plan}"
+    assert "BroadcastHashJoin" in plan

@@ -271,3 +271,52 @@ def test_hash_split_matches_python_md5(spark, ids):
         bucket = hashlib.md5(f"split-v1:{i}".encode()).hexdigest()[:8]
         want = next((lbl for lbl, hi in bounds[:-1] if bucket <= hi), bounds[-1][0])
         assert got[i] == want, (i, bucket, got[i], want)
+
+
+@settings(**SETTINGS)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(0, 9), finite_doubles), min_size=0, max_size=15,
+        unique_by=lambda t: t[0],
+    ),
+    changes=st.lists(
+        st.tuples(
+            st.integers(0, 12),                     # key (some beyond base)
+            finite_doubles,                         # new value
+            st.sampled_from(["U", "D", "I"]),       # op
+            st.integers(0, 5),                      # seq
+        ),
+        min_size=0, max_size=20,
+        unique_by=lambda t: (t[0], t[3]),           # one op per (key, seq)
+    ),
+)
+def test_apply_changes_matches_reference_model(spark, base, changes):
+    """CDC MERGE vs an independent Python model: per key, the highest-seq
+    change wins; delete drops; anything else upserts; untouched keys pass."""
+    from agent_data_wrangler_spark.operators import cdc
+
+    bdf = spark.createDataFrame(base or [(99, 0.0)], "k int, v double")
+    if not base:
+        bdf = bdf.filter(F.lit(False))
+    cdf = spark.createDataFrame(
+        changes or [(99, 0.0, "U", 0)], "k int, v double, op string, seq int"
+    )
+    if not changes:
+        cdf = cdf.filter(F.lit(False))
+
+    got = sorted(
+        tuple(r) for r in
+        cdc.apply_changes(bdf, cdf, "k", seq_col="seq", op_col="op").collect()
+    )
+
+    model = {k: v for k, v in base}
+    latest: dict[int, tuple[int, float, str]] = {}
+    for k, v, op, seq in changes:
+        if k not in latest or seq > latest[k][0]:
+            latest[k] = (seq, v, op)
+    for k, (_, v, op) in latest.items():
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == sorted(model.items())
