@@ -315,3 +315,25 @@ def test_ri1_single_child_scan(spark, sf_dir):
     lineitem_scans = plan.count("lineitem.parquet")
     assert lineitem_scans == 1, f"{lineitem_scans} lineitem scans\n{plan}"
     assert "BroadcastHashJoin" in plan
+
+
+def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+    """Sweep every registered query plan: plain BatchEvalPython means a
+    row-at-a-time Python UDF crept into a hot path — the Python boundary
+    must always be Arrow-batched (ArrowEvalPython / *InPandas / PythonScan).
+    The one sanctioned exception is u4's Python UDTF node
+    (BatchEvalPythonUDTF — the UDTF surface itself)."""
+    import re
+
+    skip = {"st1_streaming_window_counts", "st2_streaming_sessions",
+            "st3_streaming_dedup_count", "st4_streaming_enriched_segments",
+            "st5_incremental_rollup_events", "st6_stateful_user_totals",
+            "st7_stream_stream_join_events"}
+    bad = []
+    for name, q in {**Q1, **Q2}.items():
+        if name in skip:
+            continue
+        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if re.search(r"BatchEvalPython(?!UDTF)", plan):
+            bad.append(name)
+    assert not bad, f"row-at-a-time Python UDFs in: {bad}"
