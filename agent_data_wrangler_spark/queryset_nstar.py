@@ -2127,3 +2127,69 @@ def pd1_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("score_milli").cast("bigint").alias("total_score_milli"),
         F.sum(payload_hash).cast("bigint").alias("payload_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LM1 — n-gram LM coverage scoring (the CCNet/KenLM quality-filter shape,
+# engine-deterministic): trigram vocabulary built from the even-doc_id half
+# of the corpus, odd-half docs scored by what fraction of their distinct
+# trigrams the vocabulary has seen. Everything is INTEGER counts + one
+# exact ratio per row — a real log-prob LM sums floating logs whose libm
+# differs across engines, so the oracle-checkable form is coverage, with
+# the LM smoothing left to the consumer. Docs under 3 tokens drop on both
+# engines (no trigrams).
+# Scale: the vocab join is keyed on short trigram strings (key-only
+# shuffle); at 100 TB both sides would first map trigrams to 64-bit
+# fingerprints so the exchange carries longs — same plan shape.
+# ---------------------------------------------------------------------------
+@query(
+    "lm1_ngram_coverage_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), vocab AS (
+      SELECT DISTINCT unnest(sh) AS tri FROM t WHERE doc_id % 2 = 0
+    ), scored AS (
+      SELECT doc_id, unnest(sh) AS tri FROM t WHERE doc_id % 2 = 1
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tri,
+           CAST(sum(CASE WHEN v.tri IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           round(CAST(sum(CASE WHEN v.tri IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS coverage
+    FROM scored s LEFT JOIN vocab v ON s.tri = v.tri
+    GROUP BY s.doc_id
+    """,
+)
+def lm1_ngram_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    tri = dedup.shingles("text", 3)
+    vocab = (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(tri).alias("tri"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    scored = (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(tri).alias("tri"))
+    )
+    agg = (
+        scored.join(vocab, "tri", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tri"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_seen"),
+        )
+    )
+    return agg.select(
+        "doc_id", "n_tri", "n_seen",
+        F.round(
+            F.col("n_seen").cast("double") / F.col("n_tri").cast("double"), 6
+        ).alias("coverage"),
+    )
