@@ -2850,3 +2850,112 @@ def vr1_variant_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("bigint").alias("sum_k"),
         F.min(F.col("shape").startswith("OBJECT<")).alias("shapes_are_objects"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FN1 — event funnel (view → click → purchase within 2 h of the first
+# view), the product-analytics staple. Formulated as SEQUENTIAL MINS — per
+# user: t1 = first view; t2 = first click at/after t1; t3 = first purchase
+# at/after t2 — three tiny per-user aggregates chained by key joins, NOT an
+# n-way event self-join (which is quadratic in events-per-user at scale).
+# "From the first view" makes the funnel deterministic and oracle-mirrorable.
+# Timestamps compare exactly; no float math anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "fn1_funnel_events",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view'
+      GROUP BY user_id
+    ), t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts >= t1.t1
+      GROUP BY e.user_id
+    ), t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= t2.t2
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+           coalesce(t3.t3 <= t1.t1 + INTERVAL 2 HOUR, false) AS completed
+    FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+            LEFT JOIN t3 ON t2.user_id = t3.user_id
+    """,
+)
+def fn1_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+
+    def first_at_or_after(etype: str, prev: DataFrame, prev_col: str, out: str) -> DataFrame:
+        step = e.filter(F.col("event_type") == etype).join(prev, "user_id")
+        return (
+            step.filter(F.col("ts") >= F.col(prev_col))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    t2 = first_at_or_after("click", t1, "t1", "t2")
+    t3 = first_at_or_after("purchase", t2, "t2", "t3")
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id", "t1", "t2", "t3",
+            F.coalesce(
+                F.col("t3") <= F.col("t1") + F.expr("INTERVAL 2 HOUR"),
+                F.lit(False),
+            ).alias("completed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RC1 — cohort retention matrix: users grouped by first-seen week (cohort),
+# counted as retained in each later week they reappear. Pure integer
+# distinct-counts over derived week numbers — the other product-analytics
+# staple next to fn1. Week number = days since 2024-01-01 // 7 (integer
+# arithmetic on date_diff, identical both engines).
+# Scale: two aggregates shuffled on user_id / (cohort, offset); distinct
+# users per cell is the only wide state and is bounded by |users|.
+# ---------------------------------------------------------------------------
+@query(
+    "rc1_retention_events",
+    oracle="""
+    WITH w AS (
+      SELECT user_id,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                  AS BIGINT) AS week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id
+    )
+    SELECT c.cohort_week,
+           CAST(w.week - c.cohort_week AS BIGINT) AS week_offset,
+           CAST(count(DISTINCT w.user_id) AS BIGINT) AS n_users
+    FROM w JOIN cohort c ON w.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def rc1_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    w = e.select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / 7
+        ).cast("bigint").alias("week"),
+    )
+    cohort = w.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        w.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("bigint").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
