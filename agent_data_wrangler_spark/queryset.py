@@ -2959,3 +2959,34 @@ def rc1_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# QT1 — per-group exact quantiles (the p50/p95/p99 observability rollup):
+# value quantiles per event_type via Spark's interpolating `percentile`,
+# mirrored by DuckDB quantile_cont (both linear interpolation on sorted
+# order statistics — the same estimator p5/describe already hash-matches
+# globally). Scale: one partial+final aggregate per group; above memory
+# budgets the same call sites switch to percentile_approx exactly as
+# describe_auto does (da1 pins that switch).
+# ---------------------------------------------------------------------------
+@query(
+    "qt1_quantiles_by_type_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY event_type
+    """,
+)
+def qt1_quantiles_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile(v, 0.5), 4).alias("p50"),
+        F.round(F.percentile(v, 0.95), 4).alias("p95"),
+        F.round(F.percentile(v, 0.99), 4).alias("p99"),
+    )
