@@ -808,24 +808,26 @@ def near_dup_pairs_incremental(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cands.count()  # materialize: three verify-stage reads below
+    cands.count()  # materialize: verify references it several times
 
-    def touched_shingles(df: DataFrame, side: str) -> DataFrame:
-        ids = cands.select(F.col(side).alias("__id")).distinct()
-        return (
-            df.join(ids, df[id_col] == ids["__id"], "left_semi")
-            .select(F.col(id_col).alias(side), shingles(text_col, k).alias(f"__sh_{side}"))
-        )
-
-    j = (
-        cands.join(touched_shingles(batch, "batch_id"), "batch_id")
-        .join(touched_shingles(corpus, "corpus_id"), "corpus_id")
+    # Verify via the SHARED exact-Jaccard funnel (one copy of the rounding /
+    # shingle-distinct semantics the oracles mirror): canonicalize pairs to
+    # jaccard_verify's id_a < id_b convention over the unioned frame, then
+    # map survivors back to their sides. Requires ids disjoint across the
+    # two frames (the incremental contract: corpus and batch share an id
+    # space but never an id).
+    both = batch.select(id_col, text_col).unionByName(
+        corpus.select(id_col, text_col)
     )
-    inter = F.size(F.array_intersect("__sh_batch_id", "__sh_corpus_id"))
-    union = F.size(F.array_union("__sh_batch_id", "__sh_corpus_id"))
-    jacc = inter.cast("double") / F.nullif(union.cast("double"), F.lit(0.0))
-    return (
-        j.withColumn("jaccard", F.round(jacc, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("batch_id", "corpus_id", "jaccard")
+    canon = cands.select(
+        F.least("batch_id", "corpus_id").alias("id_a"),
+        F.greatest("batch_id", "corpus_id").alias("id_b"),
+        "batch_id", "corpus_id",
+    )
+    verified = jaccard_verify(
+        both, canon.select("id_a", "id_b").distinct(), id_col, text_col,
+        k=k, threshold=threshold,
+    )
+    return verified.join(canon, ["id_a", "id_b"]).select(
+        "batch_id", "corpus_id", "jaccard"
     )

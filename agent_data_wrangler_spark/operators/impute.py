@@ -152,17 +152,22 @@ def backward_fill(
     order_by: list[str],
 ) -> DataFrame:
     """Mirror of :func:`forward_fill`: take the next non-NULL value
-    (pandas ``bfill``). Same one-shuffle / streaming-frame plan, with the
-    frame reversed (current row → unbounded following, ``first`` ignorenulls).
+    (pandas ``bfill``). Implemented as a DESCENDING-order ``last``
+    (ignorenulls) over unbounded-preceding — the accumulating one-pass
+    frame — NOT ``first`` over (currentRow, unboundedFollowing): Spark
+    evaluates an unbounded-FOLLOWING frame by re-scanning from each row to
+    the partition end (O(n²) per partition), while the reversed
+    unbounded-preceding frame keeps one running value (O(n)). Same single
+    shuffle either way.
     """
     from pyspark.sql import Window
 
     w = (
         Window.partitionBy(*partition_by)
-        .orderBy(*[F.col(c).asc() for c in order_by])
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(*[F.col(c).desc() for c in order_by])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = df
     for c in columns:
-        out = out.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+        out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out

@@ -57,8 +57,13 @@ def chi2_contingency(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
     and the chi-square contribution (obs - exp)^2 / exp — the drift /
     association check between two categorical columns.
 
-    Cells with zero observations are absent from the output (they are absent
-    from the groupBy); totals are unaffected since empty cells contribute 0.
+    SCOPE: per-OBSERVED-cell diagnostics. Cells with zero observations are
+    absent from the output (absent from the groupBy); their margins still
+    count (an empty cell adds 0 to row/column totals), but an absent cell's
+    chi-square term (0-exp)^2/exp = exp is NOT emitted — summing the
+    `contribution` column therefore UNDERSTATES the full chi-square
+    statistic whenever any (a, b) combination is unobserved. For the full
+    statistic, cross-join the margins to materialize empty cells first.
     All totals are integer sums (exact in any order), so expected /
     contribution are IEEE-deterministic — safe to value-check cross-engine.
 

@@ -226,7 +226,12 @@ def write_lsh_bucketed(
     """
     if num_planes is None:
         num_planes = derive_lsh_params(df.count())[0]
-    first = df.select(F.size(vec_col).alias("n")).limit(1).collect()
+    # NULL-safe dim sniff: F.size(NULL) is NULL (int(None) would raise), and
+    # the first physical row may legitimately carry a NULL embedding.
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("n")).limit(1).collect()
+    )
     dim = int(first[0]["n"]) if first else 0
     planes = hyperplanes(dim, num_planes, seed)
     shift = max(0, num_planes - partition_bits)
@@ -292,11 +297,25 @@ def topk_cosine_lsh_pruned(
     Plane parameters default to the layout's sidecar metadata
     (``_ann_index_meta.json``) — the layout is self-describing; pass them
     explicitly only to override."""
+    meta = None
     if num_planes is None or shift is None or seed is None:
         meta = read_index_meta(path)
         num_planes = meta["num_planes"] if num_planes is None else num_planes
         shift = meta["shift"] if shift is None else shift
         seed = meta["seed"] if seed is None else seed
+    # The layout's planes were drawn at the WRITE-time dim: a wrong-dim
+    # query would silently derive unrelated hyperplanes and probe garbage
+    # buckets (confidently wrong top-k) — fail fast instead.
+    if meta is None:
+        try:
+            meta = read_index_meta(path)
+        except Exception:
+            meta = {}
+    layout_dim = meta.get("dim")
+    if layout_dim and layout_dim != len(query_vec):
+        raise ValueError(
+            f"query dim {len(query_vec)} != layout dim {layout_dim} at {path}"
+        )
     planes = hyperplanes(len(query_vec), num_planes, seed)
     probes = probe_buckets(query_vec, planes, multiprobe)
     parts = sorted({p >> shift for p in probes})

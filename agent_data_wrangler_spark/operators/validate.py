@@ -87,14 +87,22 @@ def fk_orphan_counts(
     suite in :func:`check_rules`, which by design never leaves its one
     table.
     """
+    from agent_data_wrangler_spark.operators.joins import _fits_broadcast
+
     out = child
     marks = []
     for i, (child_key, parent, parent_key) in enumerate(pairs):
         pk = f"__pk_{i}"
         keys = parent.select(F.col(parent_key).alias(pk)).distinct()
-        out = out.join(
-            F.broadcast(keys), out[child_key] == keys[pk], "left"
-        )
+        # Broadcast only when the parent's key set is actually dim-sized
+        # (Catalyst size estimate under the session threshold) — a forced
+        # hint on a fact-table parent (e.g. orders as lineitem's parent)
+        # would bypass autoBroadcastJoinThreshold and OOM the driver at
+        # scale. Oversized parents fall back to a hash join; AQE may still
+        # promote it at runtime if the distinct set shrinks enough.
+        if _fits_broadcast(keys):
+            keys = F.broadcast(keys)
+        out = out.join(keys, out[child_key] == keys[pk], "left")
         marks.append(
             F.sum(
                 (F.col(child_key).isNotNull() & F.col(pk).isNull()).cast("long")

@@ -250,7 +250,11 @@ def rolling_anomaly(
     Scale: one shuffle on ``partition_by``; bounded frames are O(lookback)
     per row.
     """
-    v = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    raw = F.col(value_cents) if isinstance(value_cents, str) else value_cents
+    # Widen BEFORE squaring: an int32 cents column overflows at v >= ~46341
+    # in v*v (ANSI mode throws, legacy mode silently wraps into a negative
+    # variance) — the square must happen in 64-bit space.
+    v = raw.cast("long")
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(*order_by)

@@ -149,6 +149,26 @@ def compact(
     import math
     import shutil
 
+    # Guard: a flat read+rewrite would FLATTEN hive-partitioned layouts
+    # (k=v subdirectories become plain columns, directory pruning is lost)
+    # and drop sidecar metadata (e.g. the ANN layouts' _ann_index_meta.json)
+    # — with in_place=True that loss would be irrecoverable. Refuse loudly;
+    # partitioned layouts need a partition-aware compaction (per-partition
+    # rewrite), which is a different operation.
+    entries = os.listdir(path)
+    part_dirs = [e for e in entries
+                 if "=" in e and os.path.isdir(os.path.join(path, e))]
+    sidecars = [e for e in entries
+                if e.startswith("_") and e not in ("_SUCCESS",)
+                and os.path.isfile(os.path.join(path, e))]
+    if part_dirs or sidecars:
+        raise ValueError(
+            f"compact() refuses a partitioned/sidecar layout at {path}: "
+            f"partition dirs={part_dirs[:3]} sidecars={sidecars[:3]} — a "
+            "flat rewrite would flatten partitioning and drop metadata; "
+            "compact each partition directory individually instead"
+        )
+
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -207,6 +227,16 @@ def zorder_key(cols: list, bits: int = 16, *, mins: dict | None = None,
     rows close in the z-key are close in every dimension at once.
     """
     names = list(cols)
+    if bits * len(names) > 63:
+        # Bit 63 is bigint's sign bit: an interleave that reaches it makes
+        # high-order rows sort NEGATIVE (before everything), splitting the
+        # curve at the wrong place; positions >= 64 wrap mod 64 and corrupt
+        # the key outright. Callers should lower `bits` (write_zorder does
+        # this automatically).
+        raise ValueError(
+            f"bits*k = {bits * len(names)} exceeds 63 (bigint sign bit): "
+            f"use bits <= {63 // len(names)} for {len(names)} columns"
+        )
     scaled = []
     for c in names:
         lo, hi = float(mins[c]), float(maxs[c])
@@ -250,6 +280,9 @@ def write_zorder(
     range-sorted rewrite. Locality degrades ~√k per extra dimension; keep
     ``cols`` to 2-4.
     """
+    # Clamp so the interleave never reaches bigint's sign bit (bit 63) —
+    # 4 columns get 15 bits each, 2 columns keep the full 16.
+    bits = min(bits, 63 // len(cols))
     row = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in cols],

@@ -248,6 +248,11 @@ def stream_interval_join(
     right_time. Without the range condition the join would buffer both
     streams forever. Inner join output is append-mode by construction.
     """
+    if not on:
+        # None & Column would silently become a NULL condition (zero rows);
+        # keyless time-only stream joins are a different (and state-heavy)
+        # operation — reject the empty key list loudly.
+        raise ValueError("stream_interval_join requires at least one key pair")
     l = left.withWatermark(left_time, watermark)
     r = right.withWatermark(right_time, watermark)
     cond = None

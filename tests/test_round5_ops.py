@@ -230,3 +230,72 @@ def test_python_datasource_partitions_and_rows(spark):
     assert len(rows) == 12
     assert rows[7]["shard"] == 1 and rows[7]["payload"] == "doc-7"
     assert rows[7]["score_milli"] == (7 * 2654435761) % 1000
+
+
+def test_rolling_anomaly_int_column_no_overflow(spark):
+    """int32 cents whose square exceeds int32 range must not overflow
+    (the square is widened to 64-bit before summing)."""
+    rows = [("u", i, 50000 + (i % 3)) for i in range(8)] + [("u", 8, 3000000)]
+    df = spark.createDataFrame(rows, "g string, i int, v int")  # int32!
+    out = rolling_anomaly(
+        df, "v", partition_by=["g"], order_by=[F.col("i").asc()], min_history=5
+    )
+    flags = {r["i"]: r["is_anomaly"] for r in out.collect()}
+    assert flags[8] is True and not any(flags[i] for i in range(8))
+
+
+def test_zorder_key_rejects_sign_bit_and_write_clamps(spark, tmp_path):
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.sources.writers import write_zorder, zorder_key
+
+    with _pytest.raises(ValueError, match="sign bit"):
+        zorder_key(["a", "b", "c", "d"], bits=16,
+                   mins={c: 0.0 for c in "abcd"}, maxs={c: 1.0 for c in "abcd"})
+    # write_zorder clamps bits (4 cols -> 15 bits each) and succeeds.
+    df = spark.createDataFrame(
+        [(float(i % 8), float(i // 8 % 8), float(i % 5), float(i % 3))
+         for i in range(64)],
+        "a double, b double, c double, d double",
+    )
+    write_zorder(df, os.path.join(str(tmp_path), "z4"), ["a", "b", "c", "d"],
+                 num_files=4)
+    assert spark.read.parquet(os.path.join(str(tmp_path), "z4")).count() == 64
+
+
+def test_compact_refuses_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.sources.writers import compact
+
+    p = os.path.join(str(tmp_path), "parted")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string") \
+        .write.partitionBy("k").parquet(p)
+    with _pytest.raises(ValueError, match="partitioned/sidecar"):
+        compact(spark, p, in_place=True)
+
+
+def test_stream_interval_join_rejects_empty_keys(spark):
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.streaming import stream_interval_join
+
+    df = spark.readStream.format("rate").load()
+    with _pytest.raises(ValueError, match="key pair"):
+        stream_interval_join(df, df, [], left_time="timestamp",
+                             right_time="timestamp", max_delay="1 HOUR")
+
+
+def test_lsh_pruned_layout_rejects_wrong_dim(spark, tmp_path):
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 5), 1.0, 0.5]) for i in range(60)],
+        "id long, emb array<double>",
+    )
+    p = os.path.join(str(tmp_path), "lsh")
+    similarity.write_lsh_bucketed(df, "emb", p, num_planes=6)
+    with _pytest.raises(ValueError, match="dim"):
+        similarity.topk_cosine_lsh_pruned(spark, p, "emb", [1.0, 0.0], k=3)
