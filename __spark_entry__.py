@@ -116,7 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL equivalent for each registered query — all 118
+    """DuckDB-runnable ANSI SQL equivalent for each registered query — all 119
     as of round 5. The formerly rows-only engine-hash paths (n5/n7/n8/n9)
     carry verdict oracles: the invariant (recall vs exact, subset/containment)
     is computed in Spark and emitted as verdict booleans next to hard values

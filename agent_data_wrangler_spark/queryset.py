@@ -2992,3 +2992,39 @@ def qt1_quantiles_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile(v, 0.95), 4).alias("p95"),
         F.round(F.percentile(v, 0.99), 4).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TK1 — top-N per group (3 biggest orders per priority): the grouped-top-k
+# staple, written as row_number over (priority, totalprice desc, key) and
+# filtered — Spark 4 rewrites the filter into WindowGroupLimit, computing
+# the per-key top-3 BEFORE the exchange (each map task forwards at most 3
+# rows per group), so the shuffle carries |groups|·k rows, not the table.
+# The key column breaks price ties deterministically on both engines.
+# ---------------------------------------------------------------------------
+@query(
+    "tk1_top3_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority, rk, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def tk1_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    ranked = windows.ranked(
+        o, ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        alias="rk",
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("rk"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )

@@ -13,7 +13,7 @@ def test_every_query_has_an_oracle():
     q = entry.queries()
     o = entry.oracle_sql()
     assert set(q) == set(o), set(q) ^ set(o)
-    assert len(q) >= 118
+    assert len(q) >= 119
 
 
 def test_slot_order_canaries_then_unverified_then_stalest():

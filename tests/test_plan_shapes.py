@@ -337,3 +337,11 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
         if re.search(r"BatchEvalPython(?!UDTF)", plan):
             bad.append(name)
     assert not bad, f"row-at-a-time Python UDFs in: {bad}"
+
+
+def test_tk1_rank_limit_pushdown(spark, sf_dir):
+    """Grouped top-k must get WindowGroupLimit: the per-group top-3 is
+    computed map-side BEFORE the exchange, so the shuffle carries at most
+    k rows per group per task — never the whole table."""
+    plan = _plan(spark, "tk1_top3_orders_per_priority", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
