@@ -21,23 +21,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Most recent round in which each query earned a green (rows+schema+hash)
-# driver row, taken from the union of CORRECTNESS_r01..r04.json. Queries
+# driver row, taken from the union of CORRECTNESS_r01..r05.json. Queries
 # absent from this map have never been driver-verified and get first claim on
 # the capped oracle slots; verified queries rotate least-recently-first so
 # every query keeps cycling back through the driver instead of the same ~45
 # re-running forever. Refresh each round from the latest CORRECTNESS file.
 LAST_GREEN_ROUND: dict[str, int] = {
-    # r03 (stalest verified — first in the rotation block)
-    "a2_group_stats_events": 3, "a4_mode_priority": 3, "a7_corr_lineitem": 3,
-    "c1_cube_orders": 3, "cc1_components_documents": 3,
-    "f1_f2_dropnull_sigma_events": 3, "g1_grouping_sets_orders": 3,
-    "j2_customers_without_orders": 3, "j3_customers_with_1997_orders": 3,
-    "j4_revenue_by_region": 3, "j5_asof_last_purchase": 3,
-    "j6_brand_revenue": 3, "j7_supplier_region_revenue": 3,
-    "jn1_json_map_events": 3, "k1_top10_orders": 3,
-    "n2_text_stats_documents": 3, "n3_topk_cosine_embeddings": 3,
-    "n4_jaccard_pairs_documents": 3, "n6_simhash_documents": 3,
-    "pv1_pivot_events": 3, "r1_rollup_orders": 3,
+    # r03
+    "n3_topk_cosine_embeddings": 3, "n4_jaccard_pairs_documents": 3,
+    "n6_simhash_documents": 3, "pv1_pivot_events": 3, "r1_rollup_orders": 3,
     "s1_setops_active_customers": 3, "s2_setops_priority_rows": 3,
     "st2_streaming_sessions": 3, "st3_streaming_dedup_count": 3,
     "t10_dual_format_dates": 3, "t11_phone_normalize": 3,
@@ -48,31 +40,56 @@ LAST_GREEN_ROUND: dict[str, int] = {
     "u2_name_digitsum_customers": 3, "w2_cumulative_spend": 3,
     "w3_event_gaps": 3, "w4_rolling_avg_spend": 3, "x1_crosstab_events": 3,
     # r04
-    "a1_pricing_summary": 4, "ad1_approx_distinct_customers": 4,
-    "bk1_bucketed_join_revenue": 4, "bl1_blocked_editdist_documents": 4,
-    "ch1_chunk_documents": 4, "csv1_roundtrip_events": 4,
-    "da1_describe_auto_orders": 4, "dc1_decontaminate_documents": 4,
-    "dq1_validation_rules_events": 4, "fz1_fuzzy_match_nation": 4,
-    "gq1_repetition_quality_documents": 4, "j1_revenue_by_segment": 4,
+    "ad1_approx_distinct_customers": 4, "bk1_bucketed_join_revenue": 4,
+    "bl1_blocked_editdist_documents": 4, "ch1_chunk_documents": 4,
+    "csv1_roundtrip_events": 4, "da1_describe_auto_orders": 4,
+    "dc1_decontaminate_documents": 4, "dq1_validation_rules_events": 4,
+    "fz1_fuzzy_match_nation": 4, "gq1_repetition_quality_documents": 4,
     "j8_shipping_priority": 4, "js1_jsonl_roundtrip_events": 4,
     "md1_mad_outliers_events": 4, "mm1_image_features_documents": 4,
     "mm2_audio_features_documents": 4, "mm3_frame_sample_documents": 4,
-    "n1_exact_dedup_documents": 4, "nt1_quartiles_orders": 4,
-    "p2_shape_lineitem": 4, "p5_describe_lineitem": 4,
-    "p5a_describe_approx_lineitem": 4, "p6_null_counts_events": 4,
-    "p8_value_counts_priority": 4, "p9_duplicate_count_documents": 4,
-    "pi1_redact_pii_documents": 4, "pk1_pack_documents": 4,
-    "pl1_pipeline_spec_events": 4, "pp1_partition_pruned_events": 4,
-    "rh1_winnow_fingerprints_documents": 4, "rj1_time_bands_events": 4,
-    "rp1_report_events": 4, "sb1_stratified_sample_events": 4,
-    "se1_schema_evolution_orders": 4, "sj1_salted_join_segments": 4,
-    "sk1_key_skew_orders": 4, "sm1_seeded_sample_orders": 4,
-    "sn1_sessionize_events": 4, "sp1_hash_split_documents": 4,
-    "sq1_portable_sql_revenue": 4, "st1_streaming_window_counts": 4,
+    "nt1_quartiles_orders": 4, "p2_shape_lineitem": 4,
+    "p5_describe_lineitem": 4, "p5a_describe_approx_lineitem": 4,
+    "p6_null_counts_events": 4, "p8_value_counts_priority": 4,
+    "p9_duplicate_count_documents": 4, "pi1_redact_pii_documents": 4,
+    "pk1_pack_documents": 4, "pl1_pipeline_spec_events": 4,
+    "pp1_partition_pruned_events": 4, "rh1_winnow_fingerprints_documents": 4,
+    "rj1_time_bands_events": 4, "rp1_report_events": 4,
+    "sb1_stratified_sample_events": 4, "se1_schema_evolution_orders": 4,
+    "sj1_salted_join_segments": 4, "sk1_key_skew_orders": 4,
+    "sm1_seeded_sample_orders": 4, "sn1_sessionize_events": 4,
+    "sp1_hash_split_documents": 4, "sq1_portable_sql_revenue": 4,
     "st4_streaming_enriched_segments": 4, "st5_incremental_rollup_events": 4,
     "st6_stateful_user_totals": 4, "tp1_two_phase_agg_orders": 4,
     "ts1_resample_hourly_events": 4, "u3_trimmed_mean_orders": 4,
-    "u4_udtf_tokens_documents": 4, "w1_top_order_per_customer": 4,
+    "u4_udtf_tokens_documents": 4,
+    # r05
+    "a1_pricing_summary": 5, "a2_group_stats_events": 5,
+    "a4_mode_priority": 5, "a7_corr_lineitem": 5,
+    "an1_rolling_anomaly_events": 5, "c1_cube_orders": 5,
+    "cc1_components_documents": 5, "cd1_apply_changes_orders": 5,
+    "cd2_scd2_orders": 5, "ct1_chi2_events": 5,
+    "f1_f2_dropnull_sigma_events": 5, "fn1_funnel_events": 5,
+    "g1_grouping_sets_orders": 5, "hg1_histogram_totalprice": 5,
+    "im1_incremental_rollup_orders": 5, "j1_revenue_by_segment": 5,
+    "j2_customers_without_orders": 5, "j3_customers_with_1997_orders": 5,
+    "j4_revenue_by_region": 5, "j5_asof_last_purchase": 5,
+    "j6_brand_revenue": 5, "j7_supplier_region_revenue": 5,
+    "jn1_json_map_events": 5, "k1_top10_orders": 5,
+    "lm1_ngram_coverage_documents": 5, "mf1_dataset_manifest_documents": 5,
+    "mx1_mixture_sample_documents": 5, "n10_lsh_pruned_topk_embeddings": 5,
+    "n11_ivf_pruned_topk_embeddings": 5,
+    "n12_incremental_neardup_documents": 5, "n1_exact_dedup_documents": 5,
+    "n2_text_stats_documents": 5, "n5_minhash_neardup_documents": 5,
+    "n7_lsh_topk_embeddings": 5, "n8_embedding_neardup_pairs": 5,
+    "n9_ivf_topk_embeddings": 5, "or1_orc_roundtrip_events": 5,
+    "pd1_python_datasource": 5, "qs1_source_quota_documents": 5,
+    "qt1_quantiles_by_type_events": 5, "rc1_retention_events": 5,
+    "ri1_referential_integrity": 5, "st1_streaming_window_counts": 5,
+    "st7_stream_stream_join_events": 5, "sub1_small_quantity_revenue": 5,
+    "sub2_large_volume_customers": 5, "tk1_top3_orders_per_priority": 5,
+    "ts2_gap_fill_events": 5, "vr1_variant_events": 5,
+    "w1_top_order_per_customer": 5,
 }
 
 DRIVER_VERIFIED = frozenset(LAST_GREEN_ROUND)

@@ -32,11 +32,21 @@ def test_slot_order_canaries_then_unverified_then_stalest():
     assert rounds == sorted(rounds)
 
 
-def test_new_round5_queries_claim_slots_before_verified():
-    """Every round-5 addition must sit inside the driver's 50-slot window."""
-    names = list(entry.queries())[:50]
-    for q in ("cd1_apply_changes_orders", "n12_incremental_neardup_documents",
-              "st7_stream_stream_join_events", "mx1_mixture_sample_documents",
-              "lm1_ngram_coverage_documents", "pd1_python_datasource",
-              "fn1_funnel_events", "rc1_retention_events"):
-        assert q in names, f"{q} starved out of the 50-slot window"
+def test_slot_window_holds_unverified_and_stalest():
+    """The driver's 50-slot window must contain (a) every never-verified
+    oracle query — new work gets driver rows before anything re-verifies —
+    and (b) after that, the least-recently-verified queries, so the whole
+    registry keeps cycling through the driver (round-4/5 lessons)."""
+    names = list(entry.queries())
+    window = set(names[:50])
+    unverified = [k for k in names if k not in entry.LAST_GREEN_ROUND]
+    assert len(unverified) <= 50 - len(entry.CANARIES), (
+        "more new queries than slots — raise the cap discussion in NOTES")
+    for q in unverified:
+        assert q in window, f"never-verified {q} starved out of the window"
+    # the window's verified block must be a prefix of the stalest ordering
+    verified_in = [k for k in names[:50]
+                   if k in entry.LAST_GREEN_ROUND and k not in entry.CANARIES]
+    verified_all = [k for k in names
+                    if k in entry.LAST_GREEN_ROUND and k not in entry.CANARIES]
+    assert verified_in == verified_all[:len(verified_in)]

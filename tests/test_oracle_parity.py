@@ -101,7 +101,9 @@ def test_oracle_parity(name, spark, sf_dir):
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLE)))
-def test_rows_only_queries_run(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
+def test_no_rows_only_queries():
+    """Since round 5 every registered query carries a DuckDB oracle; a new
+    rows-only entry would silently get the weaker driver check, so fail loudly
+    here instead of auto-skipping an empty parameter set (r05 verdict item 2)."""
+    rows_only = sorted(set(QUERIES) - set(ORACLE))
+    assert rows_only == [], f"queries missing oracles: {rows_only}"

@@ -14,14 +14,28 @@ from pyspark.sql import functions as F
 
 from agent_data_wrangler_spark.operators import filters, impute, joins
 
+# derandomize=True: the suite is a CI gate — examples must be the same on
+# every run so "green" is reproducible (r05 verdict). Exploration happens in
+# dev runs by flipping this off locally, never in the committed gate.
 SETTINGS = dict(
     max_examples=10,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 
+# allow_subnormal=False: at subnormal magnitudes (e.g. 5e-324) numpy's
+# linear-interpolated percentile and Spark's exact `percentile` round the
+# interpolation differently, so parity models diverge on values no real
+# dataset contains (r05 verdict item 1; pinned in
+# test_mad_filter_subnormal_regression below).
 finite_doubles = st.floats(
-    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=64
+    min_value=-1e6,
+    max_value=1e6,
+    allow_nan=False,
+    allow_infinity=False,
+    allow_subnormal=False,
+    width=64,
 )
 
 
@@ -174,6 +188,29 @@ def test_mad_filter_matches_numpy(spark, vals, k):
     lo, hi = med - k * 1.4826 * mad, med + k * 1.4826 * mad
     want = sorted(v for v in arr if lo <= v <= hi)
     assert kept == pytest.approx(want)
+
+
+def test_mad_filter_subnormal_regression(spark):
+    """Pins the Hypothesis-found falsifying example vals=[0.0, 5e-324], k=1.0
+    (r05 verdict item 1). At the smallest subnormal double, numpy's
+    `percentile(..., method="linear")` rounds the interpolated median to 0.0
+    (round-half-to-even on 2.5e-324) while Spark's exact `percentile` yields
+    5e-324 — both are defensible IEEE-754 results, so numpy-parity is
+    undefined here. The agreed engine semantics: the filter's keep-bounds are
+    Spark's own exact percentile arithmetic, applied as a closed interval.
+    This test pins that self-consistency directly."""
+    vals, k = [0.0, 5e-324], 1.0
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    med = df.select(F.expr("percentile(x, 0.5)").alias("med")).collect()[0].med
+    mad = df.select(
+        F.expr(f"percentile(abs(x - {med!r}), 0.5)").alias("mad")
+    ).collect()[0].mad
+    lo, hi = med - k * 1.4826 * mad, med + k * 1.4826 * mad
+    want = sorted(v for v in vals if lo <= v <= hi)
+    kept = sorted(
+        r.x for r in filters.mad_outlier_filter(df, "x", k=k).collect() if r.x is not None
+    )
+    assert kept == want
 
 
 _word = st.text(alphabet="abcxyz0", min_size=1, max_size=4)
