@@ -95,7 +95,18 @@ def merge_partial_aggregates(
 
     Scale: the inputs are already |groups|-sized, so the union + final
     aggregate shuffles rollup rows, never raw history.
+
+    An empty ``frames`` list is an error (plausible when an epoch has no
+    delta yet — the caller should skip the merge and keep the prior rollup);
+    a single frame is re-aggregated as-is, which also makes the call
+    idempotent over already-merged rollups.
     """
+    if not frames:
+        raise ValueError(
+            "merge_partial_aggregates needs at least one partial frame; "
+            "an epoch with no delta should skip the merge and reuse the "
+            "existing rollup"
+        )
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

@@ -227,12 +227,20 @@ def near_dup_candidates(
     The join key is a short string, never text; skewed buckets (boilerplate
     shingles) are the known hazard — AQE skew-join handles moderate skew, and
     the verify stage bounds false positives.
+
+    Sub-k-token docs (empty shingle set → all-P sentinel signature) are
+    dropped BEFORE band explosion: while the sentinel never collides with a
+    real doc, m empty docs would band-collide with EACH OTHER in every band,
+    emitting O(m²) candidate pairs that the verify stage only later discards
+    (union=0 → NULL jaccard) — a quadratic blowup on web corpora where empty
+    docs are common. Empty docs can only be exact duplicates of each other,
+    which exact dedup already handles.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed,
         strategy=signature_strategy,
-    )
+    ).filter(F.element_at("__sig", 1) < F.lit(_MERSENNE_31))
     # Band keys are sliced off the signature array `bands` times; the array
     # is a named column here (bound once), and the explode fans out a tiny
     # string per band.
@@ -466,13 +474,23 @@ def connected_components(
             F.when(F.col("__nb_min") < F.col("comp"), 1).otherwise(0).alias("__chg"),
         )
 
+    converged = False
     for _ in range(max_iter):
         # Two propagation rounds per convergence check: the check costs an
         # action + checkpoint, fusing halves that fixed cost while the fused
         # plan stays shallow.
         labels = step(step(labels)).localCheckpoint()
         if not labels.agg(F.sum("__chg")).first()[0]:
+            converged = True
             break
+    if not converged:
+        # Partial labels are WRONG answers (downstream keep-one-per-cluster
+        # would keep extra survivors) — never return them silently.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            f"iterations ({2 * max_iter} propagation rounds); the graph's "
+            "cluster diameter exceeds the bound — raise max_iter"
+        )
     return labels.select("id", F.col("comp").alias("component_id"))
 
 

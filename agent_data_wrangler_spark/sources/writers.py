@@ -227,6 +227,11 @@ def zorder_key(cols: list, bits: int = 16, *, mins: dict | None = None,
     rows close in the z-key are close in every dimension at once.
     """
     names = list(cols)
+    # NULL cell values map to bucket 0 (explicitly, below): NULL rows cluster
+    # together at the low end of the curve instead of scattering, so IS NULL
+    # predicates still skip files. Spark's least/greatest SKIP nulls rather
+    # than propagate them, so without the explicit coalesce a NULL cell would
+    # silently land in the TOP bucket via least(max, NULL) = max.
     if bits * len(names) > 63:
         # Bit 63 is bigint's sign bit: an interleave that reaches it makes
         # high-order rows sort NEGATIVE (before everything), splitting the
@@ -237,16 +242,30 @@ def zorder_key(cols: list, bits: int = 16, *, mins: dict | None = None,
             f"bits*k = {bits * len(names)} exceeds 63 (bigint sign bit): "
             f"use bits <= {63 // len(names)} for {len(names)} columns"
         )
+    for c in names:
+        # An all-NULL column (or empty input) fits min/max of None — a key
+        # built from it would be meaningless, so fail with the cause, not a
+        # TypeError deep in float().
+        if mins.get(c) is None or maxs.get(c) is None:
+            raise ValueError(
+                f"z-order column {c!r} has no non-null values to fit "
+                "min/max bounds on (all-NULL column or empty input)"
+            )
     scaled = []
     for c in names:
         lo, hi = float(mins[c]), float(maxs[c])
         span = (hi - lo) or 1.0
+        # coalesce BEFORE least/greatest: Spark's least/greatest SKIP nulls,
+        # so least(max, NULL) = max would put NULL cells in the top bucket.
         s = F.least(
             F.lit((1 << bits) - 1),
-            F.floor(
-                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
-                * F.lit(float((1 << bits) - 1))
-            ).cast("bigint"),
+            F.coalesce(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo)) / F.lit(span)
+                    * F.lit(float((1 << bits) - 1))
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
         )
         scaled.append(F.greatest(F.lit(0).cast("bigint"), s))
     k = len(scaled)

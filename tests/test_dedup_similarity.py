@@ -417,3 +417,34 @@ def test_blocked_editdist_max_block_size_guard(spark):
     _, m0 = blocked_editdist_pairs(df, "doc_id", "text", with_metrics=True)
     r0 = m0.collect()[0]
     assert (r0.n_blocks_refined, r0.n_blocks_skipped, r0.n_rows_skipped) == (0, 0, 0)
+
+
+def test_empty_shingle_docs_never_band_collide(spark):
+    """ADVICE r05 (medium): m sub-k-token docs all carry the identical all-P
+    sentinel signature; before the sentinel filter they band-collided with
+    each other in every band, emitting O(m^2) candidate pairs the verify
+    stage only later discarded. Candidates among empty docs must be ZERO."""
+    rows = [(i, "tiny") for i in range(40)] + [
+        (100, BASE), (101, BASE.replace("lazy", "sleepy"))
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cands = dedup.near_dup_candidates(df, "doc_id", "text", k=3)
+    got = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert not [p for p in got if p[0] < 100 or p[1] < 100], (
+        "empty-shingle docs produced candidate pairs"
+    )
+    assert (100, 101) in got  # real near-dups still found
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """ADVICE r05: exhausted max_iter must raise, never return partial
+    (wrong) labels. A 12-node path graph needs ~6 doubling-ish rounds;
+    max_iter=1 (2 propagation rounds) cannot reach fixpoint."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1, local_edge_limit=0)
+    # and with enough rounds the same graph converges to one component
+    comps = dedup.connected_components(pairs, max_iter=10, local_edge_limit=0)
+    assert {r.component_id for r in comps.collect()} == {0}

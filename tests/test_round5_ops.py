@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from agent_data_wrangler_spark.operators.profile import histogram
@@ -299,3 +301,41 @@ def test_lsh_pruned_layout_rejects_wrong_dim(spark, tmp_path):
     similarity.write_lsh_bucketed(df, "emb", p, num_planes=6)
     with _pytest.raises(ValueError, match="dim"):
         similarity.topk_cosine_lsh_pruned(spark, p, "emb", [1.0, 0.0], k=3)
+
+
+def test_merge_partial_aggregates_guards_empty_and_single(spark):
+    """ADVICE r05: empty frames list raises a descriptive error (epoch with
+    no delta should skip the merge); a single frame re-aggregates as-is."""
+    from agent_data_wrangler_spark.operators.aggregates import merge_partial_aggregates
+
+    with pytest.raises(ValueError, match="at least one partial frame"):
+        merge_partial_aggregates([], ["k"], ["s"])
+    one = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "k string, s long")
+    got = {r.k: r.s for r in merge_partial_aggregates([one], ["k"], ["s"]).collect()}
+    assert got == {"a": 3, "b": 3}
+
+
+def test_zorder_key_rejects_all_null_column_and_buckets_nulls_low(spark, tmp_path):
+    """ADVICE r05: an all-NULL clustered column must raise with the cause
+    (not a TypeError from float(None)); NULL cells in an otherwise-fittable
+    column map to bucket 0 (cluster low), per the documented rule."""
+    from agent_data_wrangler_spark.sources.writers import write_zorder, zorder_key
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], "x double, y double"
+    )
+    with pytest.raises(ValueError, match="no non-null values"):
+        write_zorder(df, str(tmp_path / "z"), ["x", "y"], num_files=2)
+
+    # NULL cell → bucket 0: key equals the key of the minimum value
+    df2 = spark.createDataFrame(
+        [(None, 5.0), (0.0, 5.0), (10.0, 5.0)], "x double, y double"
+    )
+    bounds = dict(mins={"x": 0.0, "y": 5.0}, maxs={"x": 10.0, "y": 5.0})
+    keys = [
+        r.z for r in df2.select(
+            zorder_key(["x", "y"], bits=8, **bounds).alias("z")
+        ).collect()
+    ]
+    assert keys[0] == keys[1]  # NULL clusters with the min, not the max
+    assert keys[2] > keys[0]
