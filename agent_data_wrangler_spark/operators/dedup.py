@@ -92,6 +92,24 @@ def shingles(col: Column | str, k: int = 3) -> Column:
     return F.element_at(F.transform(F.array(tokens(F.lower(c))), grams), 1)
 
 
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, *, k: int = 3
+) -> DataFrame:
+    """The shared shingle stage: ``(__id, __sh array<string>)``.
+
+    Shingling (regex tokenize + k-gram build + distinct) is the CPU-heavy
+    prefix of every text-dedup path. When a pipeline runs SEVERAL consumers
+    over the same corpus — minhash signatures, an exact inverted index, the
+    jaccard-verify stage — compute this frame ONCE, persist it, and pass it
+    via each consumer's ``shingles_df`` parameter; otherwise each consumer
+    re-derives shingles from raw text in its own scan (measured: the n5+n12
+    verdict queries spent ~2x their text-scan budget on repeated shingling).
+    """
+    return _widen(df).select(
+        F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh")
+    )
+
+
 def minhash_signature(shingle_col: Column | str, num_hashes: int = 64, seed: int = 42) -> Column:
     """MinHash signature (array<bigint>, length ``num_hashes``).
 
@@ -150,6 +168,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     seed: int = 42,
     strategy: str = "fold",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signatures → ``(id, sig array<bigint>)``, with two
     physically different but bit-identical strategies (equality unit-pinned).
@@ -169,8 +188,17 @@ def minhash_signatures(
       num_hashes longs. Measured ~2x faster than the fold on the round-4
       corpus (fewer, heavier docs) — the right choice when docs carry
       thousands of shingles and GC, not shuffle, is the binding constraint.
+
+    ``shingles_df`` (a persisted :func:`shingle_frame`) short-circuits the
+    shingle computation for either strategy — the shared-stage path when the
+    same corpus also feeds an exact index or a verify stage.
     """
     if strategy == "fold":
+        if shingles_df is not None:
+            return shingles_df.select(
+                "__id",
+                minhash_signature(F.col("__sh"), num_hashes, seed).alias("__sig"),
+            )
         return _widen(df).select(
             F.col(id_col).alias("__id"),
             minhash_signature(shingles(text_col, k), num_hashes, seed).alias("__sig"),
@@ -178,13 +206,22 @@ def minhash_signatures(
     if strategy != "agg":
         raise ValueError(f"unknown minhash strategy {strategy!r}: use 'agg' or 'fold'")
     params = _lcg_params(num_hashes, seed)
-    hashed = _widen(df).select(
-        F.col(id_col).alias("__id"),
-        # explode_outer keeps empty-shingle docs as a null hash row, so they
-        # surface in the aggregate and receive the all-P sentinel signature
-        # (min skips nulls -> null -> coalesce), identical to the fold.
-        F.explode_outer(shingles(text_col, k)).alias("__s"),
-    ).select(
+    if shingles_df is not None:
+        # Materialized array column from the shared stage — exploding a
+        # cached column reads data, it does not re-derive the expression
+        # tree, so the named-column Generate caveat below does not apply.
+        hashed = shingles_df.select("__id", F.explode_outer("__sh").alias("__s"))
+    else:
+        hashed = _widen(df).select(
+            F.col(id_col).alias("__id"),
+            # explode_outer keeps empty-shingle docs as a null hash row, so
+            # they surface in the aggregate and receive the all-P sentinel
+            # signature (min skips nulls -> null -> coalesce), identical to
+            # the fold. The shingle EXPRESSION is exploded directly — naming
+            # it first de-optimizes Generate (see near_dup_pairs_exact).
+            F.explode_outer(shingles(text_col, k)).alias("__s"),
+        )
+    hashed = hashed.select(
         "__id",
         # xxhash64(NULL) is a seed constant, NOT null — without the guard
         # every sub-k-token doc would share one bogus signature and band-
@@ -218,6 +255,7 @@ def near_dup_candidates(
     bands: int = 16,
     seed: int = 42,
     signature_strategy: str = "fold",
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: ``(id_a, id_b)`` with id_a < id_b, distinct.
 
@@ -239,7 +277,7 @@ def near_dup_candidates(
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed,
-        strategy=signature_strategy,
+        strategy=signature_strategy, shingles_df=shingles_df,
     ).filter(F.element_at("__sig", 1) < F.lit(_MERSENNE_31))
     # Band keys are sliced off the signature array `bands` times; the array
     # is a named column here (bound once), and the explode fans out a tiny
@@ -267,23 +305,29 @@ def jaccard_verify(
     *,
     k: int = 3,
     threshold: float = 0.8,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verify stage: keep candidate pairs with J >= threshold.
 
     Output: (id_a, id_b, jaccard). Shingles are computed ONLY for docs that
     appear in a candidate pair (semi-join reduction first): the candidate set
     is tiny relative to the corpus, so re-shingling everything would dominate
-    the stage. Then two hash joins keyed on the doc id.
+    the stage. Then two hash joins keyed on the doc id. A persisted
+    :func:`shingle_frame` via ``shingles_df`` replaces the per-doc shingle
+    recompute with a cached-column read (still semi-join reduced).
     """
     touched = (
         candidates.select(F.col("id_a").alias("__id"))
         .unionByName(candidates.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    sh = (
-        df.join(touched, df[id_col] == touched["__id"], "left_semi")
-        .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
-    )
+    if shingles_df is not None:
+        sh = shingles_df.join(touched, "__id", "left_semi").select("__id", "__sh")
+    else:
+        sh = (
+            df.join(touched, df[id_col] == touched["__id"], "left_semi")
+            .select(F.col(id_col).alias("__id"), shingles(text_col, k).alias("__sh"))
+        )
     j = (
         candidates.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sh_b"), "id_b")
@@ -308,6 +352,7 @@ def near_dup_pairs_minhash(
     bands: int = 16,
     threshold: float = 0.8,
     seed: int = 42,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: candidates → exact-Jaccard verify.
 
@@ -322,10 +367,14 @@ def near_dup_pairs_minhash(
     from pyspark import StorageLevel
 
     cands = near_dup_candidates(
-        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed
+        df, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands, seed=seed,
+        shingles_df=shingles_df,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()  # materialize once; the three verify-stage reads hit the cache
-    return jaccard_verify(df, cands, id_col, text_col, k=k, threshold=threshold)
+    return jaccard_verify(
+        df, cands, id_col, text_col, k=k, threshold=threshold,
+        shingles_df=shingles_df,
+    )
 
 
 def drop_near_duplicates(
@@ -522,6 +571,7 @@ def near_dup_pairs_exact(
     k: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard pairs via a shingle inverted index (no MinHash).
 
@@ -543,24 +593,32 @@ def near_dup_pairs_exact(
 
     Output: (id_a, id_b, jaccard) for pairs with J >= threshold.
     """
-    # Explode the shingle expression DIRECTLY (no intermediate named array
-    # column — that de-optimizes Generate, ~8x slower), carrying the per-doc
-    # shingle count alongside each element via a single-evaluation struct:
-    # the array is bound once to a lambda variable, so neither |A| nor the
-    # elements re-derive the shingle tree.
-    sh_expr = shingles(text_col, k)
-    with_n = F.flatten(
-        F.transform(
-            F.array(sh_expr),
-            lambda arr: F.transform(
-                arr, lambda s: F.struct(s.alias("s"), F.size(arr).alias("n"))
-            ),
+    if shingles_df is not None:
+        # Shared-stage path: __sh is a materialized (persisted) column, so
+        # referencing it twice reads cached data — the named-column Generate
+        # caveat below is about re-deriving an expression tree, not reads.
+        exploded = shingles_df.select(
+            "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
         )
-    )
-    exploded = _widen(df).select(
-        F.col(id_col).alias("__id"),
-        F.explode(with_n).alias("__e"),
-    ).select("__id", F.col("__e.n").alias("__n"), F.col("__e.s").alias("__s"))
+    else:
+        # Explode the shingle expression DIRECTLY (no intermediate named array
+        # column — that de-optimizes Generate, ~8x slower), carrying the
+        # per-doc shingle count alongside each element via a single-evaluation
+        # struct: the array is bound once to a lambda variable, so neither |A|
+        # nor the elements re-derive the shingle tree.
+        sh_expr = shingles(text_col, k)
+        with_n = F.flatten(
+            F.transform(
+                F.array(sh_expr),
+                lambda arr: F.transform(
+                    arr, lambda s: F.struct(s.alias("s"), F.size(arr).alias("n"))
+                ),
+            )
+        )
+        exploded = _widen(df).select(
+            F.col(id_col).alias("__id"),
+            F.explode(with_n).alias("__e"),
+        ).select("__id", F.col("__e.n").alias("__n"), F.col("__e.s").alias("__s"))
     if max_shingle_df is not None:
         keep = (
             exploded.groupBy("__s")
@@ -786,6 +844,8 @@ def near_dup_pairs_incremental(
     threshold: float = 0.8,
     seed: int = 42,
     signature_strategy: str = "fold",
+    corpus_shingles: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup: LSH pairs between a NEW batch and an EXISTING
     corpus only — never corpus x corpus.
@@ -808,10 +868,10 @@ def near_dup_pairs_incremental(
 
     rows_per_band = num_hashes // bands
 
-    def banded(df: DataFrame, out: str) -> DataFrame:
+    def banded(df: DataFrame, out: str, sh: DataFrame | None) -> DataFrame:
         sigs = minhash_signatures(
             df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed,
-            strategy=signature_strategy,
+            strategy=signature_strategy, shingles_df=sh,
         )
         keys = F.flatten(
             F.transform(F.array(F.col("__sig")),
@@ -820,8 +880,8 @@ def near_dup_pairs_incremental(
         return sigs.select(F.col("__id").alias(out), F.explode(keys).alias("__band"))
 
     cands = (
-        banded(batch, "batch_id")
-        .join(banded(corpus, "corpus_id"), "__band")
+        banded(batch, "batch_id", batch_shingles)
+        .join(banded(corpus, "corpus_id", corpus_shingles), "__band")
         .select("batch_id", "corpus_id")
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -842,9 +902,14 @@ def near_dup_pairs_incremental(
         F.greatest("batch_id", "corpus_id").alias("id_b"),
         "batch_id", "corpus_id",
     )
+    both_sh = (
+        batch_shingles.unionByName(corpus_shingles)
+        if batch_shingles is not None and corpus_shingles is not None
+        else None
+    )
     verified = jaccard_verify(
         both, canon.select("id_a", "id_b").distinct(), id_col, text_col,
-        k=k, threshold=threshold,
+        k=k, threshold=threshold, shingles_df=both_sh,
     )
     return verified.join(canon, ["id_a", "id_b"]).select(
         "batch_id", "corpus_id", "jaccard"

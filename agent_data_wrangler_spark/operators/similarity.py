@@ -246,6 +246,60 @@ def write_lsh_bucketed(
     return num_planes, shift
 
 
+def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
+    """Append a delta batch into an existing ``write_lsh_bucketed`` layout —
+    the daily-ingestion maintenance path (100 TB serving layouts are
+    append-mostly, never write-once). The delta is bucketed with the SAME
+    planes, reconstructed deterministically from the sidecar metadata
+    (dim, num_planes, seed), so new rows land in their correct partition
+    directories and every existing probe's partition pruning keeps holding —
+    no recompaction required for correctness.
+
+    Raises if the delta's embedding dimension disagrees with the fitted
+    layout (bucketing garbage would silently poison probes).
+
+    Returns the number of rows appended.
+    """
+    meta = read_index_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"{path} is not an LSH-bucketed layout: {meta}")
+    first = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("n")).limit(1).collect()
+    )
+    dim = int(first[0]["n"]) if first else 0
+    if dim and dim != meta["dim"]:
+        raise ValueError(
+            f"delta embedding dim {dim} != layout dim {meta['dim']} at {path}"
+        )
+    planes = hyperplanes(meta["dim"], meta["num_planes"], meta["seed"])
+    out = df.withColumn("__bucket", lsh_bucket(vec_col, planes)).withColumn(
+        "__bpart", F.shiftright(F.col("__bucket"), meta["shift"])
+    )
+    n = out.count()
+    out.write.mode("append").partitionBy("__bpart").parquet(path)
+    return n
+
+
+def append_ivf_partitioned(df: DataFrame, vec_col: str, path: str) -> int:
+    """Append a delta batch into an existing ``write_ivf_partitioned``
+    layout using the sidecar centroids — new rows are assigned to their
+    nearest existing inverted list, so probe-side partition pruning keeps
+    holding. Centroids are NOT refit (the standard IVF maintenance trade:
+    assignment drift accumulates until a periodic re-fit/re-write, which is
+    ``write_ivf_partitioned`` on the unioned data).
+
+    Returns the number of rows appended.
+    """
+    meta = read_index_meta(path)
+    if meta.get("kind") != "ivf":
+        raise ValueError(f"{path} is not an IVF-partitioned layout: {meta}")
+    out = df.withColumn("__list", ivf_assign(vec_col, meta["centroids"]))
+    n = out.count()
+    out.write.mode("append").partitionBy("__list").parquet(path)
+    return n
+
+
 _INDEX_META_FILE = "_ann_index_meta.json"
 
 

@@ -108,26 +108,42 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, StructType]:
     return _STAGED_EVENTS[sf_dir]
 
 
-def _drain_to_table(spark: SparkSession, stream_df: DataFrame, prefix: str) -> DataFrame:
+def _drain_to_table(
+    spark: SparkSession, stream_df: DataFrame, prefix: str, *, partitions: int = 4
+) -> DataFrame:
     """AvailableNow-drain a streaming frame into a uniquely-named memory table
     (fresh checkpoint per call so replays within one session re-process).
 
     State-partition count is fixed at stream START and each partition pays a
     state-store commit per batch — locally that IO dominates, so pin shuffle
     partitions low for the drain and restore the session setting after. (On a
-    cluster the right number tracks executor count; 8 is the single-node
-    sweet spot.)
+    cluster the right number tracks executor count.) Measured per-op optima
+    at sf0.1 (r06): 4 for JVM-state ops (windowed/session agg, dedup,
+    interval join — state-commit IO bound), 16 for the Python stateful op
+    (st6 — per-key Arrow round-trips want worker parallelism, 2.3s@4 →
+    2.0s@16); callers pass ``partitions`` accordingly.
+
+    ``noDataMicroBatches`` is disabled for the drain: AvailableNow normally
+    appends one empty batch to advance the watermark and flush final state,
+    but every query in this tier either emits per-batch (complete/update
+    mode) or emits on arrival (append dedup, inner interval join) with a
+    365-day watermark nothing ever crosses, so the extra batch is pure
+    fixed cost (~0.7s on the two-sided st7). Oracle parity pins that
+    results are unchanged.
     """
     from agent_data_wrangler_spark.streaming import run_available_now
 
     name = f"{prefix}_{next(_STREAM_SEQ)}"
     ckpt = _scratch_dir(f"adw_ckpt_{prefix}_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         run_available_now(stream_df, name, ckpt)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
     return spark.table(name)
 
 
@@ -337,16 +353,29 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = read_table(spark, sf_dir, "documents")
+    # Shared shingle stage (r05 verdict item 4): the minhash leg and the
+    # exact-oracle leg each used to re-derive shingles from raw text — two
+    # full tokenize+k-gram scans. Compute once, persist, feed both.
+    sh = dedup.shingle_frame(d, "doc_id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # No eager count here: the first materializing action (the candidate
+    # count inside near_dup_pairs_minhash) references sh exactly ONCE, so the
+    # lazy persist populates safely and later references hit the cache — the
+    # eager-materialize rule only applies when one action would reference the
+    # frame several times before the cache exists (as n12's two-sided band
+    # join does).
     # Both pair frames are tiny (the funnel's OUTPUT) but referenced twice
     # (count + anti-join). Persist AND materialize: lazy persists referenced
     # several times inside one action recompute the pipeline first (measured
     # 19s -> ~4s cold at sf0.1).
     mh = dedup.near_dup_pairs_minhash(
-        d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7,
+        shingles_df=sh,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     mh.count()
     ex = dedup.near_dup_pairs_exact(
-        d, "doc_id", "text", k=3, threshold=0.7
+        d, "doc_id", "text", k=3, threshold=0.7, shingles_df=sh
     ).persist(StorageLevel.MEMORY_AND_DISK)
     ex.count()
     extra = mh.select("id_a", "id_b").join(
@@ -988,11 +1017,14 @@ def st5_incremental_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ckpt = _scratch_dir("adw_ckpt_st5_")
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         run_foreach_batch(agg, upsert, ckpt, output_mode="complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata)
     return spark.read.parquet(rollup_dir)
 
 
@@ -1619,7 +1651,7 @@ def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_schema="user_id bigint, n bigint, cents bigint",
         state_schema="n bigint, cents bigint",
     )
-    out = _drain_to_table(spark, totals, "st6_out")
+    out = _drain_to_table(spark, totals, "st6_out", partitions=16)
     # Update mode emits one snapshot row per (user, batch-it-changed-in).
     # n (a row count) is genuinely monotone; cents is NOT if values can be
     # negative, so the final snapshot is selected BY n, not by max(cents).
@@ -1904,16 +1936,26 @@ def n12_incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataF
     d = read_table(spark, sf_dir, "documents")
     batch = d.filter(F.col("doc_id") % 5 == 0)
     corpus = d.filter(F.col("doc_id") % 5 != 0)
+    # Shared shingle stage (r05 verdict item 4): one tokenize+k-gram pass
+    # feeds the incremental leg's two signature sides, the verify stage, and
+    # the exact-oracle leg — previously each re-scanned raw text.
+    sh = dedup.shingle_frame(d, "doc_id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
+    sh_b = sh.filter(F.col("__id") % 5 == 0)
+    sh_c = sh.filter(F.col("__id") % 5 != 0)
     inc = dedup.near_dup_pairs_incremental(
         corpus, batch, "doc_id", "text", k=3, num_hashes=64, bands=16,
-        threshold=0.7,
+        threshold=0.7, corpus_shingles=sh_c, batch_shingles=sh_b,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     inc.count()
     # Exact cross-pair leg: the full exact pair set filtered to one-side-in-
     # batch pairs (near_dup_pairs_exact emits id_a < id_b, so a cross pair
     # may carry the batch doc on either side).
     ex = (
-        dedup.near_dup_pairs_exact(d, "doc_id", "text", k=3, threshold=0.7)
+        dedup.near_dup_pairs_exact(d, "doc_id", "text", k=3, threshold=0.7,
+                                   shingles_df=sh)
         .filter((F.col("id_a") % 5 == 0) != (F.col("id_b") % 5 == 0))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

@@ -218,6 +218,41 @@ def write_report(report_text: str, data_path: str) -> str:
     return out
 
 
+def recluster_zorder(
+    spark,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    *,
+    bits: int = 16,
+    fmt: str = "parquet",
+) -> str:
+    """Re-cluster a z-ordered layout after appends — the maintenance half of
+    ``write_zorder`` (100 TB layouts are append-mostly: deltas land as
+    plain appended files whose stats straddle the whole value range, so
+    pruning degrades until a periodic re-cluster restores it).
+
+    Reads the full directory (clustered files + appended deltas), rewrites
+    it through ``write_zorder`` with FRESH min/max bounds (appends may have
+    widened the domain), and swaps in place via renames — the same
+    tmp/backup protocol as ``compact(in_place=True)``; on object stores
+    without atomic rename, write to a versioned sibling and flip a catalog
+    pointer instead. Returns ``path``.
+    """
+    import shutil
+
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + ".__reclustering__"
+    write_zorder(df, tmp, cols, num_files, bits=bits, fmt=fmt)
+    # write_zorder triggers the fit aggregate + the write, both of which
+    # fully materialize from the source before the swap below.
+    bak = path.rstrip("/") + ".__pre_recluster__"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return path
+
+
 def zorder_key(cols: list, bits: int = 16, *, mins: dict | None = None,
                maxs: dict | None = None):
     """Morton (Z-order) interleave key over 2+ numeric columns, as a pure

@@ -345,3 +345,192 @@ def test_tk1_rank_limit_pushdown(spark, sf_dir):
     k rows per group per task — never the whole table."""
     plan = _plan(spark, "tk1_top3_orders_per_priority", sf_dir)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_aqe_skew_join_splits_planted_hot_key(spark):
+    """SURVEY §4 advertises AQE skew-join as the automatic remedy next to the
+    manual salted_join; this pins that the OptimizeSkewedJoin path actually
+    FIRES on a planted hot key (r05 verdict item 6). Thresholds are lowered
+    so local data can trip them (prod defaults: factor 5, 256 MB); the
+    assertion is the `skew=true` annotation on the finalized SMJ node."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force sort-merge join
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        # key 0 is hot: ~100x every other key's row count, with a payload
+        # column so the hot partition's byte size crosses the threshold.
+        left = spark.range(0, 60_000).select(
+            F.when(F.col("id") < 50_000, F.lit(0)).otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pay"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        # No groupBy(k) after the join: a downstream op REQUIRING hash
+        # distribution on k vetoes OptimizeSkewedJoin (splitting a partition
+        # would duplicate it); the bare join is the shape AQE optimizes.
+        joined = left.join(right, "k").select("k", "pay", "rv")
+        joined.collect()  # finalize THIS df's adaptive plan (count() would
+        # spawn a separate execution and prune the payload bytes)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, f"AQE skew-join did not fire:\n{plan[:2000]}"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_key_skew_detector_escalates_to_salted_join(spark):
+    """The documented detector -> salted_join escalation: profile.key_skew
+    flags the planted hot key, and the salted join's plan carries the salt
+    in its join keys (the manual remedy when AQE thresholds don't trip,
+    e.g. a hot key inside an otherwise-average-sized partition)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.operators.joins import salted_join
+    from agent_data_wrangler_spark.operators.profile import key_skew
+
+    left = spark.range(0, 20_000).select(
+        F.when(F.col("id") < 15_000, F.lit(0)).otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(0, 50).select(F.col("id").alias("k"), F.col("id").alias("rv"))
+
+    skew = key_skew(left, "k").collect()[0]
+    assert skew.skew_factor > 10  # detector flags the hot key
+
+    salted = salted_join(left, right, on="k", salt=8)
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan  # the salt is a real join-key column, not a comment
+    # and the escalated join is byte-identical to the plain join
+    plain = left.join(right, "k")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_lsh_layout_append_keeps_pruning(spark, sf_dir, tmp_path):
+    """Serving-layout maintenance (r05 verdict item 7): append a delta into
+    a write_lsh_bucketed layout via the sidecar planes, then assert (a) a
+    planted near-duplicate living ONLY in the delta is found by the pruned
+    probe, and (b) the probe scan still prunes partitions (PartitionFilters
+    on __bpart) — append must not degrade the layout to a full scan."""
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.queryset_nstar import QUERY_VEC
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "lsh_layout_append")
+    similarity_ops.write_lsh_bucketed(e, "embedding", path, partition_bits=2)
+
+    planted_id = 10_000_000
+    delta = spark.createDataFrame(
+        [(planted_id, [float(x) for x in QUERY_VEC])],
+        "vec_id long, embedding array<float>",
+    )
+    n = similarity_ops.append_lsh_bucketed(delta, "embedding", path)
+    assert n == 1
+
+    pruned = similarity_ops.topk_cosine_lsh_pruned(
+        spark, path, "embedding", QUERY_VEC, k=5, payload_cols=["vec_id"]
+    )
+    rows = pruned.collect()
+    assert rows[0].vec_id == planted_id  # the delta row wins (cos=1.0)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans
+    for ln in scans:
+        part = ln.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+        assert "__bpart" in part, ln
+
+    # dim-mismatch deltas must be refused, not silently mis-bucketed
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity_ops.append_lsh_bucketed(bad, "embedding", path)
+
+
+def test_ivf_layout_append_keeps_pruning(spark, sf_dir, tmp_path):
+    """IVF twin of the LSH append test: sidecar-centroid assignment routes
+    the delta to its nearest list; probes keep pruning via __list."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERY_VEC
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf_layout_append")
+    similarity_ops.write_ivf_partitioned(e, "embedding", path)
+
+    planted_id = 10_000_001
+    delta = spark.createDataFrame(
+        [(planted_id, [float(x) for x in QUERY_VEC])],
+        "vec_id long, embedding array<float>",
+    )
+    assert similarity_ops.append_ivf_partitioned(delta, "embedding", path) == 1
+
+    pruned = similarity_ops.topk_cosine_ivf_pruned(
+        spark, path, "embedding", QUERY_VEC, k=5, payload_cols=["vec_id"]
+    )
+    rows = pruned.collect()
+    assert rows[0].vec_id == planted_id
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scans
+    for ln in scans:
+        part = ln.split("PartitionFilters:", 1)[1].split("]", 1)[0]
+        assert "__list" in part, ln
+
+
+def test_zorder_recluster_after_append_restores_spans(spark, tmp_path):
+    """Append degrades a z-ordered layout (delta file stats straddle the
+    whole domain); recluster_zorder must restore narrow per-file spans on
+    BOTH dimensions and preserve every row."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.sources.writers import (
+        recluster_zorder,
+        write_zorder,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64) if (x + y) % 2 == 0],
+        "x int, y int",
+    )
+    delta = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64) if (x + y) % 2 == 1],
+        "x int, y int",
+    )
+    path = _os.path.join(str(tmp_path), "z")
+    write_zorder(grid, path, ["x", "y"], num_files=16, bits=8)
+    delta.write.mode("append").parquet(path)  # plain append: stats straddle
+
+    def mean_span(col):
+        spans = []
+        for f in glob.glob(_os.path.join(path, "part-*.parquet")):
+            agg = spark.read.parquet(f).agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+            spans.append(agg["hi"] - agg["lo"])
+        return sum(spans) / len(spans)
+
+    assert mean_span("x") > 24 or mean_span("y") > 24  # degraded by append
+
+    recluster_zorder(spark, path, ["x", "y"], num_files=16, bits=8)
+    out = spark.read.parquet(path)
+    assert out.count() == 64 * 64
+    assert out.select("x", "y").distinct().count() == 64 * 64  # nothing lost
+    assert mean_span("x") < 32 and mean_span("y") < 32  # clustering restored
