@@ -3028,3 +3028,140 @@ def tk1_top3_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SUB3 — correlated MIN subquery over a second aggregate (TPC-H Q2 shape,
+# adapted to this schema: lineitem plays partsupp, unit cost =
+# l_extendedprice / l_quantity). For every size-25 part, the supplier(s)
+# achieving the part's minimum unit cost, with their nation. The oracle
+# keeps the textbook correlated form (cost = (SELECT min(...) WHERE
+# l2.l_partkey = p_partkey)); the Spark side is the decorrelated plan
+# Catalyst's RewriteCorrelatedScalarSubquery would produce: one per-
+# (part, supplier) partial+final agg, then a window MIN over the part key
+# — the second shuffle reuses the first's partitioning prefix. Double
+# equality against the window min is safe: both sides of the comparison
+# are mins over the SAME row set inside ONE engine; the cross-engine hash
+# only sees the rounded output.
+# Scale: lineitem is semi-join-reduced by the selective part filter before
+# any aggregation; supplier and nation are broadcast dims; ties (multiple
+# suppliers at the exact min) are emitted on both engines, so no
+# tie-break is needed.
+# ---------------------------------------------------------------------------
+@query(
+    "sub3_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name,
+           round(ps.cost, 4) AS unit_cost
+    FROM part, supplier, nation, ps
+    WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey
+      AND s_nationkey = n_nationkey
+      AND p_size = 25
+      AND ps.cost = (SELECT min(l2.l_extendedprice / l2.l_quantity)
+                     FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def sub3_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    p = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 25)
+        .select("p_partkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    ps = (
+        li.join(p, li["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    best = ps.withColumn(
+        "__m", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("__m"))
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(F.col("cost"), 4).alias("unit_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB4 — EXISTS + NOT EXISTS over the same table (TPC-H Q21 shape): for
+# finalized orders, count per supplier the lineitems that are the LAST
+# shipment of a multi-supplier order (another supplier exists in the order;
+# no other supplier shipped later). The oracle keeps the textbook
+# correlated EXISTS / NOT EXISTS pair; the Spark side registers the
+# semi-join + anti-join rewrite: both are EQUI joins on l_orderkey with the
+# supplier-inequality (and shipdate) predicates as residual conditions —
+# never a nested-loop join (plan-pinned in tests/test_plan_shapes.py).
+# Scale: all three lineitem legs hash-partition on l_orderkey, so the
+# semi and anti joins co-locate with zero extra shuffles after the first;
+# the orders status filter pushes to the parquet scan; supplier is a
+# broadcast dim. Ties (two suppliers sharing the max shipdate) are
+# excluded by BOTH engines via the strict '>' on the anti side.
+# ---------------------------------------------------------------------------
+@query(
+    "sub4_last_shipper_multi_supplier",
+    oracle="""
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def sub4_last_shipper_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    o = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    l1 = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_semi")
+    l2 = li.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("__ok3"),
+        F.col("l_suppkey").alias("__sk3"),
+        F.col("l_shipdate").alias("__sd3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1["l_orderkey"] == l2["__ok2"]) & (l1["l_suppkey"] != l2["__sk2"]),
+            "left_semi",
+        ).join(
+            l3,
+            (l1["l_orderkey"] == l3["__ok3"])
+            & (l1["l_suppkey"] != l3["__sk3"])
+            & (l3["__sd3"] > l1["l_shipdate"]),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -2235,3 +2235,120 @@ def lm1_ngram_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_seen").cast("double") / F.col("n_tri").cast("double"), 6
         ).alias("coverage"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF1 — TF-IDF top terms per source: the classic corpus-weighted keyword
+# extraction every training-data pipeline runs for topical profiling. One
+# token explode feeds ONE (term, source) aggregate; the global document
+# frequency is then derived from that intermediate by a window SUM over
+# term — legal because every doc_id has exactly one source, so per-(term,
+# source) distinct doc counts sum to the global per-term distinct count.
+# A groupBy+self-join would recompute the exploded subtree (Catalyst
+# prunes the two references differently, defeating ReusedExchange — seen
+# in the plan, 2 Generates); the window form keeps ONE scan by
+# construction. The corpus size joins in as a 1-row broadcast.
+# Ranking runs on the ROUNDED score (4 dp) with the term string as
+# tie-break, so cross-engine float noise in ln() cannot reorder ranks.
+# Scale: the explode is scan-stage; the big shuffle carries (term, source)
+# partial-agg rows, never raw tokens per occurrence; the term-level df agg
+# and the top-3 window both run on post-agg frames (plan-pinned: exactly
+# one Generate in the whole plan).
+# ---------------------------------------------------------------------------
+@query(
+    "tf1_tfidf_top_terms_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS term FROM documents
+    ),
+    base AS (
+      SELECT term, source, CAST(count(*) AS BIGINT) AS tf,
+             count(DISTINCT doc_id) AS dfs
+      FROM tok GROUP BY term, source
+    ),
+    df AS (SELECT term, sum(dfs) AS df FROM base GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT base.source, base.term, base.tf,
+             round(base.tf * ln(n.n / df.df), 4) AS score
+      FROM base, df, n WHERE base.term = df.term
+    )
+    SELECT source, term, tf, score FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY score DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def tf1_tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "source", F.explode(tokens(F.lower("text"))).alias("term")
+    )
+    base = tok.groupBy("term", "source").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("dfs"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    scored = (
+        base.withColumn(
+            "df", F.sum("dfs").over(Window.partitionBy("term"))
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 4
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 3)
+        .select("source", "term", "tf", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NG1 — repeated-n-gram corpus audit: every word 5-gram appearing in >= 2
+# distinct documents, with its document frequency. This is the
+# memorization / boilerplate audit a training-data pipeline runs before
+# dedup threshold tuning (repeated shingles ARE the near-dup signal — the
+# planted near-dup docs in the testdata surface here). Shingles are
+# distinct-per-doc (dedup.shingles), so the count is a document frequency,
+# not an occurrence count; the DuckDB twin rebuilds the identical k-gram
+# set with list slicing + DISTINCT.
+# Scale: shingling is scan-stage (the single-bind lambda trick from
+# dedup.shingles); the one shuffle carries partial-agg (gram, count) rows;
+# the >= 2 filter drops the long unique tail at the final agg. The same
+# stop-shingle cap used by near_dup_pairs_* applies if the output itself
+# becomes the hot set.
+# ---------------------------------------------------------------------------
+@query(
+    "ng1_repeated_ngrams_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS w FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(w[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+      FROM tok, LATERAL (SELECT unnest(generate_series(1, len(w) - 4)) AS i) g
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY gram HAVING count(*) >= 2
+    """,
+)
+def ng1_repeated_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    grams = d.select(F.explode(dedup.shingles(F.col("text"), k=5)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -534,3 +534,46 @@ def test_zorder_recluster_after_append_restores_spans(spark, tmp_path):
     assert out.count() == 64 * 64
     assert out.select("x", "y").distinct().count() == 64 * 64  # nothing lost
     assert mean_span("x") < 32 and mean_span("y") < 32  # clustering restored
+
+
+def test_sub3_window_min_reuses_agg_partitioning(spark, sf_dir):
+    """Q2-shape: supplier/nation are broadcast dims, and the window MIN over
+    l_partkey must NOT add a shuffle beyond the (l_partkey, l_suppkey)
+    aggregate's — Catalyst sees the agg's hashpartitioning as a prefix-
+    compatible distribution only when it re-shuffles on the narrower key, so
+    the plan budget is: 1 agg exchange + 1 window exchange, nothing else."""
+    plan = _plan(spark, "sub3_min_cost_supplier", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sub4_exists_rewrites_stay_equi_joins(spark, sf_dir):
+    """Q21-shape: the EXISTS / NOT EXISTS pair must compile to EQUI semi and
+    anti joins on l_orderkey with the supplier-inequality as a residual
+    condition — a BroadcastNestedLoopJoin here would be the O(n^2)
+    correlated-subquery trap this query exists to pin against."""
+    plan = _plan(spark, "sub4_last_shipper_multi_supplier", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_tf1_single_token_explode(spark, sf_dir):
+    """TF-IDF claims one corpus scan: the tf AND df aggregates both derive
+    from ONE exploded token frame (df is recovered from the (term, source)
+    intermediate), so the plan carries exactly one Generate node."""
+    plan = _plan(spark, "tf1_tfidf_top_terms_documents", sf_dir)
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_ng1_partial_agg_before_exchange(spark, sf_dir):
+    """The repeated-n-gram audit shuffles partial-agg (gram, count) rows:
+    a partial HashAggregate must sit below the exchange, and the raw text
+    column must never be exchanged."""
+    plan = _plan(spark, "ng1_repeated_ngrams_documents", sf_dir)
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "HashAggregate" in plan[first_exchange:], plan
+    assert "HashAggregate" in plan[:first_exchange], plan
+    exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert all("text" not in l for l in exchange_lines)

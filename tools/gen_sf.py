@@ -1,0 +1,155 @@
+"""Scale-up generator for the scaling probe (verdict r05 item 3).
+
+Produces an sfN directory by replicating the driver's sf0.1 tables M times
+with FK-consistent key shifting, so the registry can be benched at 10x the
+largest driver-provided SF. The driver testdata itself is read-only
+(TESTDATA.md); output goes to a gitignored scratch dir inside the repo.
+
+Replication rules (replica i in 0..M-1, i=0 is the verbatim original):
+
+- Fixed dims `region`/`nation` are copied once (TPC-H keeps them constant
+  across SF, and every FK into them must stay valid).
+- Scaling tables get key columns shifted by i*stride where stride =
+  max(key)+1 in the source, applied consistently on both sides of every FK
+  edge (orders.o_custkey moves with customer.c_custkey, lineitem's
+  orderkey/partkey/suppkey move with their parents), so referential
+  integrity and join fan-outs are preserved exactly.
+- `documents.text` is Caesar-rotated by i over [a-zA-Z] per replica:
+  lengths (and therefore n_chars) are unchanged, but the token vocabulary
+  is disjoint across replicas, so shingle/Jaccard/MinHash pair structure is
+  M copies of the original's — pairwise operators scale LINEARLY in M, as
+  a real 10x corpus would, instead of quadratically as naive row
+  duplication would force (every doc would become a 10-clique of
+  near-dups, an artifact of the generator rather than the operator).
+- `embeddings.embedding` gets a small deterministic per-replica,
+  per-dimension additive perturbation (<=5e-3) so replicas are distinct
+  vectors (no degenerate exact ties in top-k) while neighborhood structure
+  stays intact. No RNG state: the offset is a pure function of
+  (replica, dim).
+
+Usage: python tools/gen_sf.py [--src /root/testdata/sf0.1]
+                              [--out .scratch/sf1] [--mult 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import string
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+FIXED_DIMS = ("region", "nation")
+
+# table -> key columns shifted by that table's own stride domain.
+# Domains: orderkey, custkey, partkey, suppkey, event/user ids, doc/vec ids.
+KEY_DOMAINS: dict[str, list[tuple[str, str]]] = {
+    "customer": [("c_custkey", "custkey")],
+    "orders": [("o_orderkey", "orderkey"), ("o_custkey", "custkey")],
+    "lineitem": [
+        ("l_orderkey", "orderkey"),
+        ("l_partkey", "partkey"),
+        ("l_suppkey", "suppkey"),
+    ],
+    "part": [("p_partkey", "partkey")],
+    "supplier": [("s_suppkey", "suppkey")],
+    "events": [("event_id", "eventid"), ("user_id", "userid")],
+    "documents": [("doc_id", "docid")],
+    "embeddings": [("vec_id", "vecid")],
+}
+
+# domain -> (table, column) that defines its stride (max+1 in the source).
+DOMAIN_SOURCE = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
+}
+
+LETTERS = string.ascii_lowercase + string.ascii_uppercase
+
+
+def _caesar_table(i: int) -> dict[int, str]:
+    lo = string.ascii_lowercase
+    up = string.ascii_uppercase
+    rot = lo[i % 26:] + lo[: i % 26] + up[i % 26:] + up[: i % 26]
+    return str.maketrans(LETTERS, rot)
+
+
+def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
+    col = tbl.column("embedding").combine_chunks()
+    arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+    values = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    offsets = arr.offsets.to_numpy(zero_copy_only=False)
+    # per (replica, dim) offset in [-5e-3, 5e-3]; dim = position within row
+    dims = np.concatenate(
+        [np.arange(offsets[k + 1] - offsets[k]) for k in range(len(offsets) - 1)]
+    )
+    noise = (((i * 37 + dims * 13) % 101) - 50).astype(np.float32) * 1e-4
+    new = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.array(values + noise, type=pa.float32()),
+    )
+    idx = tbl.schema.get_field_index("embedding")
+    return tbl.set_column(idx, tbl.schema.field(idx), new)
+
+
+def _rotate_documents(tbl: pa.Table, i: int) -> pa.Table:
+    texts = tbl.column("text").to_pylist()
+    trans = _caesar_table(i)
+    rotated = pa.array([t.translate(trans) if t is not None else None for t in texts])
+    idx = tbl.schema.get_field_index("text")
+    return tbl.set_column(idx, tbl.schema.field(idx), rotated)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", ".scratch", "sf1"))
+    ap.add_argument("--mult", type=int, default=10)
+    args = ap.parse_args()
+    out = os.path.abspath(args.out)
+    os.makedirs(out, exist_ok=True)
+
+    src_tables = {
+        name: pq.read_table(os.path.join(args.src, f"{name}.parquet"))
+        for name in list(KEY_DOMAINS) + list(FIXED_DIMS)
+    }
+    strides = {
+        dom: pc.max(src_tables[t].column(c)).as_py() + 1
+        for dom, (t, c) in DOMAIN_SOURCE.items()
+    }
+
+    for name in FIXED_DIMS:
+        pq.write_table(src_tables[name], os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: copied fixed dim ({src_tables[name].num_rows} rows)")
+
+    for name, keys in KEY_DOMAINS.items():
+        src = src_tables[name]
+        replicas = []
+        for i in range(args.mult):
+            t = src
+            for col, dom in keys:
+                idx = t.schema.get_field_index(col)
+                field = t.schema.field(idx)
+                shifted = pc.add(t.column(col), pa.scalar(i * strides[dom], type=field.type))
+                t = t.set_column(idx, field, shifted.cast(field.type))
+            if i > 0 and name == "documents":
+                t = _rotate_documents(t, i)
+            if i > 0 and name == "embeddings":
+                t = _perturb_embeddings(t, i)
+            replicas.append(t)
+        full = pa.concat_tables(replicas)
+        pq.write_table(full, os.path.join(out, f"{name}.parquet"))
+        print(f"{name}: {src.num_rows} -> {full.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()
