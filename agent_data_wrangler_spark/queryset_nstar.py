@@ -2352,3 +2352,82 @@ def ng1_repeated_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# HH1 — corpus heavy-hitter tokens (stopword discovery) via bounded-memory
+# sketch-then-verify: a Misra-Gries pass (O(k) state per task, mergeable-
+# summaries pruning) produces a candidate superset, then an exact JVM-side
+# count over only the candidates decides membership (count*k > N, integer
+# arithmetic). The sketch provably cannot change the answer — any token
+# with global count > N/k keeps a positive counter in some partition
+# summary — so the oracle is the PLAIN exact GROUP BY HAVING, no verdict
+# booleans, and the result is partitioning-independent.
+# Scale: the full-vocabulary shuffle of the naive plan is replaced by a
+# <= k*tasks candidate set broadcast into a semi join; Python sees raw
+# document batches once (Arrow), never exploded tokens.
+# ---------------------------------------------------------------------------
+@query(
+    "hh1_heavy_hitter_tokens_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_DUCK_TOKS}) AS token FROM documents
+    ),
+    n AS (SELECT count(*) AS n FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok, n GROUP BY token, n.n HAVING count(*) * 64 > n.n
+    """,
+)
+def hh1_heavy_hitter_tokens_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from agent_data_wrangler_spark.operators import sketches
+
+    d = read_table(spark, sf_dir, "documents")
+    return sketches.heavy_hitters(d, "text", k=64)
+
+
+# ---------------------------------------------------------------------------
+# WS1 — weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+# the quality-weighted document draw every data-recipe pipeline needs.
+# Each doc gets key = ln(u)/w (monotone in u^(1/w)) with weight w = n_chars
+# and u a DETERMINISTIC md5-derived uniform (the mx1 bridge: Spark
+# conv(hex,16,10) == DuckDB ('0x'||hex)::UBIGINT) — no RNG state, exactly
+# reproducible, and the top-k by key IS a w-weighted sample without
+# replacement. Ranking runs on the key rounded to 10 dp (ln() cross-engine
+# noise is ~1 ulp) with doc_id as tie-break.
+# Scale: the key is a scan-stage expression; global top-20 compiles to
+# TakeOrderedAndProject — zero shuffle, no window (plan-pinned).
+# ---------------------------------------------------------------------------
+@query(
+    "ws1_weighted_sample_documents",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                      / 4294967297.0) / n_chars, 10) AS wk
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, round(wk, 6) AS wkey
+    FROM keyed ORDER BY wk DESC, doc_id LIMIT 20
+    """,
+)
+def ws1_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967297.0)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.log(u) / F.col("n_chars"), 10).alias("wk"),
+    )
+    return (
+        keyed.orderBy(F.col("wk").desc(), F.col("doc_id"))
+        .limit(20)
+        .select("doc_id", "source", "n_chars", F.round("wk", 6).alias("wkey"))
+    )

@@ -487,3 +487,38 @@ def test_shared_shingle_stage_bit_identical(planted_docs):
                sorted(map(tuple, mh_shared.collect()))
     finally:
         sh.unpersist()
+
+
+def test_misra_gries_superset_and_partition_independence(spark):
+    """The MG guarantee the hh1 oracle leans on: candidates are a SUPERSET
+    of true heavy hitters under ANY partitioning, and heavy_hitters() is
+    exactly the naive GROUP BY HAVING result regardless of layout."""
+    import pyspark.sql.functions as F
+
+    from agent_data_wrangler_spark.functions.text import tokens
+    from agent_data_wrangler_spark.operators import sketches
+
+    rows = [("x " * 30 + "y " * 5 + f"rare{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, ["text"])
+    expected = None
+    for parts in (1, 3, 7):
+        d = df.repartition(parts)
+        tok = d.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+        n = tok.count()
+        true_hh = {
+            r["t"]
+            for r in tok.groupBy("t").count().filter(F.col("count") * 8 > n).collect()
+        }
+        cand = {
+            r["token"]
+            for r in sketches.misra_gries_candidates(d, "text", k=8).collect()
+        }
+        assert true_hh <= cand, (parts, true_hh - cand)
+        got = sorted(
+            tuple(r) for r in sketches.heavy_hitters(d, "text", k=8).collect()
+        )
+        assert {t for t, _ in got} == true_hh
+        if expected is None:
+            expected = got
+        else:
+            assert got == expected, f"partitioning changed the result at {parts}"

@@ -577,3 +577,62 @@ def test_ng1_partial_agg_before_exchange(spark, sf_dir):
     assert "HashAggregate" in plan[:first_exchange], plan
     exchange_lines = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert all("text" not in l for l in exchange_lines)
+
+
+def test_runtime_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """100 TB join story: when a selective dim filter feeds a shuffle join,
+    Spark's runtime bloom-filter injection (on by default in Spark 4) plants
+    a might_contain() predicate on the FACT side, cutting shuffle input
+    before the join. Local thresholds are tuned only to make the small-SF
+    plan exhibit what default thresholds produce at warehouse sizes
+    (creation side under creationSideThreshold, application side over the
+    scan-size threshold)."""
+    from agent_data_wrangler_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_dir, "lineitem")
+        p = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 25)
+        j = li.join(p, li["l_partkey"] == p["p_partkey"]).groupBy("p_brand").count()
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt
+        assert "bloom_filter_agg" in opt, opt
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_ws1_weighted_sample_zero_shuffle(spark, sf_dir):
+    """A-ES weighted sampling is a scan-stage key + global top-k: the plan
+    must be TakeOrderedAndProject with no exchange anywhere."""
+    plan = _plan(spark, "ws1_weighted_sample_documents", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_hh1_sketch_then_broadcast_semi_join(spark, sf_dir):
+    """Heavy hitters: the Misra-Gries candidate set must enter the exact
+    verify as a BROADCAST semi join (the whole point — the full vocabulary
+    never shuffles), with the MG pass visible as a MapInPandas node."""
+    plan = _plan(spark, "hh1_heavy_hitter_tokens_documents", sf_dir)
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
