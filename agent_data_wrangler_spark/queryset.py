@@ -3250,3 +3250,92 @@ def sub5_untapped_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RG1 — grouped least-squares trend (closed-form OLS slope/intercept of
+# value-vs-time per event type): the "is this metric drifting" analytics
+# staple. The five sufficient statistics (n, Σx, Σy, Σxy, Σx²) are EXACT
+# integer sums — x = MINUTES since the group's min ts (floored), y =
+# integer cents — then every closed-form product is computed in double
+# FROM those exact integers (identical inputs → IEEE-identical results).
+# Granularity and width are chosen by overflow arithmetic, not taste:
+# seconds-granularity Σx² overflows int64 at ~200k rows/group over a
+# 90-day span (hit at the sf1 probe), and the closed-form cross products
+# n·Σxy / Σx·Σy overflow int64 even when the statistics fit — hence
+# minute-granularity x (Σx² fits through ~sf100) and double cross
+# products. Bridge note: Spark unix_timestamp FLOORS sub-second
+# timestamps while DuckDB CAST(epoch(ts) AS BIGINT) rounds-to-nearest —
+# the oracle must floor(epoch(ts)) or half the x values shift by one
+# second and every statistic drifts (caught by the parity gate at 1e-5).
+# Scale: one partial+final hash agg per group for the min-ts fit, one for
+# the sufficient statistics — the fit-then-transform rule, never a window.
+# ---------------------------------------------------------------------------
+@query(
+    "rg1_value_trend_by_type",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT) AS xs,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL
+    ), rebased AS (
+      SELECT event_type,
+             (xs - min(xs) OVER (PARTITION BY event_type)) // 60 AS x, y
+      FROM base
+    ), stats AS (
+      SELECT event_type,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx
+      FROM rebased GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1440.0, 6)
+             AS slope_cents_per_day,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n / 100.0, 4) AS intercept_dollars
+    FROM stats
+    """,
+)
+def rg1_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = e.select(
+        "event_type",
+        F.unix_timestamp("ts").alias("xs"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    mins = base.groupBy("event_type").agg(F.min("xs").alias("__x0"))
+    rebased = base.join(F.broadcast(mins), "event_type").select(
+        "event_type",
+        F.floor((F.col("xs") - F.col("__x0")) / F.lit(60)).alias("x"),
+        "y",
+    )
+    stats = rebased.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("x").alias("sx0"),
+        F.sum("y").alias("sy0"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy0"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx0"),
+    ).select(
+        "event_type",
+        F.col("n0").cast("double").alias("n"),
+        F.col("sx0").cast("double").alias("sx"),
+        F.col("sy0").cast("double").alias("sy"),
+        F.col("sxy0").cast("double").alias("sxy"),
+        F.col("sxx0").cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope * F.lit(1440.0), 6).alias("slope_cents_per_day"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n") / F.lit(100.0),
+            4,
+        ).alias("intercept_dollars"),
+    )
