@@ -114,10 +114,23 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "..", ".scratch", "sf1"))
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument(
+        "--tables",
+        default=None,
+        help="comma-separated subset of scaling tables to emit (fixed dims "
+        "are always copied); default all — used for targeted overflow "
+        "probes at high multipliers where the full star is not needed",
+    )
     args = ap.parse_args()
     out = os.path.abspath(args.out)
     os.makedirs(out, exist_ok=True)
 
+    wanted = (
+        {t.strip() for t in args.tables.split(",")} if args.tables else set(KEY_DOMAINS)
+    )
+    unknown = wanted - set(KEY_DOMAINS)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
     src_tables = {
         name: pq.read_table(os.path.join(args.src, f"{name}.parquet"))
         for name in list(KEY_DOMAINS) + list(FIXED_DIMS)
@@ -132,6 +145,8 @@ def main() -> None:
         print(f"{name}: copied fixed dim ({src_tables[name].num_rows} rows)")
 
     for name, keys in KEY_DOMAINS.items():
+        if name not in wanted:
+            continue
         src = src_tables[name]
         replicas = []
         for i in range(args.mult):
