@@ -873,10 +873,16 @@ def near_dup_pairs_incremental(
     rows_per_band = num_hashes // bands
 
     def banded(df: DataFrame, out: str, sh: DataFrame | None) -> DataFrame:
+        # Same all-P sentinel (empty-shingle) drop as near_dup_candidates:
+        # without it, m_b empty batch docs x m_c empty corpus docs collide
+        # in EVERY band (identical sentinel signatures), emitting
+        # m_b*m_c*bands join rows the verify stage only later discards —
+        # the quadratic blowup fixed for the self-join path applies to the
+        # batch x corpus join identically.
         sigs = minhash_signatures(
             df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed,
             strategy=signature_strategy, shingles_df=sh,
-        )
+        ).filter(F.element_at("__sig", 1) < F.lit(_MERSENNE_31))
         keys = F.flatten(
             F.transform(F.array(F.col("__sig")),
                         lambda sig: band_keys(sig, bands, rows_per_band))

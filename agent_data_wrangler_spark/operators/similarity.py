@@ -246,6 +246,37 @@ def write_lsh_bucketed(
     return num_planes, shift
 
 
+def _require_uniform_dim(
+    df: DataFrame, vec_col: str, dim: int, path: str
+) -> None:
+    """Reject a delta unless EVERY non-null vector has the layout's dim.
+
+    Sampling one row is not a guard: a mixed-dim delta passes the sample,
+    then every short vector's plane/centroid dot folds to NULL and the row
+    lands in bucket 0 — permanently invisible to pruned probes, with no
+    error anywhere (the exact 'silently poison probes' failure the append
+    paths document preventing). One aggregate over the delta; the append
+    already scans it to write.
+    """
+    counts = df.agg(
+        F.count(F.when(F.col(vec_col).isNotNull(), 1)).alias("nn"),
+        F.count(
+            F.when(
+                F.col(vec_col).isNotNull() & (F.size(vec_col) != dim), 1
+            )
+        ).alias("bad"),
+    ).collect()[0]
+    if counts["bad"]:
+        raise ValueError(
+            f"delta has {counts['bad']} embedding(s) with dim != layout dim "
+            f"{dim} at {path}"
+        )
+    if counts["nn"] == 0:
+        raise ValueError(
+            f"delta has no non-null {vec_col!r} vectors to append at {path}"
+        )
+
+
 def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
     """Append a delta batch into an existing ``write_lsh_bucketed`` layout —
     the daily-ingestion maintenance path (100 TB serving layouts are
@@ -263,15 +294,7 @@ def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
     meta = read_index_meta(path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"{path} is not an LSH-bucketed layout: {meta}")
-    first = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("n")).limit(1).collect()
-    )
-    dim = int(first[0]["n"]) if first else 0
-    if dim and dim != meta["dim"]:
-        raise ValueError(
-            f"delta embedding dim {dim} != layout dim {meta['dim']} at {path}"
-        )
+    _require_uniform_dim(df, vec_col, int(meta["dim"]), path)
     planes = hyperplanes(meta["dim"], meta["num_planes"], meta["seed"])
     out = df.withColumn("__bucket", lsh_bucket(vec_col, planes)).withColumn(
         "__bpart", F.shiftright(F.col("__bucket"), meta["shift"])
@@ -294,6 +317,7 @@ def append_ivf_partitioned(df: DataFrame, vec_col: str, path: str) -> int:
     meta = read_index_meta(path)
     if meta.get("kind") != "ivf":
         raise ValueError(f"{path} is not an IVF-partitioned layout: {meta}")
+    _require_uniform_dim(df, vec_col, len(meta["centroids"][0]), path)
     out = df.withColumn("__list", ivf_assign(vec_col, meta["centroids"]))
     n = out.count()
     out.write.mode("append").partitionBy("__list").parquet(path)

@@ -42,10 +42,28 @@ def misra_gries_candidates(
     on. est_count is a lower bound, for diagnostics only.
     """
 
+    # ASCII whitespace ONLY, mirroring functions/text.tokens (Java regex \s)
+    # and the DuckDB oracle (RE2 \s): pandas str.split() and Python re's \s
+    # both split on UNICODE whitespace (U+00A0 etc.), which would fracture a
+    # heavy token containing one into pieces the exact verify never counts —
+    # silently breaking the candidate-superset guarantee. (Pinned by the
+    # U+00A0 case in tests/test_dedup_similarity.py.)
+    ascii_ws = "[ \t\n\x0b\f\r]"
+
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
         for batch in batches:
-            toks = batch[text_col].dropna().str.lower().str.split().explode()
+            stripped = (
+                batch[text_col]
+                .dropna()
+                .str.lower()
+                .str.replace(f"^{ascii_ws}+|{ascii_ws}+$", "", regex=True)
+            )
+            toks = (
+                stripped[stripped != ""]
+                .str.split(f"{ascii_ws}+", regex=True)
+                .explode()
+            )
             for tok, cnt in toks.value_counts().items():
                 counters[tok] = counters.get(tok, 0) + int(cnt)
             if len(counters) > k:
@@ -80,7 +98,12 @@ def heavy_hitters(df: DataFrame, text_col: str, *, k: int = 64) -> DataFrame:
     tok = df.select(
         F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
     )
-    total = tok.agg(F.count(F.lit(1)).alias("__n"))
+    # Total token count WITHOUT an explode (sum of per-row token-array sizes
+    # inside the scan stage): the naive tok.count() would be a third full
+    # tokenize-and-explode pass over the corpus just for one scalar.
+    total = df.agg(
+        F.sum(F.size(tokens(F.lower(F.col(text_col))))).alias("__n")
+    )
     return (
         tok.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

@@ -18,8 +18,10 @@ export-only mode — at 100 TB a single file is a non-starter, so it is opt-in.
 
 from __future__ import annotations
 
+import math
 import os
 import re
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -146,9 +148,6 @@ def compact(
     on a real filesystem; on object stores without atomic rename, prefer
     the default versioned mode plus a catalog pointer flip.
     """
-    import math
-    import shutil
-
     # Guard: a flat read+rewrite would FLATTEN hive-partitioned layouts
     # (k=v subdirectories become plain columns, directory pruning is lost)
     # and drop sidecar metadata (e.g. the ANN layouts' _ann_index_meta.json)
@@ -179,16 +178,42 @@ def compact(
     df = spark.read.format(fmt).load(path)
     sized = df.repartition(n_files) if shuffle else df.coalesce(n_files)
     if in_place:
-        tmp = path.rstrip("/") + ".__compacting__"
-        sized.write.mode("error").format(fmt).save(tmp)
-        bak = path.rstrip("/") + ".__pre_compact__"
-        os.rename(path, bak)
-        os.rename(tmp, path)
-        shutil.rmtree(bak)
-        return path
+        return _swap_in_place(
+            path,
+            lambda tmp: sized.write.mode("error").format(fmt).save(tmp),
+            tmp_suffix=".__compacting__",
+            bak_suffix=".__pre_compact__",
+        )
     out = next_version_path(path, suffix="compacted")
     sized.write.mode("error").format(fmt).save(out)
     return out
+
+
+def _swap_in_place(path, write_tmp, *, tmp_suffix, bak_suffix):
+    """The rename-swap protocol shared by ``compact(in_place=True)`` and
+    ``recluster_zorder``: write the rewritten layout to a tmp sibling, then
+    two renames and a backup delete. A stale tmp from a crashed prior run is
+    removed first (the writers use mode('error'), so a leftover would fail
+    every retry until manual cleanup); a stale BACKUP is never auto-removed
+    — after a crash between the renames it may hold the only copy of the
+    data, so it raises with recovery instructions instead. POSIX rename
+    semantics; on object stores without atomic rename, write a versioned
+    sibling and flip a catalog pointer instead.
+    """
+    tmp = path.rstrip("/") + tmp_suffix
+    bak = path.rstrip("/") + bak_suffix
+    if os.path.exists(bak):
+        raise RuntimeError(
+            f"stale backup {bak} exists — a prior swap crashed mid-rename; "
+            f"inspect it (it may hold the only copy) and remove it manually"
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    write_tmp(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return path
 
 
 def latest_version_path(path: str, suffix: str = "clean") -> str:
@@ -234,23 +259,19 @@ def recluster_zorder(
 
     Reads the full directory (clustered files + appended deltas), rewrites
     it through ``write_zorder`` with FRESH min/max bounds (appends may have
-    widened the domain), and swaps in place via renames — the same
-    tmp/backup protocol as ``compact(in_place=True)``; on object stores
-    without atomic rename, write to a versioned sibling and flip a catalog
-    pointer instead. Returns ``path``.
+    widened the domain), and swaps in place via ``_swap_in_place`` (shared
+    with ``compact``, including its stale-tmp cleanup and crash-recovery
+    semantics). Returns ``path``.
     """
-    import shutil
-
     df = spark.read.format(fmt).load(path)
-    tmp = path.rstrip("/") + ".__reclustering__"
-    write_zorder(df, tmp, cols, num_files, bits=bits, fmt=fmt)
     # write_zorder triggers the fit aggregate + the write, both of which
-    # fully materialize from the source before the swap below.
-    bak = path.rstrip("/") + ".__pre_recluster__"
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
-    return path
+    # fully materialize from the source before the swap.
+    return _swap_in_place(
+        path,
+        lambda tmp: write_zorder(df, tmp, cols, num_files, bits=bits, fmt=fmt),
+        tmp_suffix=".__reclustering__",
+        bak_suffix=".__pre_recluster__",
+    )
 
 
 def zorder_key(cols: list, bits: int = 16, *, mins: dict | None = None,

@@ -522,3 +522,75 @@ def test_misra_gries_superset_and_partition_independence(spark):
             expected = got
         else:
             assert got == expected, f"partitioning changed the result at {parts}"
+
+
+def test_misra_gries_ascii_whitespace_parity(spark):
+    """U+00A0 (non-breaking space) is NOT a token boundary: Java/RE2 \\s is
+    ASCII-only, so a heavy token containing it must survive the pandas MG
+    pass intact — pandas str.split() (Unicode-aware) would fracture it and
+    silently drop it from the candidate superset."""
+    import pyspark.sql.functions as F
+
+    from agent_data_wrangler_spark.functions.text import tokens
+    from agent_data_wrangler_spark.operators import sketches
+
+    weird = "foo bar"
+    rows = [(f"{weird} filler{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, ["text"])
+    tok = df.select(F.explode(tokens(F.lower(F.col("text")))).alias("t"))
+    n = tok.count()
+    true_hh = {
+        r["t"] for r in tok.groupBy("t").count().filter(F.col("count") * 4 > n).collect()
+    }
+    assert weird in true_hh  # JVM side keeps it whole
+    got = {t for t, _ in sketches.heavy_hitters(df, "text", k=4).collect()}
+    assert got == true_hh
+
+
+def test_incremental_neardup_drops_empty_shingle_sentinels(spark):
+    """Empty (sub-k-token) docs on BOTH sides of the incremental band join
+    must be dropped before banding — they all share the all-P sentinel
+    signature, so without the filter m_b x m_c x bands join rows appear."""
+    from agent_data_wrangler_spark.operators import dedup
+
+    batch = spark.createDataFrame(
+        [(1, "a b"), (2, "x y"), (3, "one two three four five six")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [(10, "p q"), (11, "r s"), (12, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.near_dup_pairs_incremental(
+        corpus, batch, "doc_id", "text", k=3, threshold=0.5
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in pairs}
+    # only the real near-dup pair survives; no sentinel cross products
+    assert got == {(3, 12)}
+
+
+def test_append_guard_rejects_mixed_dim_delta(spark, tmp_path):
+    """A delta whose FIRST row has the right dim but a later row does not
+    must be rejected — one-row sampling would mis-bucket the short rows
+    into partition 0, silently invisible to pruned probes."""
+    import pytest
+
+    from agent_data_wrangler_spark.operators import similarity
+
+    base = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.0, 1.0]) for i in range(20)],
+        ["vec_id", "embedding"],
+    )
+    path = str(tmp_path / "lsh_layout")
+    similarity.write_lsh_bucketed(base, "embedding", path, num_planes=4, seed=7)
+    bad = spark.createDataFrame(
+        [(100, [1.0, 2.0, 3.0, 4.0]), (101, [1.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="dim"):
+        similarity.append_lsh_bucketed(bad, "embedding", path)
+    allnull = spark.createDataFrame(
+        [(102, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        similarity.append_lsh_bucketed(allnull, "embedding", path)

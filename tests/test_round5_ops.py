@@ -339,3 +339,27 @@ def test_zorder_key_rejects_all_null_column_and_buckets_nulls_low(spark, tmp_pat
     ]
     assert keys[0] == keys[1]  # NULL clusters with the min, not the max
     assert keys[2] > keys[0]
+
+
+def test_swap_in_place_cleans_stale_tmp_and_refuses_stale_backup(spark, tmp_path):
+    """compact(in_place=True) after a crashed prior attempt: a stale tmp dir
+    is removed and the compaction succeeds; a stale BACKUP (which may hold
+    the only copy after a mid-rename crash) raises instead of deleting."""
+    import os
+
+    import pytest
+
+    from agent_data_wrangler_spark.sources import writers
+
+    path = str(tmp_path / "data")
+    spark.range(100).coalesce(4).write.parquet(path)
+    stale_tmp = path + ".__compacting__"
+    os.makedirs(stale_tmp)
+    open(os.path.join(stale_tmp, "junk"), "w").write("x")
+    out = writers.compact(spark, path, target_mb=128, in_place=True)
+    assert out == path
+    assert not os.path.exists(stale_tmp)
+    assert spark.read.parquet(path).count() == 100
+    os.makedirs(path + ".__pre_compact__")
+    with pytest.raises(RuntimeError, match="stale backup"):
+        writers.compact(spark, path, target_mb=128, in_place=True)

@@ -93,9 +93,14 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
         [np.arange(offsets[k + 1] - offsets[k]) for k in range(len(offsets) - 1)]
     )
     noise = (((i * 37 + dims * 13) % 101) - 50).astype(np.float32) * 1e-4
+    # from_arrays drops the validity bitmap — re-attach it or NULL
+    # embeddings silently become empty lists in replicas i>0 (different
+    # null-path behavior than replica 0: [] passes isNotNull, size()=0).
+    mask = arr.is_null().to_numpy(zero_copy_only=False) if arr.null_count else None
     new = pa.ListArray.from_arrays(
         pa.array(offsets, type=pa.int32()),
         pa.array(values + noise, type=pa.float32()),
+        mask=pa.array(mask) if mask is not None else None,
     )
     idx = tbl.schema.get_field_index("embedding")
     return tbl.set_column(idx, tbl.schema.field(idx), new)
@@ -131,6 +136,18 @@ def main() -> None:
     unknown = wanted - set(KEY_DOMAINS)
     if unknown:
         raise SystemExit(f"unknown tables: {sorted(unknown)}")
+    if args.mult > 26 and "documents" in wanted:
+        # The Caesar rotation has period 26: replica 26's text is byte-
+        # identical to replica 0's, so beyond 26x every doc gains cross-
+        # replica exact duplicates and PAIRWISE operators (near-dup,
+        # Jaccard, edit distance) scale super-linearly as a generator
+        # artifact. Token-count / quality / sampling ops are unaffected.
+        print(
+            f"WARNING: mult={args.mult} > 26 — document replicas repeat "
+            "vocabulary every 26 copies; do NOT use this output to probe "
+            "pairwise dedup/similarity scaling (counts/quality ops are fine)",
+            flush=True,
+        )
     src_tables = {
         name: pq.read_table(os.path.join(args.src, f"{name}.parquet"))
         for name in list(KEY_DOMAINS) + list(FIXED_DIMS)
