@@ -3339,3 +3339,88 @@ def rg1_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("intercept_dollars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DF1 — snapshot diff (reverse CDC): given two table versions, derive the
+# changelog — the reconciliation op that verifies a replication/backfill
+# landed. Snapshot B is a deterministic mutation of orders (drop keys
+# %97==0, reprice keys %101==0), so both engines build identical inputs
+# with no staged files. The diff classifies per key via a full outer join:
+# removed (A only), added (B only), changed (both, row fingerprint
+# differs), unchanged. Fingerprints are md5 over a canonical
+# pipe-delimited rendering with integer cents (no float formatting
+# drift); counts are exact integers.
+# Scale: ONE full outer sort-merge join on the key — both sides shuffle
+# once; the fingerprint is a scan-stage expression, so the exchange
+# carries (key, 32-byte md5), never whole rows; the classification
+# aggregate is partial+final to 4 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "df1_snapshot_diff_orders",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                 || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || o_orderpriority) AS fp
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey AS k,
+             md5(CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|'
+                 || CAST(CAST(round(
+                      CASE WHEN o_orderkey % 101 = 0
+                           THEN o_totalprice * 1.1 ELSE o_totalprice END
+                      * 100) AS BIGINT) AS VARCHAR)
+                 || '|' || o_orderpriority) AS fp
+      FROM orders WHERE o_orderkey % 97 <> 0
+    )
+    SELECT
+      CAST(count(*) FILTER (WHERE b.k IS NULL) AS BIGINT) AS n_removed,
+      CAST(count(*) FILTER (WHERE a.k IS NULL) AS BIGINT) AS n_added,
+      CAST(count(*) FILTER (WHERE a.k IS NOT NULL AND b.k IS NOT NULL
+                              AND a.fp <> b.fp) AS BIGINT) AS n_changed,
+      CAST(count(*) FILTER (WHERE a.fp = b.fp) AS BIGINT) AS n_unchanged
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def df1_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+
+    def fingerprint(price: F.Column) -> F.Column:
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_custkey").cast("string"),
+                F.col("o_orderstatus"),
+                F.round(price * 100).cast("bigint").cast("string"),
+                F.col("o_orderpriority"),
+            )
+        )
+
+    a = o.select(
+        F.col("o_orderkey").alias("k"),
+        fingerprint(F.col("o_totalprice")).alias("fp"),
+    )
+    b = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        fingerprint(
+            F.when(
+                F.col("o_orderkey") % 101 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice"))
+        ).alias("fp"),
+    )
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    return j.agg(
+        F.count(F.when(F.col("b.k").isNull(), 1)).alias("n_removed"),
+        F.count(F.when(F.col("a.k").isNull(), 1)).alias("n_added"),
+        F.count(
+            F.when(
+                F.col("a.k").isNotNull()
+                & F.col("b.k").isNotNull()
+                & (F.col("a.fp") != F.col("b.fp")),
+                1,
+            )
+        ).alias("n_changed"),
+        F.count(F.when(F.col("a.fp") == F.col("b.fp"), 1)).alias("n_unchanged"),
+    )

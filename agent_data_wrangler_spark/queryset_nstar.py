@@ -2431,3 +2431,77 @@ def ws1_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(20)
         .select("doc_id", "source", "n_chars", F.round("wk", 6).alias("wkey"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KL1 — per-source distribution drift (KL divergence of each source's
+# language mix vs the corpus mix): the data-recipe monitoring op — a
+# source whose language distribution diverges from the corpus is the one
+# whose ingestion changed. Both distributions come from EXACT integer
+# counts; the only float math is p*ln(p/q) over |langs| terms from
+# identical integers (IEEE-identical cross-engine), rounded at 6. Zero
+# terms (lang absent from a source) contribute 0 by the usual KL
+# convention and never divide: q > 0 whenever p > 0 because the corpus
+# marginal dominates every source.
+# Scale: one partial+final agg on (source, lang) — |sources|x|langs| rows;
+# the lang marginal is a tiny (|langs|-row) broadcast aggregate of that
+# intermediate and the corpus total a 1-row broadcast — NOT whole-frame
+# windows, which would funnel the millions-of-sources intermediate
+# through one reducer; the per-source total IS a window, safe because a
+# source partition holds at most |langs| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "kl1_source_drift_documents",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY source, lang
+    ), m AS (
+      SELECT source, lang, n,
+             sum(n) OVER (PARTITION BY source) AS src_total,
+             sum(n) OVER (PARTITION BY lang) AS lang_total,
+             sum(n) OVER () AS corpus_total
+      FROM c
+    )
+    SELECT source,
+           CAST(max(src_total) AS BIGINT) AS n_docs,
+           round(sum(
+             (CAST(n AS DOUBLE) / CAST(src_total AS DOUBLE))
+             * ln((CAST(n AS DOUBLE) / CAST(src_total AS DOUBLE))
+                  / (CAST(lang_total AS DOUBLE) / CAST(corpus_total AS DOUBLE)))
+           ), 6) AS kl_vs_corpus
+    FROM m GROUP BY source
+    """,
+)
+def kl1_source_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspark import StorageLevel
+
+    d = read_table(spark, sf_dir, "documents")
+    # The (source, lang) intermediate feeds THREE consumers (marginals +
+    # the KL terms); unpersisted, each re-derives it from a fresh corpus
+    # scan (verified: 3 parquet scans, zero ReusedExchange — Catalyst
+    # prunes the branches differently, same trap as tf1). Persist AND
+    # materialize (a lazy persist referenced several times inside one
+    # action recomputes before the cache exists); the frame is
+    # |sources|x|langs| rows — cache-sized at any corpus scale.
+    c = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c.count()
+    lang_totals = c.groupBy("lang").agg(F.sum("n").alias("lang_total"))
+    corpus_total = c.agg(F.sum("n").alias("corpus_total"))
+    m = (
+        c.withColumn("src_total", F.sum("n").over(Window.partitionBy("source")))
+        .join(F.broadcast(lang_totals), "lang")
+        .crossJoin(F.broadcast(corpus_total))
+    )
+    p = F.col("n").cast("double") / F.col("src_total").cast("double")
+    q = F.col("lang_total").cast("double") / F.col("corpus_total").cast("double")
+    return m.groupBy("source").agg(
+        F.max("src_total").cast("bigint").alias("n_docs"),
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+    )

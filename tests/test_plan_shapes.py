@@ -636,3 +636,11 @@ def test_hh1_sketch_then_broadcast_semi_join(spark, sf_dir):
     plan = _plan(spark, "hh1_heavy_hitter_tokens_documents", sf_dir)
     assert "MapInPandas" in plan
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+def test_kl1_intermediate_computed_once(spark, sf_dir):
+    """The (source, lang) intermediate feeds three consumers; all three
+    must read the materialized cache (InMemoryTableScan), not re-derive
+    the aggregate from fresh corpus scans (the tf1 multi-reference trap)."""
+    plan = _plan(spark, "kl1_source_drift_documents", sf_dir)
+    assert plan.count("InMemoryTableScan") == 3, plan
