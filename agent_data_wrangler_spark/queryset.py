@@ -3424,3 +3424,341 @@ def df1_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_changed"),
         F.count(F.when(F.col("a.fp") == F.col("b.fp"), 1)).alias("n_unchanged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 — local supplier revenue (TPC-H Q5 shape): revenue per nation from
+# 1996 orders where the customer and the line's supplier sit in the SAME
+# nation, restricted to one region. The classic 6-table star-with-a-twist:
+# the c_nationkey = s_nationkey equality is a second join condition that
+# arrives through two different dimension paths.
+# Scale: lineitem⋈orders shuffles once on orderkey; orders⋈customer once
+# on custkey; supplier, nation, and region are broadcast (supplier is
+# ~1/10000th of lineitem at any TPC-H SF). The region filter prunes the
+# nation broadcast BEFORE it fans out, so non-ASIA customers drop at the
+# first join, shrinking everything downstream. Revenue is summed in exact
+# integer cents×pct (price is exact cents, discount integer percent), so
+# the hash never sees float accumulation order.
+# ---------------------------------------------------------------------------
+@query(
+    "j10_local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def j10_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = read_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # ASIA customers only (nation broadcast prunes early), then the two
+    # fact shuffles, then broadcast supplier with the same-nation condition.
+    co = (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    j = (
+        li.join(co, li["l_orderkey"] == co["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (F.col("c_nationkey") == s["s_nationkey"]),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(F.sum("rev_i") / 10000.0, 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J11 — disjunctive predicate join (TPC-H Q19 shape): revenue from three
+# OR'd brand/size/quantity branches. The optimizer lesson Q19 teaches:
+# the part-side disjuncts (brand, size) must be pushed below the join as
+# the UNION of the branches — otherwise the join carries every part row
+# for a filter that discards ~90% after the fact. Spark's
+# CNF-conversion does not extract this automatically for the full
+# cross-table predicate, so the query seeds the part scan with the
+# OR-of-part-only-conjuncts itself and keeps the residual (the branch
+# consistency with l_quantity) on the join.
+# Scale: part (pre-filtered) broadcasts; lineitem never shuffles at all —
+# broadcast-hash-join + partial agg to one row. Exact integer revenue as
+# in j10.
+# ---------------------------------------------------------------------------
+@query(
+    "j11_disjunctive_promo_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+            AND l_quantity BETWEEN 1 AND 20)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+            AND l_quantity BETWEEN 10 AND 40)
+        OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 50
+            AND l_quantity BETWEEN 20 AND 50))
+    """,
+)
+def j11_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    branches = [
+        ("Brand#12", 1, 10, 1, 20),
+        ("Brand#23", 10, 25, 10, 40),
+        ("Brand#34", 20, 50, 20, 50),
+    ]
+    part_side = None
+    for brand, lo, hi, _, _ in branches:
+        cond = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(lo, hi)
+        )
+        part_side = cond if part_side is None else (part_side | cond)
+    p = read_table(spark, sf_dir, "part").filter(part_side).select(
+        "p_partkey", "p_brand"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    residual = None
+    for brand, _, _, qlo, qhi in branches:
+        cond = (F.col("p_brand") == brand) & F.col("l_quantity").between(
+            qlo, qhi
+        )
+        residual = cond if residual is None else (residual | cond)
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).filter(
+        residual
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev_i") / 10000.0, 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB6 — top-revenue suppliers (TPC-H Q15 shape): suppliers whose revenue
+# over one quarter EQUALS the maximum — the "create view + scalar max"
+# query. Ties must be kept, so tie membership has to be engine-stable:
+# revenue is accumulated as exact integer cents×pct and the max/equality
+# comparison happens ON THE INTEGER, never on a rounded double (two
+# suppliers within float noise of each other would otherwise flip the
+# row set between engines). Registered as the window-max decorrelation.
+# Scale: one partial+final agg to |suppliers| rows, a single-partition
+# window over that agg output (|suppliers| rows — fine; at warehouse
+# scale this is thousands, not billions), broadcast supplier dim for the
+# name. Never a second scan of lineitem, which the textbook correlated
+# form implies.
+# ---------------------------------------------------------------------------
+@query(
+    "sub6_top_revenue_suppliers",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT))
+               AS total_i
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01'
+        AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           round(total_i / 10000.0, 2) AS total_revenue
+    FROM supplier, revenue
+    WHERE s_suppkey = supplier_no
+      AND total_i = (SELECT max(total_i) FROM revenue)
+    """,
+)
+def sub6_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("total_i")
+    )
+    w = Window.partitionBy()
+    top = revenue.withColumn("__max_i", F.max("total_i").over(w)).filter(
+        F.col("total_i") == F.col("__max_i")
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        top.join(F.broadcast(s), top["supplier_no"] == s["s_suppkey"])
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_i") / 10000.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB7 — parts above a revenue-share threshold (TPC-H Q11 shape): GROUP BY
+# + HAVING against a scalar derived from the global total. The adaptation
+# (no partsupp table in this schema): parts whose lineitem revenue exceeds
+# 1.5x the MEAN per-part revenue — mean-relative rather than
+# total-relative because a fixed fraction of the total selects a
+# vanishing set as |parts| grows (Q11 itself rescales its fraction by SF
+# for the same reason). Both the per-group sums and the global total are
+# exact integers; the threshold comparison is cross-multiplied to stay
+# integer-only (2 * n_parts * part_i > 3 * total — no float boundary).
+# The global total is summed as decimal(38,0): int64 holds per-part sums
+# through ~sf1000, but the corpus-wide total crosses 2^63 around sf300,
+# and ANSI mode would make that a hard error at the worst time. DuckDB's
+# sum(BIGINT) is int128 natively.
+# Scale: ONE scan — per-part partial+final agg, then the 1-row total is
+# re-aggregated FROM the per-part frame (|parts| rows, not a second
+# lineitem pass) and broadcast back. The textbook form's two scans of
+# the fact table collapse into one.
+# ---------------------------------------------------------------------------
+@query(
+    "sub7_key_part_revenue_share",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS part_i
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_partkey,
+           round(part_i / 10000.0, 2) AS part_revenue
+    FROM per_part
+    WHERE 2 * part_i * (SELECT count(*) FROM per_part)
+          > 3 * (SELECT sum(part_i) FROM per_part)
+    """,
+)
+def sub7_key_part_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    li = read_table(spark, sf_dir, "lineitem")
+    # per_part feeds TWO consumers (the 1-row total and the filter);
+    # unpersisted, Catalyst evaluates the subtree twice — two full
+    # lineitem scans + two aggregates (the kl1/tf1 multi-reference trap).
+    # Persist AND materialize; the frame is |parts| rows.
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("part_i")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    per_part.count()
+    total = per_part.agg(
+        F.sum(F.col("part_i").cast("decimal(38,0)")).alias("__total_i"),
+        F.count(F.lit(1)).alias("__n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            2 * F.col("part_i").cast("decimal(38,0)") * F.col("__n_parts")
+            > 3 * F.col("__total_i")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_i") / 10000.0, 2).alias("part_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB8 — dominant suppliers of red parts (TPC-H Q20 shape): the nested
+# IN-chain — suppliers who in 1997 shipped a strict majority (>50%) of
+# some red-named part's total 1997 volume. part filter → per-(part,
+# supplier) quantity → against per-part total → distinct suppliers →
+# supplier dim. Quantities are integer-valued doubles; cast to bigint
+# AFTER rounding so the majority comparison is integer (qty*2 > total —
+# no float boundary).
+# Scale: the red-part filter broadcasts into a semi join on the lineitem
+# scan (partkey pruning before any shuffle); ONE shuffle on (partkey,
+# suppkey) for the pair agg; the per-part total is a window over the
+# pair frame partitioned by partkey (re-aggregating |pairs| rows, never
+# re-scanning lineitem); the surviving supplier set semi-joins into the
+# broadcast supplier dim.
+# ---------------------------------------------------------------------------
+@query(
+    "sub8_dominant_red_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part
+                          WHERE p_name LIKE 'red%')
+        AND l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING CAST(round(sum(l_quantity)) AS BIGINT) * 2 > (
+        SELECT CAST(round(sum(l2.l_quantity)) AS BIGINT)
+        FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+          AND l2.l_shipdate >= DATE '1997-01-01'
+          AND l2.l_shipdate < DATE '1998-01-01'
+      )
+    )
+    """,
+)
+def sub8_dominant_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    red = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("red%")
+    ).select("p_partkey")
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    )
+    pairs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_quantity")).cast("bigint").alias("pair_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        pairs.withColumn("__part_qty", F.sum("pair_qty").over(w))
+        .filter(F.col("pair_qty") * 2 > F.col("__part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return s.join(
+        F.broadcast(dominant),
+        s["s_suppkey"] == dominant["l_suppkey"],
+        "left_semi",
+    )

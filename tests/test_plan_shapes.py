@@ -644,3 +644,64 @@ def test_kl1_intermediate_computed_once(spark, sf_dir):
     the aggregate from fresh corpus scans (the tf1 multi-reference trap)."""
     plan = _plan(spark, "kl1_source_drift_documents", sf_dir)
     assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_j10_dims_broadcast_facts_never_nested_loop(spark, sf_dir):
+    """Q5-shape: region/nation/supplier ride broadcasts and the region
+    filter reaches the region scan — the same-nation condition must not
+    degrade the supplier join to a nested loop."""
+    plan = _plan(spark, "j10_local_supplier_revenue", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert any(
+        "region" in ln and "ASIA" in ln and "FileScan" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_j11_disjuncts_push_to_both_scans_no_shuffle(spark, sf_dir):
+    """Q19-shape: the OR'd part-only conjuncts must reach the part scan and
+    the derivable quantity disjunction the lineitem scan; lineitem itself
+    never shuffles (broadcast join + partial agg to one row)."""
+    plan = _plan(spark, "j11_disjunctive_promo_revenue", sf_dir)
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    lines = plan.splitlines()
+    assert any(
+        "part.parquet" in ln and "Brand" in ln and "FileScan" in ln
+        for ln in lines
+    ), plan
+    assert any(
+        "lineitem.parquet" in ln and "l_quantity" in ln and "FileScan" in ln
+        for ln in lines
+    ), plan
+
+
+def test_sub6_single_lineitem_scan(spark, sf_dir):
+    """Q15-shape: the window-max decorrelation reads lineitem ONCE — the
+    textbook correlated form's second scan must not appear."""
+    plan = _plan(spark, "sub6_top_revenue_suppliers", sf_dir)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sub7_total_reads_cached_per_part(spark, sf_dir):
+    """Q11-shape: per_part feeds two consumers; both must read the
+    materialized cache (InMemoryTableScan), not re-derive the aggregate
+    with a second lineitem scan+agg (the kl1/tf1 multi-reference trap)."""
+    plan = _plan(spark, "sub7_key_part_revenue_share", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sub8_semi_join_chain_stays_broadcast(spark, sf_dir):
+    """Q20-shape: the red-part filter broadcasts into a semi join BEFORE any
+    exchange, the dominant-supplier set broadcasts into the supplier dim,
+    and the correlated chain never becomes a nested loop."""
+    plan = _plan(spark, "sub8_dominant_red_part_suppliers", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
