@@ -2505,3 +2505,242 @@ def kl1_source_drift_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("src_total").cast("bigint").alias("n_docs"),
         F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BP1 — BPE-style adjacent-pair counts (the first merge step of
+# byte-pair-encoding tokenizer training): count every within-word adjacent
+# character pair across the corpus, keep the top 30. A real tokenizer
+# trainer iterates this; one exact step is the representative kernel, and
+# the pair statistics (which pair would merge first) are the artifact a
+# data pipeline ships to the tokenizer job.
+# Scale: the pair list is built per-document as ONE flattened codegen
+# expression (no token-level explode — a single Generate on the
+# per-document pair array), and the pair alphabet is tiny (≤ charset²), so
+# the partial aggregate collapses each task's output to |alphabet| rows
+# before the exchange; the final top-30 is TakeOrderedAndProject on a
+# total order (count desc, pair asc — deterministic boundary).
+# ---------------------------------------------------------------------------
+@query(
+    "bp1_bpe_pair_counts_documents",
+    oracle=rf"""
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+    )
+    GROUP BY pair
+    ORDER BY cnt DESC, pair ASC
+    LIMIT 30
+    """,
+)
+def bp1_bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.lower(F.col("text")))
+    # sequence(1, 0) is DESCENDING in Spark, not empty — guard len<2 tokens
+    # explicitly or single-char words would emit phantom pairs.
+    pairs_per_doc = F.flatten(
+        F.transform(
+            toks,
+            lambda t: F.when(
+                F.length(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(t) - 1),
+                    lambda i: t.substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    return (
+        d.select(F.explode(pairs_per_doc).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# GR1 — PageRank over the customer–supplier bipartite graph (3 exact
+# power iterations, damping 0.85): the iterative-graph-algorithm
+# representative. Edges are the distinct (customer, supplier) trade pairs
+# from orders⋈lineitem, symmetrized; every node therefore has both in-
+# and out-edges, so no dangling-mass term is needed and the contribution
+# aggregate covers every node each iteration.
+# Scale: the edge list is built once, joined with its out-degrees,
+# repartitioned ON src and persisted — each iteration's rank join then
+# reuses that partitioning (the cache preserves outputPartitioning) and
+# only the |nodes|-sized rank frame moves; the per-iteration shuffle is
+# the groupBy(dst) contribution aggregate, which partial-aggregates
+# map-side. Three fixed iterations keep the lineage shallow (no
+# checkpoint needed); the driver never sees the graph. The |N| scalar is
+# a 1-row count probe.
+# ---------------------------------------------------------------------------
+@query(
+    "gr1_pagerank_trade_graph",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src
+    ), n AS (
+      SELECT CAST(count(DISTINCT src) AS DOUBLE) AS n FROM edges
+    ), r0 AS (
+      SELECT src AS node, 1.0 / (SELECT n FROM n) AS r FROM deg
+    ), r1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n) + 0.85 * sum(r.r / deg.d) AS r
+      FROM edges e JOIN r0 r ON r.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n) + 0.85 * sum(r.r / deg.d) AS r
+      FROM edges e JOIN r1 r ON r.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n) + 0.85 * sum(r.r / deg.d) AS r
+      FROM edges e JOIN r2 r ON r.node = e.src JOIN deg ON deg.src = e.src
+      GROUP BY e.dst
+    )
+    SELECT node, round(r * (SELECT n FROM n), 6) AS rank_scaled
+    FROM r3 WHERE node LIKE 's%'
+    """,
+)
+def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("d")
+    )
+    # Edge+degree frame computed ONCE, partitioned on the join key, cached:
+    # the three rank joins reuse this partitioning instead of re-shuffling
+    # the (big) edge side every iteration.
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = float(edges_deg.select("src").distinct().count())
+    # Initial ranks derive from the CACHE (not from deg, whose subtree
+    # would re-run the orders⋈lineitem join a second time).
+    ranks = (
+        edges_deg.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            (F.lit(1.0) / F.lit(n_nodes)).alias("r"),
+        )
+    )
+    for _ in range(3):
+        ranks = (
+            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(0.15 / n_nodes)
+                    + F.lit(0.85) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("node"), "r")
+        )
+    return ranks.filter(F.col("node").like("s%")).select(
+        "node", F.round(F.col("r") * n_nodes, 6).alias("rank_scaled")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CL1 — label-centroid confusion matrix over the embedding table: the
+# per-label mean vector, then pairwise cosine between centroids — the
+# "are my class clusters separable" audit a labeled training set gets
+# before fine-tuning. High centroid cosine between two labels = the
+# classes overlap in embedding space.
+# Scale: ONE posexplode → (label, dim) partial+final aggregate — the
+# explode output collapses map-side to |labels|×dim rows per task, so the
+# exchange never carries vector payloads; the centroid frame
+# (|labels|×dim) is persisted for its three consumers (norms + both join
+# sides) and every downstream product runs on that tiny frame. Dot
+# products via a dim-key join rather than array re-assembly — no
+# collect, no UDF, no driver math.
+# ---------------------------------------------------------------------------
+@query(
+    "cl1_label_centroid_confusion",
+    oracle="""
+    WITH ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(embedding))) AS pos,
+             unnest(CAST(embedding AS DOUBLE[])) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, avg(v) AS c FROM ex GROUP BY label, pos
+    ), norms AS (
+      SELECT label, sum(c * c) AS n2 FROM cent GROUP BY label
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b, sum(a.c * b.c) AS dot
+      FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b,
+           round(dot / sqrt(na.n2 * nb.n2), 6) AS centroid_cos
+    FROM dots
+    JOIN norms na ON na.label = label_a
+    JOIN norms nb ON nb.label = label_b
+    """,
+)
+def cl1_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    e = read_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v"))
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cent.count()
+    norms = cent.groupBy("label").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("dot"))
+    )
+    na = norms.select(F.col("label").alias("label_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("label").alias("label_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("dot") / F.sqrt(F.col("n2_a") * F.col("n2_b")), 6
+            ).alias("centroid_cos"),
+        )
+    )

@@ -705,3 +705,32 @@ def test_sub8_semi_join_chain_stays_broadcast(spark, sf_dir):
     assert plan.count("LeftSemi") >= 2, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bp1_single_generate_topk_no_sort(spark, sf_dir):
+    """BPE pair counting claims: per-doc pair arrays built as one codegen
+    expression (exactly ONE Generate — no token-level explode), partial agg
+    below a single exchange, and the top-30 as TakeOrderedAndProject."""
+    plan = _plan(spark, "bp1_bpe_pair_counts_documents", sf_dir)
+    assert plan.count("Generate") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gr1_iterations_reuse_cached_edges(spark, sf_dir):
+    """PageRank claims: the edge+degree frame is computed once and cached —
+    the initial rank frame and all three iterations must read
+    InMemoryTableScan, never re-derive the orders⋈lineitem join."""
+    plan = _plan(spark, "gr1_pagerank_trade_graph", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cl1_consumers_read_cached_centroids(spark, sf_dir):
+    """Centroid confusion claims: the (label, dim) centroid frame is
+    persisted and every downstream product (both dot-product sides and the
+    norm frames) reads the cache — zero re-aggregation of the exploded
+    embedding table."""
+    plan = _plan(spark, "cl1_label_centroid_confusion", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan
