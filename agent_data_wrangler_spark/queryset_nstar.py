@@ -2744,3 +2744,82 @@ def cl1_label_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ZF1 — Zipf-law fit over the token frequency distribution: OLS of
+# ln(freq) on ln(rank) across the top 200 tokens — the corpus-health
+# audit (natural text sits near slope -1; a synthetic or
+# template-saturated corpus shows up as a flat or stepped curve).
+# Chained statistics: exact integer token counts → deterministic total
+# order (count desc, token asc) → integer ranks → logs in double from
+# identical integers, so every engine computes the same IEEE values.
+# Scale: one token explode with map-side partial agg (|vocab| rows per
+# task), TakeOrderedAndProject for the top-200, and the OLS runs over
+# 200 rows in a single final aggregate. The full vocabulary never sorts
+# globally.
+# ---------------------------------------------------------------------------
+@query(
+    "zf1_zipf_fit_documents",
+    oracle=rf"""
+    WITH counts AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY freq DESC, tok ASC
+      LIMIT 200
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, tok ASC)
+                     AS DOUBLE)) AS x,
+             ln(CAST(freq AS DOUBLE)) AS y
+      FROM counts
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS zipf_intercept
+    FROM stats
+    """,
+)
+def zf1_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(200)
+    )
+    # row_number over the 200-row top slice — single partition by
+    # construction (post-limit), not a scale hazard.
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = counts.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    stats = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return stats.select(
+        F.col("n").cast("bigint").alias("n_tokens_fit"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )

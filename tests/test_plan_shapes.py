@@ -734,3 +734,12 @@ def test_cl1_consumers_read_cached_centroids(spark, sf_dir):
     plan = _plan(spark, "cl1_label_centroid_confusion", sf_dir)
     assert plan.count("InMemoryTableScan") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_zf1_topk_no_global_sort(spark, sf_dir):
+    """Zipf fit claims: the top-200 token slice is TakeOrderedAndProject
+    (per-partition top-k, no global vocabulary sort) over a single
+    partial-agg exchange."""
+    plan = _plan(spark, "zf1_zipf_fit_documents", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
