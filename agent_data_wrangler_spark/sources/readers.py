@@ -78,8 +78,14 @@ def read_csv(
 
 
 def _nano_ts_columns(path: str) -> list[str]:
-    """Detect TIMESTAMP(NANOS) parquet columns from the footer (Spark refuses
-    them natively; DuckDB and pandas truncate to micros)."""
+    """Detect INT64 TIMESTAMP(NANOS) parquet columns from the footer (Spark
+    refuses them natively; DuckDB and pandas truncate to micros).
+
+    Must inspect the PHYSICAL type, not the arrow-mapped one: pyarrow reports
+    legacy INT96 timestamps (Spark's default ``outputTimestampType``) as
+    ``timestamp[ns]`` too, but Spark reads INT96 natively as micros — flagging
+    those would bolt a nanos→micros conversion onto a column that is already a
+    TIMESTAMP (caught by a Spark-written-parquet round-trip unit)."""
     try:
         import pyarrow.parquet as pq
 
@@ -89,8 +95,16 @@ def _nano_ts_columns(path: str) -> list[str]:
             if not candidates:
                 return []
             probe = os.path.join(path, candidates[0])
-        schema = pq.read_schema(probe)
-        return [f.name for f in schema if str(f.type).startswith("timestamp[ns")]
+        pq_schema = pq.read_metadata(probe).schema
+        out = []
+        for i in range(len(pq_schema)):
+            col = pq_schema.column(i)
+            if (
+                col.physical_type == "INT64"
+                and "timeUnit=nanoseconds" in str(col.logical_type)
+            ):
+                out.append(col.name)
+        return out
     except Exception:
         return []
 

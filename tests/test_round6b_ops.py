@@ -1,0 +1,150 @@
+"""Units for the round-6 second-wave queries (bp1/gr1/cl1/sub6): planted
+fixtures with hand-computable expectations, staged as parquet so the
+registered queries run end-to-end through read_table."""
+
+from __future__ import annotations
+
+import os
+
+from agent_data_wrangler_spark.queryset import QUERIES as Q1
+from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q2
+
+QUERIES = {**Q1, **Q2}
+
+
+def _stage(spark, tmp_path, name, df):
+    path = os.path.join(str(tmp_path), f"{name}.parquet")
+    df.coalesce(1).write.parquet(path)
+    return str(tmp_path)
+
+
+def test_bp1_single_char_tokens_emit_no_pairs(spark, tmp_path):
+    """sequence(1, 0) is DESCENDING in Spark — a single-char token must
+    contribute zero pairs, not a phantom descending-range artifact; case
+    folds before pairing."""
+    docs = spark.createDataFrame(
+        [(1, "a BC de", "en", "s1", 7), (2, "x", "en", "s1", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = _stage(spark, tmp_path, "documents", docs)
+    rows = {
+        r["pair"]: r["cnt"]
+        for r in QUERIES["bp1_bpe_pair_counts_documents"](spark, sf_dir).collect()
+    }
+    assert rows == {"bc": 1, "de": 1}
+
+
+def test_gr1_matches_hand_rolled_power_iteration(spark, tmp_path):
+    """One customer trading with two suppliers: 3 damped power iterations
+    computed by hand must match the engine to the rounded digit."""
+    orders = spark.createDataFrame(
+        [(1, 7)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(1, 100), (1, 200)], "l_orderkey long, l_suppkey long"
+    )
+    _stage(spark, tmp_path, "orders", orders)
+    sf_dir = _stage(spark, tmp_path, "lineitem", lineitem)
+
+    n = 3.0
+    r_c = r_s = 1.0 / n
+    for _ in range(3):
+        r_c, r_s = (
+            0.15 / n + 0.85 * (r_s + r_s),
+            0.15 / n + 0.85 * (r_c / 2.0),
+        )
+    expected = round(r_s * n, 6)
+
+    rows = {
+        r["node"]: r["rank_scaled"]
+        for r in QUERIES["gr1_pagerank_trade_graph"](spark, sf_dir).collect()
+    }
+    assert rows == {"s100": expected, "s200": expected}
+
+
+def test_sub6_keeps_exact_integer_ties(spark, tmp_path):
+    """Two suppliers with bit-identical integer revenue must BOTH be
+    returned (Q15 keeps ties); a lower-revenue supplier must not."""
+    li_rows = [
+        # suppkey, price, discount, shipdate inside the 1996-Q1 window
+        (1, 100, 100.00, 0.05, "1996-02-01"),
+        (2, 200, 100.00, 0.05, "1996-02-02"),
+        (3, 300, 50.00, 0.05, "1996-02-03"),
+    ]
+    lineitem = spark.createDataFrame(
+        [(k, s, p, d, t) for k, s, p, d, t in li_rows],
+        "l_orderkey long, l_suppkey long, l_extendedprice double,"
+        " l_discount double, l_shipdate string",
+    ).selectExpr(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        "cast(l_shipdate as timestamp) as l_shipdate",
+    )
+    supplier = spark.createDataFrame(
+        [(100, "alpha"), (200, "beta"), (300, "gamma")],
+        "s_suppkey long, s_name string",
+    )
+    _stage(spark, tmp_path, "lineitem", lineitem)
+    sf_dir = _stage(spark, tmp_path, "supplier", supplier)
+    rows = sorted(
+        (r["s_suppkey"], r["total_revenue"])
+        for r in QUERIES["sub6_top_revenue_suppliers"](spark, sf_dir).collect()
+    )
+    assert rows == [(100, 95.0), (200, 95.0)]
+
+
+def test_cl1_orthogonal_and_diagonal_centroids(spark, tmp_path):
+    """Hand-made centroids: label 0 -> [1,0], label 1 -> [0,1],
+    label 2 -> [1,1]/norm. cos(0,1)=0, cos(0,2)=cos(1,2)=1/sqrt(2)."""
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [1.0, 0.0], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [1.0, 1.0], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    sf_dir = _stage(spark, tmp_path, "embeddings", emb)
+    rows = {
+        (r["label_a"], r["label_b"]): r["centroid_cos"]
+        for r in QUERIES["cl1_label_centroid_confusion"](spark, sf_dir).collect()
+    }
+    inv_sqrt2 = round(1.0 / 2.0 ** 0.5, 6)
+    assert rows == {(0, 1): 0.0, (0, 2): inv_sqrt2, (1, 2): inv_sqrt2}
+
+
+def test_nano_detector_flags_int64_nanos_not_int96(spark, tmp_path):
+    """read_parquet's nanos shim must fire for INT64 TIMESTAMP(NANOS) files
+    (pre-r4 driver testdata) and must NOT fire for legacy INT96 (Spark's
+    default outputTimestampType), which pyarrow also reports as
+    timestamp[ns] but Spark reads natively — the round-6 regression."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from agent_data_wrangler_spark.sources.readers import (
+        _nano_ts_columns,
+        read_parquet,
+    )
+
+    t0 = datetime.datetime(2001, 2, 3, 4, 5, 6, 789000)
+    nanos_path = os.path.join(str(tmp_path), "nanos.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([t0], type=pa.timestamp("ns"))}),
+        nanos_path,
+        store_schema=False,  # TIMESTAMP(NANOS) in the parquet footer
+    )
+    assert _nano_ts_columns(nanos_path) == ["ts"]
+    got = read_parquet(spark, nanos_path).collect()[0]["ts"]
+    assert got == t0  # converted nanos -> micro timestamp, value intact
+
+    int96_dir = os.path.join(str(tmp_path), "int96")
+    df = spark.createDataFrame([(t0,)], "ts timestamp")
+    (
+        df.coalesce(1)
+        .write.option("spark.sql.parquet.outputTimestampType", "INT96")
+        .parquet(int96_dir)
+    )
+    # whatever the writer emitted, the reader must round-trip the value
+    assert read_parquet(spark, int96_dir).collect()[0]["ts"] == t0
