@@ -276,3 +276,55 @@ def rolling_anomaly(
         .withColumn("roll_mean", F.round(mean, 4))
         .withColumn("is_anomaly", F.coalesce(flag, F.lit(False)))
     )
+
+
+def ewma(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column | str],
+    value: Column | str,
+    alpha: float = 0.3,
+    lookback: int = 10,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Bounded-lookback exponentially weighted moving average (the
+    pandas ``ewm(adjust=True)`` shape, truncated to the last ``lookback``
+    observations): ewma_i = Σ_j (1-α)^j·x_{i-j} / Σ_j (1-α)^j, j < lookback.
+
+    Engineering: the frame's values are collected oldest→newest into a
+    bounded array (O(lookback) per row, same budget class as ``rolling``)
+    and both the numerator and the weight mass are folded with EXPLICIT
+    ``pow(1-α, n-1-i)`` weights — a cross-engine-reproducible closed form,
+    unlike the recursive one-pass update whose float error depends on
+    evaluation order. The truncation also makes the operator
+    shuffle-bounded: the exact infinite-history EWMA is inherently
+    sequential per key (state from row 1 reaches row n), which at 100 TB
+    means a single-task chain per key; bounding the window restores
+    data-parallelism and changes the result by < (1-α)^lookback — pick
+    ``lookback`` so that is below output rounding.
+    Scale: ONE shuffle on ``partition_by``; no UDF, pure codegen fold.
+    """
+    v = (F.col(value) if isinstance(value, str) else value).cast("double")
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    arr = F.collect_list(v).over(w)
+    n = F.size(arr)
+    decay = F.lit(1.0 - alpha)
+    num = F.aggregate(
+        F.zip_with(
+            arr,
+            F.transform(arr, lambda _, i: F.pow(decay, (n - 1 - i).cast("double"))),
+            lambda x, wt: x * wt,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(arr, lambda _, i: F.pow(decay, (n - 1 - i).cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.withColumn(out_col, num / den)

@@ -3762,3 +3762,61 @@ def sub8_dominant_red_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
         s["s_suppkey"] == dominant["l_suppkey"],
         "left_semi",
     )
+
+
+# ---------------------------------------------------------------------------
+# EW1 — per-user EWMA level (bounded lookback 10, α=0.3): the smoothed
+# "current level" of each user's event values — the time-series
+# denoising staple next to w4's flat rolling mean. See
+# operators/windows.py:ewma for why the lookback is bounded (exact
+# infinite-history EWMA is sequential per key — a single-task chain at
+# scale) and why the weights are explicit pow() terms (cross-engine
+# reproducible, unlike the order-sensitive recursive update). Both
+# engines fold the identical closed form from the identical frame;
+# output rounded to 4 (float noise ~1e-13, truncation bias < 0.7^10).
+# Scale: one shuffle on user_id shared by the EWMA frame and the
+# latest-row filter (same partitioning), O(lookback) per row.
+# ---------------------------------------------------------------------------
+@query(
+    "ew1_ewma_user_level_events",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               AS arr,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id,
+           round(list_sum(list_transform(arr, (x, i) ->
+                     x * pow(0.7, len(arr) - i)))
+                 / list_sum(list_transform(arr, (x, i) ->
+                     pow(0.7, len(arr) - i))), 4) AS last_ewma
+    FROM base WHERE rn = 1
+    """,
+)
+def ew1_ewma_user_level_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    smoothed = windows.ewma(
+        e,
+        partition_by=["user_id"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        value="value",
+        alpha=0.3,
+        lookback=10,
+        out_col="__ewma",
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    return (
+        smoothed.withColumn("__rn", rn)
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.round(F.col("__ewma"), 4).alias("last_ewma"))
+    )

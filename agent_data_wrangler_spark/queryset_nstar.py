@@ -2642,6 +2642,11 @@ def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n_nodes = float(edges_deg.select("src").distinct().count())
+    if n_nodes == 0:
+        raise ValueError(
+            "gr1: trade graph has no edges (orders⋈lineitem is empty) — "
+            "PageRank over an empty node set is undefined"
+        )
     # Initial ranks derive from the CACHE (not from deg, whose subtree
     # would re-run the orders⋈lineitem join a second time).
     ranks = (

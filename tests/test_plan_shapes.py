@@ -743,3 +743,11 @@ def test_zf1_topk_no_global_sort(spark, sf_dir):
     plan = _plan(spark, "zf1_zipf_fit_documents", sf_dir)
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ew1_single_exchange(spark, sf_dir):
+    """EWMA claims one shuffle on user_id shared by the smoothing frame and
+    the latest-row filter (the desc window re-sorts but must not
+    re-partition)."""
+    plan = _plan(spark, "ew1_ewma_user_level_events", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 1, plan

@@ -148,3 +148,56 @@ def test_nano_detector_flags_int64_nanos_not_int96(spark, tmp_path):
     )
     # whatever the writer emitted, the reader must round-trip the value
     assert read_parquet(spark, int96_dir).collect()[0]["ts"] == t0
+
+
+def test_ewma_matches_pandas_below_lookback(spark):
+    """For series shorter than the lookback the bounded EWMA IS pandas
+    ewm(adjust=True): cross-check the fold against pandas exactly."""
+    import pandas as pd
+
+    from agent_data_wrangler_spark.operators.windows import ewma
+
+    vals = [3.0, -1.5, 7.25, 0.0, 2.5]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, i int, v double"
+    )
+    out = (
+        ewma(df, ["k"], ["i"], "v", alpha=0.3, lookback=10)
+        .orderBy("i")
+        .collect()
+    )
+    expected = pd.Series(vals).ewm(alpha=0.3, adjust=True).mean()
+    for row, exp in zip(out, expected):
+        assert abs(row["ewma"] - exp) < 1e-9
+
+
+def test_ewma_truncates_at_lookback(spark):
+    """Beyond the lookback the oldest observations drop out entirely: with
+    lookback=2 the smoothed value is a function of the last two points
+    only."""
+    from agent_data_wrangler_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, 0, 1000.0), (1, 1, 10.0), (1, 2, 20.0)],
+        "k int, i int, v double",
+    )
+    last = (
+        ewma(df, ["k"], ["i"], "v", alpha=0.5, lookback=2)
+        .orderBy("i")
+        .collect()[-1]["ewma"]
+    )
+    # weights: 0.5^1 for v=10, 0.5^0 for v=20 -> (5 + 20) / 1.5
+    assert abs(last - (5.0 + 20.0) / 1.5) < 1e-12
+
+
+def test_gr1_empty_graph_raises(spark, tmp_path):
+    """PageRank over an empty edge set must fail loudly, not divide by
+    zero (advisor-class degenerate-input guard)."""
+    import pytest as _pytest
+
+    orders = spark.createDataFrame([], "o_orderkey long, o_custkey long")
+    lineitem = spark.createDataFrame([], "l_orderkey long, l_suppkey long")
+    _stage(spark, tmp_path, "orders", orders)
+    sf_dir = _stage(spark, tmp_path, "lineitem", lineitem)
+    with _pytest.raises(ValueError, match="no edges"):
+        QUERIES["gr1_pagerank_trade_graph"](spark, sf_dir)
