@@ -2828,3 +2828,129 @@ def zf1_zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("zipf_intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# NS1 — deterministic negative sampling for contrastive pairs: each
+# anchor document draws up to 2 "negatives" from OTHER sources — the
+# random-access-by-synthetic-key pattern every contrastive/embedding
+# training pipeline needs, made exactly reproducible. Mechanics: a dense
+# 0..N-1 corpus index (via the bucketed two-phase prefix sum — NEVER a
+# single-reducer global row_number), 4 md5-derived probe indices per
+# anchor (conv(md5(doc_id:j)) % N — no RNG state), an equi join of
+# probes to the index map, rejection of self/same-source hits, and
+# keep-first-2-by-probe-order. Output is the per-(source, neg_source)
+# pair count plus a commutative md5-prefix checksum of the pair list, so
+# every individual sampled pair is pinned without shipping 2N rows.
+# Scale: the index map carries (idx, doc_id, source) only; probes⋈map is
+# one equi shuffle on the dense index (uniform by construction — md5
+# probes cannot skew); the keep-first window shuffles on doc_id. The
+# |N| scalar rides a broadcast 1-row count, not a driver literal.
+# ---------------------------------------------------------------------------
+@query(
+    "ns1_negative_samples_documents",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+      FROM documents
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    probes AS (
+      SELECT d.doc_id, d.source, t.j,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':'
+                                       || CAST(t.j AS VARCHAR)), 1, 8))
+                  AS UBIGINT) % (SELECT n FROM n) AS pidx
+      FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) t
+    ), valid AS (
+      SELECT p.doc_id, p.source, p.j,
+             m.doc_id AS neg_doc_id, m.source AS neg_source
+      FROM probes p JOIN m ON m.idx = CAST(p.pidx AS BIGINT)
+      WHERE m.doc_id <> p.doc_id AND m.source <> p.source
+    ), picked AS (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY j) AS rn
+      FROM valid
+    )
+    SELECT source, neg_source,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '>'
+                          || CAST(neg_doc_id AS VARCHAR)), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS pair_checksum
+    FROM picked WHERE rn <= 2
+    GROUP BY source, neg_source
+    """,
+)
+def ns1_negative_samples_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.operators.windows import (
+        distributed_prefix_sum,
+    )
+
+    d = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    m = distributed_prefix_sum(
+        d.withColumn("__one", F.lit(1)),
+        "__one",
+        "doc_id",
+        alias="idx",
+        inclusive=False,
+    ).select(
+        F.col("idx").cast("bigint").alias("idx"),
+        F.col("doc_id").alias("neg_doc_id"),
+        F.col("source").alias("neg_source"),
+    )
+    n1 = d.agg(F.count(F.lit(1)).alias("__n"))
+    probes = (
+        d.crossJoin(F.broadcast(n1))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+            "__n",
+        )
+        .withColumn(
+            "pidx",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("__n"),
+        )
+    )
+    valid = (
+        probes.join(m, probes["pidx"] == m["idx"])
+        .filter(
+            (F.col("neg_doc_id") != F.col("doc_id"))
+            & (F.col("neg_source") != F.col("source"))
+        )
+    )
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("j"))
+    picked = valid.withColumn("rn", rn).filter(F.col("rn") <= 2)
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ">",
+                    F.col("doc_id").cast("string"),
+                    F.col("neg_doc_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return picked.groupBy("source", "neg_source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(pair_hash).alias("pair_checksum"),
+    )

@@ -751,3 +751,18 @@ def test_ew1_single_exchange(spark, sf_dir):
     re-partition)."""
     plan = _plan(spark, "ew1_ewma_user_level_events", sf_dir)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_ns1_dense_index_is_bucketed_prefix_sum(spark, sf_dir):
+    """Negative sampling claims its dense corpus index comes from the
+    bucketed two-phase prefix sum — the plan must carry the prefix-sum
+    bucket key (__psb) and every corpus-sized Window must be partitioned
+    (the keep-first window on doc_id; never an unpartitioned global
+    row_number)."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q
+
+    df = Q["ns1_negative_samples_documents"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__psb" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+    assert "CartesianProduct" not in plan
