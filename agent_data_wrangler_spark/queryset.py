@@ -3820,3 +3820,55 @@ def ew1_ewma_user_level_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .select("user_id", F.round(F.col("__ewma"), 4).alias("last_ewma"))
     )
+
+
+# ---------------------------------------------------------------------------
+# WA1 — trailing-7-day distinct active users per day (the WAU curve): the
+# sliding-DISTINCT class, which no window frame can express at scale
+# because COUNT(DISTINCT) cannot partial-aggregate across frame slides.
+# The scalable form: dedup to (user, activity-day) FIRST (the big
+# cardinality killer — events per user-day collapse to one row), then
+# explode each activity day into the 7 target days it contributes to,
+# then one distinct count per target day. Trailing windows past the last
+# observed day are cut by a broadcast 1-row max.
+# Scale: shuffle 1 dedups (user, day); the ×7 explode happens on the
+# DEDUPED frame (bounded by 7·|user-days|, not 7·|events|); shuffle 2 is
+# the (target_day, user) distinct aggregate with map-side partials. An
+# approximate variant would merge per-day HLL sketches over the window
+# (ad1's machinery) — this is the exact path.
+# ---------------------------------------------------------------------------
+@query(
+    "wa1_weekly_active_users_events",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), contrib AS (
+      SELECT user_id, d + t.o AS target_day
+      FROM ud CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS o) t
+    )
+    SELECT target_day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau_7d
+    FROM contrib
+    WHERE target_day <= (SELECT max(d) FROM ud)
+    GROUP BY target_day
+    """,
+)
+def wa1_weekly_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    maxd = ud.agg(F.max("d").alias("__maxd"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o"),
+        "d",
+    ).select(
+        "user_id", F.date_add(F.col("d"), F.col("o")).alias("target_day")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(maxd))
+        .filter(F.col("target_day") <= F.col("__maxd"))
+        .groupBy("target_day")
+        .agg(F.count_distinct("user_id").alias("wau_7d"))
+    )

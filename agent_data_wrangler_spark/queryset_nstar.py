@@ -2954,3 +2954,58 @@ def ns1_negative_samples_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(pair_hash).alias("pair_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PD2 — custom SINK via Spark 4's Python Data Source writer API (the
+# write-side twin of pd1): events project through the jsonl_manifest
+# connector — per-task streamed files + commit messages + an atomically
+# published manifest (two-phase commit; see sources/python_datasource.py)
+# — then read back manifest-driven and aggregated. The oracle recomputes
+# from the ORIGINAL parquet, so a dropped task file, a leaked uncommitted
+# attempt, or JSON type drift breaks the hash. Values ride as integer
+# cents (JSON-native, no float repr dependence); the staged dir is cached
+# per sf_dir like the csv1/or1 round-trips.
+# Scale: tasks write independently, the driver sees |tasks| commit
+# messages and one manifest rename; reads parallelize per committed file.
+# ---------------------------------------------------------------------------
+_PD2_STAGED: dict[str, str] = {}
+
+
+@query(
+    "pd2_python_datasink_roundtrip",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def pd2_python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.python_datasource import (
+        register_jsonl_manifest,
+    )
+
+    register_jsonl_manifest(spark)
+    out = _PD2_STAGED.get(sf_dir)
+    if out is None or not os.path.isdir(out):
+        out = tempfile.mkdtemp(prefix="adw_pd2_")
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        (
+            ev.repartition(4)
+            .write.format("jsonl_manifest")
+            .option("path", out)
+            .mode("overwrite")
+            .save()
+        )
+        _PD2_STAGED[sf_dir] = out
+    back = spark.read.format("jsonl_manifest").option("path", out).load()
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )

@@ -201,3 +201,45 @@ def test_gr1_empty_graph_raises(spark, tmp_path):
     sf_dir = _stage(spark, tmp_path, "lineitem", lineitem)
     with _pytest.raises(ValueError, match="no edges"):
         QUERIES["gr1_pagerank_trade_graph"](spark, sf_dir)
+
+
+def test_jsonl_manifest_commit_protocol(spark, tmp_path):
+    """The sink's manifest is the commit boundary: stray part files are
+    invisible to reads, append merges manifests, overwrite atomically
+    replaces AND reclaims unreachable files."""
+    from agent_data_wrangler_spark.sources.python_datasource import (
+        register_jsonl_manifest,
+    )
+
+    register_jsonl_manifest(spark)
+    d = os.path.join(str(tmp_path), "sink")
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, "c", 2.25)],
+        "id long, s string, v double",
+    ).repartition(2)
+    df.write.format("jsonl_manifest").option("path", d).mode("overwrite").save()
+
+    # plant an uncommitted task attempt's garbage
+    with open(os.path.join(d, "part-9999-stray.jsonl"), "w") as f:
+        f.write('{"id": 99, "s": "zz", "v": 9.9}\n')
+    back = spark.read.format("jsonl_manifest").option("path", d).load()
+    assert sorted(tuple(r) for r in back.collect()) == [
+        (1, "a", 1.5), (2, "b", None), (3, "c", 2.25),
+    ]
+
+    spark.createDataFrame([(4, "d", 4.0)], "id long, s string, v double") \
+        .write.format("jsonl_manifest").option("path", d).mode("append").save()
+    assert spark.read.format("jsonl_manifest").option("path", d).load().count() == 4
+
+    spark.createDataFrame([(7, "x", 0.5)], "id long, s string, v double") \
+        .write.format("jsonl_manifest").option("path", d).mode("overwrite").save()
+    assert [tuple(r) for r in
+            spark.read.format("jsonl_manifest").option("path", d).load().collect()
+            ] == [(7, "x", 0.5)]
+    # overwrite reclaimed every unreachable part file (incl. the stray)
+    import json as _json
+
+    with open(os.path.join(d, "_MANIFEST.json")) as f:
+        committed = {e["name"] for e in _json.load(f)["files"]}
+    on_disk = {n for n in os.listdir(d) if n.startswith("part-")}
+    assert on_disk == committed
