@@ -3872,3 +3872,77 @@ def wa1_weekly_active_users_events(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("target_day")
         .agg(F.count_distinct("user_id").alias("wau_7d"))
     )
+
+
+# ---------------------------------------------------------------------------
+# CQ1 — dirty-CSV quarantine (dead-letter routing): ingest a CSV whose
+# value field is corrupted on a known key set (event_id % 97 == 0 → the
+# literal '###'), parse under an explicit schema in PERMISSIVE mode with
+# a corrupt-record column, and split good rows from quarantined ones.
+# The distinction this pins: a legitimately EMPTY value parses as null
+# (good row, value missing — T13 semantics), while an unparseable value
+# quarantines the whole raw line. Output: good/quarantined counts, exact
+# good-row cents, and a commutative md5-prefix checksum of the
+# quarantined event_ids, so every routed row is value-pinned. The oracle
+# recomputes all four from the ORIGINAL parquet and the same %97 rule.
+# Scale: schema-pinned splittable parse (no inference pass), per-line
+# malformed handling, one aggregate; the corrupted staging file is built
+# with Spark's own double→string shortest-roundtrip cast, so good-row
+# values survive the text round-trip bit-for-bit (the csv1 guarantee).
+# ---------------------------------------------------------------------------
+_CQ1_STAGED: dict[str, str] = {}
+
+
+@query(
+    "cq1_csv_quarantine_events",
+    oracle="""
+    SELECT
+      CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+      CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT)
+        AS n_quarantined,
+      CAST(sum(CASE WHEN event_id % 97 <> 0
+                    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        AS good_cents,
+      CAST(sum(CASE WHEN event_id % 97 = 0
+                    THEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                              1, 8)) AS UBIGINT) END)
+           AS BIGINT) AS quarantine_checksum
+    FROM events
+    """,
+)
+def cq1_csv_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.readers import read_csv_quarantine
+
+    staged = _CQ1_STAGED.get(sf_dir)
+    if staged is None or not os.path.isdir(staged):
+        ev = read_table(spark, sf_dir, "events")
+        line = F.concat(
+            F.col("event_id").cast("string"),
+            F.lit(","),
+            F.col("event_type"),
+            F.lit(","),
+            F.when(F.col("event_id") % 97 == 0, F.lit("###")).otherwise(
+                F.coalesce(F.col("value").cast("string"), F.lit(""))
+            ),
+        )
+        staged = os.path.join(tempfile.mkdtemp(prefix="adw_cq1_"), "dirty_csv")
+        ev.select(line.alias("value")).write.text(staged)
+        _CQ1_STAGED[sf_dir] = staged
+    parsed = read_csv_quarantine(
+        spark, staged, "event_id bigint, event_type string, value double"
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    qhash = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    return parsed.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_quarantined"),
+        F.sum(
+            F.when(~bad, F.round(F.col("value") * 100).cast("bigint"))
+        ).alias("good_cents"),
+        F.sum(F.when(bad, qhash)).alias("quarantine_checksum"),
+    )

@@ -208,3 +208,42 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """
     require_exists(path)
     return spark.read.orc(path)
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Dirty-ingestion scan with dead-letter routing: parse CSV under an
+    EXPLICIT schema in PERMISSIVE mode and surface unparseable lines in
+    ``corrupt_col`` instead of silently nulling them (the difference between
+    "value missing" and "row broken" — a quarantine pipeline must tell them
+    apart). Callers split on ``corrupt_col IS NULL``: good rows flow on,
+    quarantined rows keep their raw line for repair/audit.
+
+    The corrupt column is appended to the caller's schema here — Spark
+    requires it declared. Note Spark's guard: a query whose only referenced
+    column is the corrupt column is disallowed on raw CSV; quarantine
+    consumers always read data columns alongside it, which satisfies the
+    rule without caching.
+
+    Scale: splittable parse, schema-pinned (no inference pass), malformed
+    handling is per-line with no cross-row state.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    require_exists(path)
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = StructType(
+        list(schema.fields) + [StructField(corrupt_col, StringType(), True)]
+    )
+    return (
+        spark.read.option("header", False)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    )

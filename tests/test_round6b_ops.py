@@ -243,3 +243,27 @@ def test_jsonl_manifest_commit_protocol(spark, tmp_path):
         committed = {e["name"] for e in _json.load(f)["files"]}
     on_disk = {n for n in os.listdir(d) if n.startswith("part-")}
     assert on_disk == committed
+
+
+def test_csv_quarantine_distinguishes_empty_from_broken(spark, tmp_path):
+    """An EMPTY value field is a good row with a null (T13 semantics); an
+    unparseable one quarantines the whole raw line with the original text
+    preserved for repair."""
+    from agent_data_wrangler_spark.sources.readers import read_csv_quarantine
+
+    p = os.path.join(str(tmp_path), "dirty.csv")
+    with open(p, "w") as f:
+        f.write("1,click,2.5\n")
+        f.write("2,view,\n")        # empty value -> good row, null value
+        f.write("3,click,###\n")    # unparseable -> quarantine
+        f.write("not-a-number,view,1.0\n")  # broken key -> quarantine
+    df = read_csv_quarantine(
+        spark, p, "event_id bigint, event_type string, value double"
+    )
+    good = df.filter(df["_corrupt_record"].isNull())
+    bad = df.filter(df["_corrupt_record"].isNotNull())
+    assert sorted(
+        (r["event_id"], r["value"]) for r in good.collect()
+    ) == [(1, 2.5), (2, None)]
+    raws = sorted(r["_corrupt_record"] for r in bad.collect())
+    assert raws == ["3,click,###", "not-a-number,view,1.0"]
