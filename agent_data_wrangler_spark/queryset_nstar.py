@@ -3009,3 +3009,68 @@ def pd2_python_datasink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AQ1 — adaptive per-source quality filtering: each source keeps only
+# documents at or above its OWN 25th-percentile quality score — the
+# per-domain adaptive threshold real web pipelines use instead of one
+# global cutoff (a global cutoff nukes entire low-register domains and
+# leaves spam in high-register ones). Pure fit-then-transform: the fit is
+# one |sources|-row exact-percentile aggregate broadcast back onto the
+# scan; the boundary comparison is safe because qt1 pinned that Spark's
+# interpolating percentile and DuckDB's quantile_cont produce identical
+# bits from identical 6-decimal inputs.
+# Scale: two passes over documents (score+fit, then filter+agg) with the
+# per-doc score a codegen Column fold; the threshold frame broadcasts.
+# ---------------------------------------------------------------------------
+def _aq1_oracle() -> str:
+    return rf"""
+    WITH s AS (
+      SELECT source, {_DUCK_TOKS} AS toks, length(text) AS n,
+             length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+               AS punct
+      FROM documents
+    ), q AS (
+      SELECT source,
+             round((least(n / 200.0, 1.0)
+               + (1.0 - least((punct / nullif(CAST(n AS DOUBLE), 0.0)) * 5.0,
+                              1.0))
+               + least(({_duck_hits("en")} / nullif(CAST(len(toks) AS DOUBLE),
+                                                    0.0)) * 5.0, 1.0))
+               / 3.0, 6) AS q
+      FROM s
+    ), thr AS (
+      SELECT source, quantile_cont(q, 0.25) AS p25 FROM q GROUP BY source
+    )
+    SELECT q.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE q >= p25) AS BIGINT) AS n_kept,
+           round(avg(q) FILTER (WHERE q >= p25), 4) AS kept_avg_quality,
+           round(max(p25), 6) AS p25_threshold
+    FROM q JOIN thr ON q.source = thr.source
+    GROUP BY q.source
+    """
+
+
+@query("aq1_adaptive_quality_filter_documents", oracle=_aq1_oracle())
+def aq1_adaptive_quality_filter_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    scored = d.select("source", quality_score("text").alias("q"))
+    thr = scored.groupBy("source").agg(
+        F.percentile("q", 0.25).alias("p25")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("q") >= F.col("p25"), 1)).alias("n_kept"),
+            F.round(
+                F.avg(F.when(F.col("q") >= F.col("p25"), F.col("q"))), 4
+            ).alias("kept_avg_quality"),
+            F.round(F.max("p25"), 6).alias("p25_threshold"),
+        )
+    )

@@ -357,3 +357,61 @@ def test_apply_changes_matches_reference_model(spark, base, changes):
         else:
             model[k] = v
     assert got == sorted(model.items())
+
+
+@settings(**SETTINGS)
+@given(
+    series=st.lists(finite_doubles, min_size=1, max_size=8),
+)
+def test_ewma_matches_pandas_property(spark, series):
+    """Below the lookback the bounded EWMA must equal pandas
+    ewm(adjust=True) at EVERY row, for arbitrary finite series."""
+    from agent_data_wrangler_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(series)], "k int, i int, v double"
+    )
+    got = [
+        r["ewma"]
+        for r in ewma(df, ["k"], ["i"], "v", alpha=0.4, lookback=10)
+        .orderBy("i")
+        .collect()
+    ]
+    want = pd.Series(series).ewm(alpha=0.4, adjust=True).mean().tolist()
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
+
+
+@settings(**SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcz", min_size=0, max_size=5), min_size=0, max_size=12
+    ),
+)
+def test_bp1_pair_counts_match_python_model(spark, tmp_path_factory, words):
+    """BPE pair counting vs a direct python model over arbitrary short
+    words — pins the single-char guard, empty tokens, and case folding."""
+    from collections import Counter
+
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES
+
+    text = " ".join(words)
+    tmp = tmp_path_factory.mktemp("bp1")
+    spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp / "documents.parquet"))
+
+    model = Counter()
+    for w in text.lower().split():
+        for i in range(len(w) - 1):
+            model[w[i : i + 2]] += 1
+    top = sorted(model.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+
+    got = [
+        (r["pair"], r["cnt"])
+        for r in QUERIES["bp1_bpe_pair_counts_documents"](
+            spark, str(tmp)
+        ).collect()
+    ]
+    assert got == top
