@@ -3074,3 +3074,100 @@ def aq1_adaptive_quality_filter_documents(
             F.round(F.max("p25"), 6).alias("p25_threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BP2 — apply the learned BPE merge (the transform half of tokenizer
+# training; bp1 is the fit half): take the corpus's top adjacent pair,
+# merge every non-overlapping occurrence inside every word, and report
+# the symbol-count contraction. Words are rendered as US-separated
+# (\x1f) symbol strings and the merge is a PLAIN (non-regex) replace of
+# 'a<US>b' with 'ab' — string replace is left-to-right non-overlapping
+# in both engines, which is exactly BPE's merge rule (e.g. pair "aa" on
+# "aaa" → ["aa","a"]), and needs no pattern escaping. The top pair rides
+# a broadcast 1-row frame (fit-then-transform), never a driver literal.
+# Scale: two scans (pair fit = bp1's shape; apply = scan-stage string
+# ops + one final 1-row aggregate); everything codegen.
+# ---------------------------------------------------------------------------
+@query(
+    "bp2_bpe_merge_apply_documents",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), top_pair AS (
+      SELECT pair FROM (
+        SELECT substr(tok, i.i, 2) AS pair, count(*) AS cnt
+        FROM toks, LATERAL unnest(generate_series(1, length(tok) - 1)) AS i(i)
+        GROUP BY 1
+      ) ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), joined AS (
+      SELECT rtrim(regexp_replace(tok, '(.)', '\1' || chr(31), 'g'),
+                   chr(31)) AS j
+      FROM toks WHERE length(tok) > 0
+    ), merged AS (
+      SELECT j,
+             replace(j, substr((SELECT pair FROM top_pair), 1, 1) || chr(31)
+                        || substr((SELECT pair FROM top_pair), 2, 1),
+                     (SELECT pair FROM top_pair)) AS m
+      FROM joined
+    )
+    SELECT (SELECT pair FROM top_pair) AS top_pair,
+           CAST(sum(length(j) - length(replace(j, chr(31), '')) + 1)
+                AS BIGINT) AS n_symbols_before,
+           CAST(sum(length(m) - length(replace(m, chr(31), '')) + 1)
+                AS BIGINT) AS n_symbols_after
+    FROM merged
+    """,
+)
+def bp2_bpe_merge_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
+    ).filter(F.length("tok") > 0)
+
+    pairs_per_tok = F.when(
+        F.length("tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("tok") - 1),
+            lambda i: F.col("tok").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_pair = (
+        toks.select(F.explode(pairs_per_tok).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+    us = "\x1f"
+    joined = toks.select(
+        F.rtrim(
+            F.regexp_replace(F.col("tok"), "(.)", "$1" + us)
+        ).alias("__pre"),
+    ).select(F.expr(f"rtrim('{us}', __pre)").alias("j"))
+    merged = joined.crossJoin(F.broadcast(top_pair)).select(
+        "j",
+        "pair",
+        F.replace(
+            F.col("j"),
+            F.concat(
+                F.substring("pair", 1, 1), F.lit(us), F.substring("pair", 2, 1)
+            ),
+            F.col("pair"),
+        ).alias("m"),
+    )
+
+    def n_syms(c):
+        return F.length(c) - F.length(F.replace(c, F.lit(us), F.lit(""))) + 1
+
+    return merged.groupBy("pair").agg(
+        F.sum(n_syms(F.col("j"))).alias("n_symbols_before"),
+        F.sum(n_syms(F.col("m"))).alias("n_symbols_after"),
+    ).select(
+        F.col("pair").alias("top_pair"),
+        "n_symbols_before",
+        "n_symbols_after",
+    )

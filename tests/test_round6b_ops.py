@@ -267,3 +267,18 @@ def test_csv_quarantine_distinguishes_empty_from_broken(spark, tmp_path):
     ) == [(1, 2.5), (2, None)]
     raws = sorted(r["_corrupt_record"] for r in bad.collect())
     assert raws == ["3,click,###", "not-a-number,view,1.0"]
+
+
+def test_bp2_merge_is_left_to_right_non_overlapping(spark, tmp_path):
+    """BPE's merge rule on overlapping runs: pair 'aa' applied to 'aaa'
+    yields [aa, a] — two symbols, not one and not three."""
+    docs = spark.createDataFrame(
+        [(1, "aaa aa b", "en", "s", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = _stage(spark, tmp_path, "documents", docs)
+    row = QUERIES["bp2_bpe_merge_apply_documents"](spark, sf_dir).collect()[0]
+    # top pair is 'aa' (count 3); symbols: aaa->3, aa->2, b->1 = 6 before;
+    # after the merge: [aa,a]=2, [aa]=1, [b]=1 = 4.
+    assert (row["top_pair"], row["n_symbols_before"], row["n_symbols_after"]) \
+        == ("aa", 6, 4)
