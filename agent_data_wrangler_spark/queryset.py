@@ -3893,6 +3893,32 @@ def wa1_weekly_active_users_events(spark: SparkSession, sf_dir: str) -> DataFram
 _CQ1_STAGED: dict[str, str] = {}
 
 
+def staged_dirty_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per sf_dir) the events CSV with planted corruption on
+    event_id % 97 — shared by the batch quarantine (cq1) and its
+    streaming twin (st8)."""
+    import os
+    import tempfile
+
+    staged = _CQ1_STAGED.get(sf_dir)
+    if staged is not None and os.path.isdir(staged):
+        return staged
+    ev = read_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.col("event_id").cast("string"),
+        F.lit(","),
+        F.col("event_type"),
+        F.lit(","),
+        F.when(F.col("event_id") % 97 == 0, F.lit("###")).otherwise(
+            F.coalesce(F.col("value").cast("string"), F.lit(""))
+        ),
+    )
+    staged = os.path.join(tempfile.mkdtemp(prefix="adw_cq1_"), "dirty_csv")
+    ev.select(line.alias("value")).write.text(staged)
+    _CQ1_STAGED[sf_dir] = staged
+    return staged
+
+
 @query(
     "cq1_csv_quarantine_events",
     oracle="""
@@ -3911,26 +3937,9 @@ _CQ1_STAGED: dict[str, str] = {}
     """,
 )
 def cq1_csv_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from agent_data_wrangler_spark.sources.readers import read_csv_quarantine
 
-    staged = _CQ1_STAGED.get(sf_dir)
-    if staged is None or not os.path.isdir(staged):
-        ev = read_table(spark, sf_dir, "events")
-        line = F.concat(
-            F.col("event_id").cast("string"),
-            F.lit(","),
-            F.col("event_type"),
-            F.lit(","),
-            F.when(F.col("event_id") % 97 == 0, F.lit("###")).otherwise(
-                F.coalesce(F.col("value").cast("string"), F.lit(""))
-            ),
-        )
-        staged = os.path.join(tempfile.mkdtemp(prefix="adw_cq1_"), "dirty_csv")
-        ev.select(line.alias("value")).write.text(staged)
-        _CQ1_STAGED[sf_dir] = staged
+    staged = staged_dirty_csv(spark, sf_dir)
     parsed = read_csv_quarantine(
         spark, staged, "event_id bigint, event_type string, value double"
     )

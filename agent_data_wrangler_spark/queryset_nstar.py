@@ -3171,3 +3171,62 @@ def bp2_bpe_merge_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_symbols_before",
         "n_symbols_after",
     )
+
+
+# ---------------------------------------------------------------------------
+# ST8 — streaming ingestion with in-stream dead-letter routing (the
+# streaming twin of cq1): the planted-corruption CSV is consumed as a
+# text file-source stream, parsed per micro-batch with from_csv in
+# PERMISSIVE mode (corrupt column in the schema), and the good/quarantine
+# split is aggregated in-stream — the shape a production ingest runs
+# continuously: bad lines never block the pipeline, they divert with
+# their raw text preserved. AvailableNow drains the static staging, so
+# the final table equals the batch computation and the cq1 oracle checks
+# it value-for-value.
+# Scale: stateless parse + one global aggregate (update-mode state is a
+# single row); at a real rate the same plan runs unbounded because
+# nothing here holds per-key state.
+# ---------------------------------------------------------------------------
+@query(
+    "st8_streaming_quarantine_events",
+    oracle="""
+    SELECT
+      CAST(count(*) FILTER (WHERE event_id % 97 <> 0) AS BIGINT) AS n_good,
+      CAST(count(*) FILTER (WHERE event_id % 97 = 0) AS BIGINT)
+        AS n_quarantined,
+      CAST(sum(CASE WHEN event_id % 97 <> 0
+                    THEN CAST(round(value * 100) AS BIGINT) END) AS BIGINT)
+        AS good_cents,
+      CAST(sum(CASE WHEN event_id % 97 = 0
+                    THEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                              1, 8)) AS UBIGINT) END)
+           AS BIGINT) AS quarantine_checksum
+    FROM events
+    """,
+)
+def st8_streaming_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.queryset import staged_dirty_csv
+
+    staged = staged_dirty_csv(spark, sf_dir)
+    raw = spark.readStream.format("text").load(staged)
+    parsed = raw.select(
+        F.from_csv(
+            "value",
+            "event_id bigint, event_type string, value double,"
+            " _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    ).select("r.*")
+    bad = F.col("_corrupt_record").isNotNull()
+    qhash = F.conv(
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    agged = parsed.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_quarantined"),
+        F.sum(
+            F.when(~bad, F.round(F.col("value") * 100).cast("bigint"))
+        ).alias("good_cents"),
+        F.sum(F.when(bad, qhash)).alias("quarantine_checksum"),
+    )
+    return _drain_to_table(spark, agged, "st8_out")
