@@ -3955,3 +3955,83 @@ def cq1_csv_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("good_cents"),
         F.sum(F.when(bad, qhash)).alias("quarantine_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KS1 — exact two-sample Kolmogorov–Smirnov statistic (click vs purchase
+# value distributions): the distribution-drift test a monitoring pipeline
+# runs between cohorts or snapshots. Engine-exact construction: counts
+# per DISTINCT value per sample (integers), cumulative counts in value
+# order, and the KS supremum found as max |cum1·n2 − cum2·n1| — an
+# INTEGER comparison (n1·n2 fits int64 through ~sf1000), divided once at
+# the end. No float ever enters the ordering or the argmax.
+# Scale: the cumulative counts come from the bucketed two-phase prefix
+# sum (windows.distributed_prefix_sum) — a global value-ordered cumsum
+# with NO single-reducer window; the per-value count frame is |distinct
+# values|, already partial-aggregated map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "ks1_ks_drift_events",
+    oracle="""
+    WITH s AS (
+      SELECT value,
+             count(*) FILTER (WHERE event_type = 'click') AS c1,
+             count(*) FILTER (WHERE event_type = 'purchase') AS c2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+      GROUP BY value
+    ), c AS (
+      SELECT sum(c1) OVER (ORDER BY value) AS cum1,
+             sum(c2) OVER (ORDER BY value) AS cum2,
+             (SELECT sum(c1) FROM s) AS n1,
+             (SELECT sum(c2) FROM s) AS n2
+      FROM s
+    )
+    SELECT CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2,
+           round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+                 / (max(n1) * max(n2)), 6) AS ks_stat
+    FROM c
+    """,
+)
+def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    from pyspark import StorageLevel
+
+    # The per-value count frame feeds BOTH the prefix-sum chain and the
+    # totals aggregate; unpersisted, each branch re-scans events and
+    # re-aggregates (the kl1/sub7 multi-reference trap). |distinct values|
+    # rows — orders of magnitude below the event count.
+    s = e.groupBy("value").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s.count()
+    cum = windows.distributed_prefix_sum(
+        windows.distributed_prefix_sum(
+            s, "c1", "value", alias="cum1", inclusive=True
+        ),
+        "c2",
+        "value",
+        alias="cum2",
+        inclusive=True,
+    )
+    totals = s.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n1").cast("bigint").alias("n1"),
+            F.max("n2").cast("bigint").alias("n2"),
+            F.round(
+                F.max(
+                    F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1"))
+                ).cast("double")
+                / (F.max("n1") * F.max("n2")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )

@@ -3230,3 +3230,55 @@ def st8_streaming_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum(F.when(bad, qhash)).alias("quarantine_checksum"),
     )
     return _drain_to_table(spark, agged, "st8_out")
+
+
+# ---------------------------------------------------------------------------
+# HS1 — mergeable HLL sketch rollup (Datasketches, Spark 3.5+): build one
+# user-distinct sketch PER DAY, then hll_union_agg the day sketches into
+# weekly uniques — the way distinct-rollups actually ship at warehouse
+# scale, because sketches re-aggregate along any dimension without
+# touching raw data again (the exact path, wa1, must re-shuffle
+# (user, day) pairs for every new window). Sketch bytes are
+# engine-specific, so the driver-checkable surface is ad1's pattern: the
+# exact weekly distinct (hash-matched against DuckDB) plus a boolean
+# asserting the unioned estimate landed within 4·rsd of it
+# (lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%, bound 6.5% — a broken union
+# still trips it).
+# Scale: the day-sketch aggregate is map-side mergeable (each task emits
+# |days| sketches of ~2^12 bytes); the weekly union re-aggregates
+# |days| rows, not |events|; the exact leg exists only for the verdict.
+# ---------------------------------------------------------------------------
+@query(
+    "hs1_hll_weekly_rollup_events",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_weekly_users,
+           true AS union_est_within_4rsd
+    FROM events GROUP BY 1
+    """,
+)
+def hs1_hll_weekly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lg_k = 12
+    rsd = 1.04 / (2.0 ** (lg_k / 2.0))
+    e = read_table(spark, sf_dir, "events").select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    day_sketches = e.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    weekly_est = day_sketches.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    weekly_exact = e.groupBy("week").agg(
+        F.countDistinct("user_id").alias("exact_weekly_users")
+    )
+    return weekly_exact.join(F.broadcast(weekly_est), "week").select(
+        "week",
+        F.col("exact_weekly_users").cast("bigint").alias("exact_weekly_users"),
+        (
+            F.abs(F.col("est") - F.col("exact_weekly_users"))
+            <= 4.0 * rsd * F.col("exact_weekly_users")
+        ).alias("union_est_within_4rsd"),
+    )

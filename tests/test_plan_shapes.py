@@ -766,3 +766,22 @@ def test_ns1_dense_index_is_bucketed_prefix_sum(spark, sf_dir):
     assert "__psb" in plan, plan
     assert "windowspecdefinition(doc_id" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ks1_no_single_reducer_cumsum_and_shared_base(spark, sf_dir):
+    """The KS cumulative counts must come from the bucketed prefix sum
+    (__psb key present — no global-order single-reducer window over the
+    value domain), and both consumers of the per-value frame must read
+    the cache."""
+    plan = _plan(spark, "ks1_ks_drift_events", sf_dir)
+    assert "__psb" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_hs1_union_reaggregates_days_not_events(spark, sf_dir):
+    """The weekly sketch union must re-aggregate the |days|-sized sketch
+    frame — two hash aggregates on the sketch path (day sketches, weekly
+    union), never a second raw-event distinct for the estimate leg."""
+    plan = _plan(spark, "hs1_hll_weekly_rollup_events", sf_dir)
+    assert "hll_union_agg" in plan or "hll_sketch_agg" in plan, plan
+    assert "CartesianProduct" not in plan

@@ -282,3 +282,18 @@ def test_bp2_merge_is_left_to_right_non_overlapping(spark, tmp_path):
     # after the merge: [aa,a]=2, [aa]=1, [b]=1 = 4.
     assert (row["top_pair"], row["n_symbols_before"], row["n_symbols_after"]) \
         == ("aa", 6, 4)
+
+
+def test_ks1_matches_hand_computed_statistic(spark, tmp_path):
+    """Samples [1,2,3] vs [2,3,4]: the exact two-sample KS statistic is
+    1/3, found at every value below 4 — integer cross-multiplication must
+    reproduce it exactly."""
+    events = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.0), ("click", 3.0),
+         ("purchase", 2.0), ("purchase", 3.0), ("purchase", 4.0)],
+        "event_type string, value double",
+    )
+    sf_dir = _stage(spark, tmp_path, "events", events)
+    row = QUERIES["ks1_ks_drift_events"](spark, sf_dir).collect()[0]
+    assert (row["n1"], row["n2"]) == (3, 3)
+    assert row["ks_stat"] == round(1.0 / 3.0, 6)
