@@ -3282,3 +3282,73 @@ def hs1_hll_weekly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 4.0 * rsd * F.col("exact_weekly_users")
         ).alias("union_est_within_4rsd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QZ1 — int8 (256-level) per-vector embedding quantization with a
+# reconstruction-error audit: the compression step an ANN serving layer
+# applies before shipping indexes (4x smaller vectors), plus the quality
+# gate that says whether it was safe. Per vector: min/max-scaled codes
+# round((x−mn)/scale) in 0..255, reconstruction mn + code·scale, and the
+# per-vector MSE — all computed with IDENTICAL formulas on both engines
+# (round() is half-away-from-zero in both; degenerate flat vectors take
+# the scale=0 branch explicitly). MSE is reported in micro-units
+# (×1e6, rounded to 4) so the hashable digits sit above the float-noise
+# floor.
+# Scale: everything is a scan-stage array fold (codegen lambdas, no
+# UDF); the only shuffle is the final per-label aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "qz1_quantized_embedding_error",
+    oracle="""
+    WITH q AS (
+      SELECT label,
+             len(embedding) AS dim,
+             list_min(CAST(embedding AS DOUBLE[])) AS mn,
+             list_max(CAST(embedding AS DOUBLE[])) AS mx,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE list_sum(list_transform(v, x ->
+                         pow(x - (mn + round((x - mn) / ((mx - mn) / 255.0))
+                                  * ((mx - mn) / 255.0)), 2)))
+                       / dim
+             END AS mse
+      FROM q
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(mse) * 1e6, 4) AS avg_mse_micro,
+           round(max(mse) * 1e6, 4) AS max_mse_micro
+    FROM e GROUP BY label
+    """,
+)
+def qz1_quantized_embedding_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    mn = F.array_min(v)
+    mx = F.array_max(v)
+    scale = (mx - mn) / F.lit(255.0)
+    err_sum = F.aggregate(
+        F.transform(
+            v,
+            lambda x: F.pow(
+                x - (mn + F.round((x - mn) / scale) * scale), F.lit(2.0)
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mse = F.when(mx == mn, F.lit(0.0)).otherwise(
+        err_sum / F.size(v).cast("double")
+    )
+    return (
+        emb.select("label", mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse") * 1e6, 4).alias("avg_mse_micro"),
+            F.round(F.max("mse") * 1e6, 4).alias("max_mse_micro"),
+        )
+    )

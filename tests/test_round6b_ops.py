@@ -297,3 +297,19 @@ def test_ks1_matches_hand_computed_statistic(spark, tmp_path):
     row = QUERIES["ks1_ks_drift_events"](spark, sf_dir).collect()[0]
     assert (row["n1"], row["n2"]) == (3, 3)
     assert row["ks_stat"] == round(1.0 / 3.0, 6)
+
+
+def test_qz1_flat_vector_quantizes_losslessly(spark, tmp_path):
+    """A constant vector has zero range — the scale=0 branch must report
+    exactly zero error, and a 2-value vector must reconstruct its own
+    endpoints exactly (codes 0 and 255)."""
+    emb = spark.createDataFrame(
+        [(1, [3.0, 3.0, 3.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    sf_dir = _stage(spark, tmp_path, "embeddings", emb)
+    rows = {
+        r["label"]: (r["avg_mse_micro"], r["max_mse_micro"])
+        for r in QUERIES["qz1_quantized_embedding_error"](spark, sf_dir).collect()
+    }
+    assert rows == {0: (0.0, 0.0), 1: (0.0, 0.0)}
