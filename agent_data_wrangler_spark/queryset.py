@@ -4035,3 +4035,126 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ks_stat"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RL1 — blocked record linkage (entity resolution) between two FACT-sized
+# tables: customers vs a deterministically perturbed copy of themselves
+# (digit-mutated names on %11 keys, +1.00 balances on %13, %97 keys
+# dropped) with the join key WITHHELD — linkage must rediscover it from
+# the content. Blocking on (nationkey, floor(balance/1000)) turns the
+# quadratic all-pairs problem into within-block candidates (the big-big
+# analog of fz1's broadcast fuzzy join — neither side broadcasts at
+# warehouse scale); each candidate scores a weighted Fellegi-Sunter-ish
+# sum of name edit-similarity, balance closeness, and segment equality;
+# the best match per right record wins on a (score desc, key asc) total
+# order — equal scores cannot flip the row set between engines. The
+# withheld key then grades the linkage: correct / wrong / sub-threshold
+# counts are exact, and the +1.00 balance mutation crossing a block
+# boundary is a DETERMINISTIC recall miss both engines agree on (the
+# standard blocking trade-off, measured not hidden).
+# Scale: one equi shuffle on the block key; block sizes are bounded by
+# the balance-bucket width; no cross join anywhere.
+# ---------------------------------------------------------------------------
+@query(
+    "rl1_record_linkage_customers",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey AS a_key, c_name AS a_name, c_acctbal AS a_bal,
+             c_mktsegment AS a_seg, c_nationkey AS a_nat,
+             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS a_blk
+      FROM customer
+    ), b AS (
+      SELECT c_custkey AS b_key,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN replace(replace(c_name, '1', '7'), '3', '9')
+                  ELSE c_name END AS b_name,
+             CASE WHEN c_custkey % 13 = 0 THEN c_acctbal + 1.0
+                  ELSE c_acctbal END AS b_bal,
+             c_mktsegment AS b_seg, c_nationkey AS b_nat
+      FROM customer WHERE c_custkey % 97 <> 0
+    ), cand AS (
+      SELECT a_key, b_key,
+             0.6 * (1.0 - CAST(levenshtein(a_name, b_name) AS DOUBLE)
+                          / greatest(length(a_name), length(b_name)))
+             + 0.25 * (1.0 - least(abs(a_bal - b_bal), 10.0) / 10.0)
+             + 0.15 * (CASE WHEN a_seg = b_seg THEN 1.0 ELSE 0.0 END)
+               AS score
+      FROM a JOIN b
+        ON a_nat = b_nat
+       AND a_blk = CAST(floor(b_bal / 1000.0) AS BIGINT)
+    ), best AS (
+      SELECT b_key, a_key, score,
+             row_number() OVER (PARTITION BY b_key
+                                ORDER BY score DESC, a_key ASC) AS rn
+      FROM cand
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_b_records,
+      CAST(count(*) FILTER (WHERE score >= 0.85 AND a_key = b_key) AS BIGINT)
+        AS n_correct,
+      CAST(count(*) FILTER (WHERE score >= 0.85 AND a_key <> b_key) AS BIGINT)
+        AS n_wrong,
+      CAST(count(*) FILTER (WHERE score < 0.85) AS BIGINT) AS n_below
+    FROM best WHERE rn = 1
+    """,
+)
+def rl1_record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = read_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_acctbal").alias("a_bal"),
+        F.col("c_mktsegment").alias("a_seg"),
+        F.col("c_nationkey").alias("a_nat"),
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("a_blk"),
+    )
+    b = c.filter(F.col("c_custkey") % 97 != 0).select(
+        F.col("c_custkey").alias("b_key"),
+        F.when(
+            F.col("c_custkey") % 11 == 0,
+            F.replace(
+                F.replace(F.col("c_name"), F.lit("1"), F.lit("7")),
+                F.lit("3"),
+                F.lit("9"),
+            ),
+        ).otherwise(F.col("c_name")).alias("b_name"),
+        F.when(F.col("c_custkey") % 13 == 0, F.col("c_acctbal") + 1.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("b_bal"),
+        F.col("c_mktsegment").alias("b_seg"),
+        F.col("c_nationkey").alias("b_nat"),
+    )
+    name_sim = 1.0 - F.levenshtein("a_name", "b_name").cast("double") / F.greatest(
+        F.length("a_name"), F.length("b_name")
+    )
+    bal_sim = 1.0 - F.least(F.abs(F.col("a_bal") - F.col("b_bal")), F.lit(10.0)) / 10.0
+    seg_sim = F.when(F.col("a_seg") == F.col("b_seg"), 1.0).otherwise(0.0)
+    cand = a.join(
+        b,
+        (a["a_nat"] == b["b_nat"])
+        & (a["a_blk"] == F.floor(F.col("b_bal") / 1000.0).cast("bigint")),
+    ).select(
+        "a_key",
+        "b_key",
+        (0.6 * name_sim + 0.25 * bal_sim + 0.15 * seg_sim).alias("score"),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("b_key").orderBy(
+            F.col("score").desc(), F.col("a_key").asc()
+        )
+    )
+    best = cand.withColumn("rn", rn).filter(F.col("rn") == 1)
+    hit = F.col("score") >= 0.85
+    return best.agg(
+        F.count(F.lit(1)).alias("n_b_records"),
+        F.count(F.when(hit & (F.col("a_key") == F.col("b_key")), 1)).alias(
+            "n_correct"
+        ),
+        F.count(F.when(hit & (F.col("a_key") != F.col("b_key")), 1)).alias(
+            "n_wrong"
+        ),
+        F.count(F.when(~hit, 1)).alias("n_below"),
+    )
