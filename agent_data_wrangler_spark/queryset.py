@@ -4050,11 +4050,16 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the best match per right record wins on a (score desc, key asc) total
 # order — equal scores cannot flip the row set between engines. The
 # withheld key then grades the linkage: correct / wrong / sub-threshold
-# counts are exact, and the +1.00 balance mutation crossing a block
-# boundary is a DETERMINISTIC recall miss both engines agree on (the
-# standard blocking trade-off, measured not hidden).
-# Scale: one equi shuffle on the block key; block sizes are bounded by
-# the balance-bucket width; no cross join anywhere.
+# counts are exact.
+# Scale (the sf1 probe caught the first version): blocking granularity
+# must GROW with the data — coarse fixed-width buckets (floor(bal/1000))
+# keep block COUNT constant while block size grows linearly, so
+# candidates grow quadratically (measured 295 s at sf1). Blocks here are
+# exact integer dollars, and each right record probes TWO keys (its own
+# dollar and dollar−1, covering the +1.00 mutation exactly) — the
+# standard multi-pass blocking move: candidates per record stay O(n /
+# |distinct dollars|), and the whole chain is equi shuffles, no cross
+# join anywhere.
 # ---------------------------------------------------------------------------
 @query(
     "rl1_record_linkage_customers",
@@ -4062,7 +4067,7 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT c_custkey AS a_key, c_name AS a_name, c_acctbal AS a_bal,
              c_mktsegment AS a_seg, c_nationkey AS a_nat,
-             CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS a_blk
+             CAST(floor(c_acctbal) AS BIGINT) AS a_blk
       FROM customer
     ), b AS (
       SELECT c_custkey AS b_key,
@@ -4073,6 +4078,9 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE c_acctbal END AS b_bal,
              c_mktsegment AS b_seg, c_nationkey AS b_nat
       FROM customer WHERE c_custkey % 97 <> 0
+    ), probes AS (
+      SELECT b.*, CAST(floor(b_bal) AS BIGINT) - t.o AS probe_blk
+      FROM b CROSS JOIN (SELECT unnest([0, 1]) AS o) t
     ), cand AS (
       SELECT a_key, b_key,
              0.6 * (1.0 - CAST(levenshtein(a_name, b_name) AS DOUBLE)
@@ -4080,9 +4088,8 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              + 0.25 * (1.0 - least(abs(a_bal - b_bal), 10.0) / 10.0)
              + 0.15 * (CASE WHEN a_seg = b_seg THEN 1.0 ELSE 0.0 END)
                AS score
-      FROM a JOIN b
-        ON a_nat = b_nat
-       AND a_blk = CAST(floor(b_bal / 1000.0) AS BIGINT)
+      FROM a JOIN probes b
+        ON a_nat = b_nat AND a_blk = probe_blk
     ), best AS (
       SELECT b_key, a_key, score,
              row_number() OVER (PARTITION BY b_key
@@ -4109,7 +4116,7 @@ def rl1_record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("a_bal"),
         F.col("c_mktsegment").alias("a_seg"),
         F.col("c_nationkey").alias("a_nat"),
-        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("a_blk"),
+        F.floor(F.col("c_acctbal")).cast("bigint").alias("a_blk"),
     )
     b = c.filter(F.col("c_custkey") % 97 != 0).select(
         F.col("c_custkey").alias("b_key"),
@@ -4132,10 +4139,15 @@ def rl1_record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bal_sim = 1.0 - F.least(F.abs(F.col("a_bal") - F.col("b_bal")), F.lit(10.0)) / 10.0
     seg_sim = F.when(F.col("a_seg") == F.col("b_seg"), 1.0).otherwise(0.0)
+    probes = b.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("o")
+    ).withColumn(
+        "probe_blk", F.floor(F.col("b_bal")).cast("bigint") - F.col("o")
+    )
     cand = a.join(
-        b,
-        (a["a_nat"] == b["b_nat"])
-        & (a["a_blk"] == F.floor(F.col("b_bal") / 1000.0).cast("bigint")),
+        probes,
+        (a["a_nat"] == probes["b_nat"])
+        & (a["a_blk"] == probes["probe_blk"]),
     ).select(
         "a_key",
         "b_key",

@@ -3311,9 +3311,11 @@ def hs1_hll_weekly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), e AS (
       SELECT label,
              CASE WHEN mx = mn THEN 0.0
-                  ELSE list_sum(list_transform(v, x ->
-                         pow(x - (mn + round((x - mn) / ((mx - mn) / 255.0))
-                                  * ((mx - mn) / 255.0)), 2)))
+                  ELSE list_sum(list_transform(
+                         list_transform(v, x ->
+                           x - (mn + round((x - mn) / ((mx - mn) / 255.0))
+                                * ((mx - mn) / 255.0))),
+                         d -> d * d))
                        / dim
              END AS mse
       FROM q
@@ -3326,25 +3328,36 @@ def hs1_hll_weekly_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qz1_quantized_embedding_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    mn = F.array_min(v)
-    mx = F.array_max(v)
-    scale = (mx - mn) / F.lit(255.0)
+    # Bind the per-vector scalars to PROJECTED columns before the fold:
+    # referencing array_min(v) inside the lambda would inline the whole
+    # min-traversal into every element's expression tree — an O(dim²)
+    # per-row blowup (measured 16s → 1s at sf1; the ch1 bind-once lesson).
+    bound = emb.select(
+        "label",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).select(
+        "label",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+        ((F.array_max("v") - F.array_min("v")) / F.lit(255.0)).alias("scale"),
+    )
+    mn, scale = F.col("mn"), F.col("scale")
+    # The residual is computed once per element (lambda-bound), then
+    # squared in the fold — no duplicated reconstruction subtree.
     err_sum = F.aggregate(
         F.transform(
-            v,
-            lambda x: F.pow(
-                x - (mn + F.round((x - mn) / scale) * scale), F.lit(2.0)
-            ),
+            F.col("v"),
+            lambda x: x - (mn + F.round((x - mn) / scale) * scale),
         ),
         F.lit(0.0),
-        lambda acc, x: acc + x,
+        lambda acc, d: acc + d * d,
     )
-    mse = F.when(mx == mn, F.lit(0.0)).otherwise(
-        err_sum / F.size(v).cast("double")
+    mse = F.when(F.col("mx") == mn, F.lit(0.0)).otherwise(
+        err_sum / F.size("v").cast("double")
     )
     return (
-        emb.select("label", mse.alias("mse"))
+        bound.select("label", mse.alias("mse"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
