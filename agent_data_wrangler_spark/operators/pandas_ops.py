@@ -85,3 +85,49 @@ def map_batches(
     iterator of Arrow batches and yields transformed batches — constant
     memory, no shuffle. The multimodal decode path builds on this."""
     return df.mapInPandas(fn, schema=schema)
+
+
+class TopTokensUDTF:
+    """Polymorphic Python UDTF (Spark 4 ``analyze()`` API): output schema
+    (token_1..token_k) is computed AT PLAN TIME from the constant ``k``
+    argument — the table function's shape adapts to its call site without
+    a registry of fixed-schema variants. ``eval`` emits each document's k
+    most frequent tokens (count desc, token asc — deterministic ties),
+    padding with NULLs, one row per input row.
+
+    Tokenization is str.split() semantics on lowered text — identical to
+    ``functions/text.py:tokens``, so SQL twins reuse the same bridge.
+    Scale: §2.8 escape-hatch tier (Python row stream); the set-oriented
+    equivalent is a tokens explode + windowed rank, which u5's oracle
+    demonstrates — the UDTF exists for the API surface and for logic that
+    genuinely cannot be expressed set-wise."""
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.types import StringType, StructField, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        n = int(k.value)
+        if n < 1 or n > 100:
+            raise ValueError(f"top_tokens: k must be in [1, 100], got {n}")
+        return AnalyzeResult(
+            StructType(
+                [StructField(f"token_{i + 1}", StringType()) for i in range(n)]
+            )
+        )
+
+    def eval(self, text, k):
+        from collections import Counter
+
+        toks = (text or "").lower().split()
+        top = sorted(Counter(toks).items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        names = [t for t, _ in top]
+        yield tuple(names + [None] * (k - len(names)))
+
+
+def make_polymorphic_udtf(cls: type):
+    """Register-ready polymorphic UDTF — no returnType: the class's
+    ``analyze`` static method owns the schema."""
+    from pyspark.sql.functions import udtf
+
+    return udtf(cls)

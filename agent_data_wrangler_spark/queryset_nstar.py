@@ -3365,3 +3365,64 @@ def qz1_quantized_embedding_error(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.max("mse") * 1e6, 4).alias("max_mse_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# U5 — polymorphic Python UDTF (Spark 4 analyze() API): top_tokens(text,
+# k) computes its OUTPUT SCHEMA at plan time from the constant k — the
+# §2.8 escape hatch grown a dynamic shape (u4's UDTF has a fixed one).
+# The query laterals each document through the UDTF and aggregates the
+# leading-token signatures; the oracle re-derives the identical per-doc
+# top-3 set-wise (token counts → windowed rank → positional pivot),
+# which doubles as the demonstration that THIS op has a set-oriented
+# form — the UDTF tier exists for the API surface and for logic that
+# truly does not.
+# Scale: escape-hatch tier (Python row stream over Arrow batches); the
+# final aggregate is |distinct signatures| with a TakeOrdered top-20.
+# ---------------------------------------------------------------------------
+@query(
+    "u5_polymorphic_udtf_top_tokens",
+    oracle=rf"""
+    WITH tc AS (
+      SELECT doc_id, tok, count(*) AS cnt
+      FROM (SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ), r AS (
+      SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, tok ASC) AS rn
+      FROM tc
+    ), p AS (
+      SELECT doc_id,
+             max(CASE WHEN rn = 1 THEN tok END) AS token_1,
+             max(CASE WHEN rn = 2 THEN tok END) AS token_2,
+             max(CASE WHEN rn = 3 THEN tok END) AS token_3
+      FROM r GROUP BY doc_id
+    )
+    SELECT token_1, token_2, token_3, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN p USING (doc_id)
+    GROUP BY token_1, token_2, token_3
+    ORDER BY n_docs DESC, token_1 ASC NULLS FIRST, token_2 ASC NULLS FIRST,
+             token_3 ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
+def u5_polymorphic_udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.pandas_ops import (
+        TopTokensUDTF,
+        make_polymorphic_udtf,
+    )
+
+    spark.udtf.register("u5_top_tokens", make_polymorphic_udtf(TopTokensUDTF))
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView("u5_docs")
+    return spark.sql(
+        """
+        SELECT t.token_1, t.token_2, t.token_3,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM u5_docs d, LATERAL u5_top_tokens(d.text, 3) t
+        GROUP BY t.token_1, t.token_2, t.token_3
+        ORDER BY n_docs DESC, token_1 ASC NULLS FIRST,
+                 token_2 ASC NULLS FIRST, token_3 ASC NULLS FIRST
+        LIMIT 20
+        """
+    )

@@ -313,3 +313,21 @@ def test_qz1_flat_vector_quantizes_losslessly(spark, tmp_path):
         for r in QUERIES["qz1_quantized_embedding_error"](spark, sf_dir).collect()
     }
     assert rows == {0: (0.0, 0.0), 1: (0.0, 0.0)}
+
+
+def test_polymorphic_udtf_schema_follows_k(spark):
+    """The analyze() API computes the output schema at plan time from the
+    constant k — 2 columns for k=2, 5 for k=5; deterministic tie order;
+    NULL padding past the vocabulary."""
+    from agent_data_wrangler_spark.operators.pandas_ops import (
+        TopTokensUDTF,
+        make_polymorphic_udtf,
+    )
+
+    spark.udtf.register("tt_test", make_polymorphic_udtf(TopTokensUDTF))
+    two = spark.sql("SELECT * FROM tt_test('b a b', 2)")
+    assert two.columns == ["token_1", "token_2"]
+    assert [tuple(r) for r in two.collect()] == [("b", "a")]
+    five = spark.sql("SELECT * FROM tt_test('x', 5)")
+    assert five.columns == [f"token_{i}" for i in range(1, 6)]
+    assert [tuple(r) for r in five.collect()] == [("x", None, None, None, None)]
