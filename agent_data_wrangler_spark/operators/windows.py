@@ -143,12 +143,43 @@ def distributed_prefix_sum(
     ``inclusive=False`` (default) excludes the current row, the "tokens
     before me" packing semantics.
     """
+    return distributed_prefix_sums(
+        df,
+        [value_col],
+        order_col,
+        partition_by,
+        n_buckets=n_buckets,
+        aliases=[alias],
+        inclusive=inclusive,
+    )
+
+
+def distributed_prefix_sums(
+    df: DataFrame,
+    value_cols: list[str],
+    order_col: str,
+    partition_by: list[str] | None = None,
+    *,
+    n_buckets: int = 256,
+    aliases: list[str],
+    inclusive: bool = False,
+) -> DataFrame:
+    """Multi-column form of :func:`distributed_prefix_sum`: N prefix sums
+    over the SAME ordering share one bucketing pass, one partials
+    aggregate, one offsets broadcast, and one local window — N× cheaper
+    than N single-column calls (ks1's two cumulative counts measured 2×
+    on exactly this)."""
+    if len(value_cols) != len(aliases):
+        raise ValueError("value_cols and aliases must pair up")
     keys = list(partition_by or [])
     bounds = df.agg(
         F.min(order_col).alias("lo"), F.max(order_col).alias("hi")
     ).first()
     if bounds["lo"] is None:
-        return df.withColumn(alias, F.lit(0).cast("bigint"))
+        out = df
+        for alias in aliases:
+            out = out.withColumn(alias, F.lit(0).cast("bigint"))
+        return out
     lo, hi = float(bounds["lo"]), float(bounds["hi"])
     width = max(1.0, (hi - lo + 1.0) / n_buckets)
     # NULL order values bucket to -1 — they sort before every real bucket,
@@ -160,7 +191,7 @@ def distributed_prefix_sum(
     ).cast("bigint")
     tagged = df.withColumn("__psb", bucket)
     partials = tagged.groupBy(*keys, "__psb").agg(
-        F.sum(value_col).alias("__psum")
+        *[F.sum(v).alias(f"__psum_{i}") for i, v in enumerate(value_cols)]
     )
     w_off = (
         Window.partitionBy(*keys).orderBy(F.asc("__psb"))
@@ -169,7 +200,12 @@ def distributed_prefix_sum(
     offsets = partials.select(
         *keys,
         "__psb",
-        (F.sum("__psum").over(w_off) - F.col("__psum")).alias("__poff"),
+        *[
+            (F.sum(f"__psum_{i}").over(w_off) - F.col(f"__psum_{i}")).alias(
+                f"__poff_{i}"
+            )
+            for i in range(len(value_cols))
+        ],
     ).withColumnsRenamed({k: f"__o_{k}" for k in keys})
     # Null-safe equality on the partition keys: groupBy treats NULL as a real
     # group, and a plain equi-join would silently DROP those rows here.
@@ -184,12 +220,15 @@ def distributed_prefix_sum(
         Window.partitionBy(*(keys + ["__psb"])).orderBy(F.asc(order_col))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = F.sum(value_col).over(w_loc)
-    if not inclusive:
-        local = local - F.col(value_col)
-    return joined.withColumn(alias, (F.col("__poff") + local).cast("bigint")).drop(
-        "__psb", "__poff"
-    )
+    out = joined
+    for i, (v, alias) in enumerate(zip(value_cols, aliases)):
+        local = F.sum(v).over(w_loc)
+        if not inclusive:
+            local = local - F.col(v)
+        out = out.withColumn(
+            alias, (F.col(f"__poff_{i}") + local).cast("bigint")
+        )
+    return out.drop("__psb", *[f"__poff_{i}" for i in range(len(value_cols))])
 
 
 def sessionize(

@@ -4009,13 +4009,11 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("event_type") == "purchase", 1)).alias("c2"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     s.count()
-    cum = windows.distributed_prefix_sum(
-        windows.distributed_prefix_sum(
-            s, "c1", "value", alias="cum1", inclusive=True
-        ),
-        "c2",
+    cum = windows.distributed_prefix_sums(
+        s,
+        ["c1", "c2"],
         "value",
-        alias="cum2",
+        aliases=["cum1", "cum2"],
         inclusive=True,
     )
     totals = s.agg(
