@@ -3854,10 +3854,16 @@ def ew1_ewma_user_level_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def wa1_weekly_active_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     e = read_table(spark, sf_dir, "events")
+    # The deduped frame feeds TWO consumers (the max-day scalar and the
+    # contribution explode); unpersisted, each re-scans events and re-runs
+    # the dedup shuffle (the kl1/sub7 multi-reference trap).
     ud = e.select(
         "user_id", F.to_date("ts").alias("d")
-    ).distinct()
+    ).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    ud.count()
     maxd = ud.agg(F.max("d").alias("__maxd"))
     contrib = ud.select(
         "user_id",

@@ -2898,6 +2898,11 @@ def ns1_negative_samples_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("source").alias("neg_source"),
     )
     n1 = d.agg(F.count(F.lit(1)).alias("__n"))
+    # Guard the modulo: an empty corpus would surface as a cryptic ANSI
+    # DIVIDE_BY_ZERO inside the probe expression (gr1-class degenerate
+    # input). greatest(1) is safe — with zero rows no probe is ever built,
+    # the clamp only defuses the expression.
+    n1 = n1.select(F.greatest(F.col("__n"), F.lit(1)).alias("__n"))
     probes = (
         d.crossJoin(F.broadcast(n1))
         .select(

@@ -331,3 +331,13 @@ def test_polymorphic_udtf_schema_follows_k(spark):
     five = spark.sql("SELECT * FROM tt_test('x', 5)")
     assert five.columns == [f"token_{i}" for i in range(1, 6)]
     assert [tuple(r) for r in five.collect()] == [("x", None, None, None, None)]
+
+
+def test_ns1_empty_corpus_returns_empty_not_div_zero(spark, tmp_path):
+    """Zero documents must yield an empty result, not an ANSI
+    DIVIDE_BY_ZERO from the probe modulo."""
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = _stage(spark, tmp_path, "documents", docs)
+    assert QUERIES["ns1_negative_samples_documents"](spark, sf_dir).count() == 0
