@@ -4174,3 +4174,40 @@ def rl1_record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.when(~hit, 1)).alias("n_below"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PV2 — file-level provenance audit via Spark's hidden ``_metadata``
+# struct: every row of the partitioned staging reports WHICH file it came
+# from, and the audit reconciles per-file row counts against the
+# partition values parsed back out of the file paths — the "which input
+# produced this row" lineage question (bad-file isolation, reprocessing
+# scopes, audit trails) answered without any bookkeeping column baked
+# into the data. The oracle recomputes the per-partition totals from the
+# original events; a mismatch means rows are attributed to the wrong
+# file or a file escaped its partition directory.
+# Scale: ``_metadata`` is a constant per file — selecting it costs
+# nothing; the aggregate is |files| rows; regexp_extract parses the
+# partition key from the path in the scan stage.
+# ---------------------------------------------------------------------------
+@query(
+    "pv2_file_provenance_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct_ids
+    FROM events GROUP BY event_type
+    """,
+)
+def pv2_file_provenance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).select(
+        "event_id",
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"event_type=([^/]+)/", 1
+        ).alias("event_type"),
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+    )
