@@ -3431,3 +3431,103 @@ def u5_polymorphic_udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFram
         LIMIT 20
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# DD1 — cross-modal consistency audit: take the EXACT text near-dup pairs
+# (n-gram Jaccard >= 0.5, the n4 machinery) and measure how their
+# embeddings agree — the sanity check a pipeline runs on its embedding
+# model before trusting semantic dedup: textual duplicates whose vectors
+# sit far apart mean the model (or the doc↔vector alignment) is broken.
+# On this corpus the verdict is exactly that: the near-dup pairs' cosine
+# stats sit at random-vector levels, and the audit SAYS so with hard
+# numbers instead of a cascade silently matching nothing. Everything is
+# exact — shingle inverted index, sequential-fold cosine (bit-equal
+# across engines, the n3 guarantee), commutative pair checksum.
+# Scale: the pair frame is tiny (|near-dup pairs|); embeddings join it by
+# id twice — broadcast-sized joins keyed on the pair ids; one final
+# 1-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "dd1_crossmodal_neardup_audit",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t),
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      HAVING CAST(count(*) AS DOUBLE)
+             / nullif(CAST(a.n + b.n - count(*) AS DOUBLE), 0.0) >= 0.5
+    ), m AS (
+      SELECT id_a, id_b,
+             list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                              CAST(eb.embedding AS DOUBLE[]))
+             / nullif(sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(ea.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]),
+                                              CAST(eb.embedding AS DOUBLE[]))),
+                      0.0) AS cos
+      FROM jp
+      JOIN embeddings ea ON ea.vec_id = id_a
+      JOIN embeddings eb ON eb.vec_id = id_b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(cos), 6) AS avg_cos,
+           round(min(cos), 6) AS min_cos,
+           round(max(cos), 6) AS max_cos,
+           CAST(sum(CAST(('0x' || substr(md5(CAST(id_a AS VARCHAR) || '>'
+                          || CAST(id_b AS VARCHAR)), 1, 8)) AS UBIGINT))
+                AS BIGINT) AS pair_checksum
+    FROM m
+    """,
+)
+def dd1_crossmodal_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions import vectors
+
+    d = read_table(spark, sf_dir, "documents")
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    pairs = dedup.near_dup_pairs_exact(
+        d, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    m = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            vectors.cosine_similarity("emb_a", "emb_b").alias("cos"),
+        )
+    )
+    pair_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ">",
+                    F.col("id_a").cast("string"),
+                    F.col("id_b").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("cos"), 6).alias("avg_cos"),
+        F.round(F.min("cos"), 6).alias("min_cos"),
+        F.round(F.max("cos"), 6).alias("max_cos"),
+        F.sum(pair_hash).alias("pair_checksum"),
+    )
