@@ -4211,3 +4211,503 @@ def pv2_file_provenance_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.countDistinct("event_id").alias("n_distinct_ids"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third-wave TPC-H completion batch: the remaining classic shapes
+# expressible in this corpus schema (reference parity target: the pandas
+# filter/agg/join repertoire of /root/reference/graph_proj/src/agent/
+# tool_call_agent.py:136-146, exercised at TPC-H query complexity).
+# Q4/Q12 need l_commitdate/l_receiptdate/l_shipmode and Q9's cost term
+# needs partsupp.ps_supplycost — none exist in the testdata schema, so
+# Q9 ships as the revenue-only adaptation (j16) and Q4/Q12 have no
+# faithful analogue (documented here rather than faked).
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# A8 — forecast revenue change (TPC-H Q6 shape): the simplest possible
+# plan and the purest pushdown test — a single scan whose three
+# predicates all reach the parquet reader, partial-aggregated to one
+# row. Discount is compared as an exact integer percent (the data's
+# discounts are hundredths), so the band edges can never flip on float
+# representation; revenue (price x discount) accumulates in exact
+# integer cents x pct.
+# Scale: zero shuffles beyond the 1-row final agg; the scan prunes both
+# columns and row groups (shipdate min/max stats skip ~5/7 of the
+# files at any SF).
+# ---------------------------------------------------------------------------
+@query(
+    "a8_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round(l_discount * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def a8_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+        & disc_pct.between(5, 7)
+        & (F.col("l_quantity") < 24)
+    )
+    rev_i = F.round(F.col("l_extendedprice") * 100).cast("bigint") * disc_pct
+    return li.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(rev_i) / 10000.0, 2).alias("revenue_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J12 — inter-region trade volume (TPC-H Q7 shape): yearly revenue
+# shipped between two regions, in BOTH directions, where the customer's
+# region and the line's supplier's region arrive through two independent
+# dimension paths. Q7 proper uses a nation pair; this corpus has 25
+# uniform nations, so at sf0.001 a single pair matches zero lineitems —
+# the region-level pair keeps the exact join topology (two nation
+# lookups, direction disjunction AFTER both joins) while staying
+# non-vacuous at every driver SF.
+# Scale: both dimension chains (supplier->nation->region,
+# customer->nation->region) collapse to broadcasts; the only shuffles
+# are lineitem<->orders on orderkey and orders<->customer on custkey.
+# The direction disjunction cannot be pushed below either join (it
+# spans both paths) but the region pre-filters on each side can and
+# are: each broadcast carries only the two regions' nations.
+# ---------------------------------------------------------------------------
+@query(
+    "j12_region_trade_volume",
+    oracle="""
+    SELECT sr.r_name AS supp_region, cr.r_name AS cust_region,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    WHERE (sr.r_name = 'ASIA' AND cr.r_name = 'EUROPE')
+       OR (sr.r_name = 'EUROPE' AND cr.r_name = 'ASIA')
+    GROUP BY 1, 2, 3
+    """,
+)
+def j12_region_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pair = ("ASIA", "EUROPE")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name").isin(*pair))
+    # nation -> region denormalized once, reused for both dimension paths;
+    # only the two regions' nations survive into the broadcasts.
+    nr = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey", "r_name")
+    s = read_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nr), F.col("s_nationkey") == nr["n_nationkey"]
+    ).select("s_suppkey", F.col("r_name").alias("supp_region"))
+    c = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(nr), F.col("c_nationkey") == nr["n_nationkey"]
+    ).select("c_custkey", F.col("r_name").alias("cust_region"))
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    co = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        "o_orderkey", "cust_region"
+    )
+    j = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(co, li["l_orderkey"] == co["o_orderkey"])
+        .filter(
+            ((F.col("supp_region") == pair[0]) & (F.col("cust_region") == pair[1]))
+            | ((F.col("supp_region") == pair[1]) & (F.col("cust_region") == pair[0]))
+        )
+    )
+    return j.groupBy("supp_region", "cust_region", "l_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev_i") / 10000.0, 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J13 — national market share (TPC-H Q8 shape): for PROMO-type parts
+# sold to ASIA customers, the share of revenue supplied from one nation
+# per order year. The ratio-of-conditional-sum-to-sum pattern: both
+# accumulate in the SAME pass as exact integers, and only the final
+# division produces a double — so tie-free, engine-stable shares.
+# Scale: part, supplier, nation, region all broadcast; the two fact
+# shuffles (orderkey, custkey) are shared with every other star query;
+# the conditional numerator adds zero plan cost (one CASE inside the
+# partial agg).
+# ---------------------------------------------------------------------------
+@query(
+    "j13_market_share",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+           round(sum(CASE WHEN sn.n_name = 'NATION_5'
+                          THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                               * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                          ELSE 0 END)
+                 / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT)),
+                 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN region r ON cn.n_regionkey = r.r_regionkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    GROUP BY 1
+    """,
+)
+def j13_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(
+        F.broadcast(r), n["n_regionkey"] == r["r_regionkey"]
+    ).select("n_nationkey")
+    c = read_table(spark, sf_dir, "customer").join(
+        F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey")
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    # PROMO-part prefilter broadcast onto lineitem FIRST: it is the most
+    # selective predicate (~1/6 of parts), so the fact shuffles carry only
+    # surviving lines.
+    lp = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    lps = lp.join(F.broadcast(s), lp["l_suppkey"] == s["s_suppkey"]).join(
+        F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key")
+    )
+    co = o.join(c, o["o_custkey"] == c["c_custkey"]).select("o_orderkey", "o_year")
+    j = lps.join(co, lps["l_orderkey"] == co["o_orderkey"])
+    num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_5", F.col("rev_i")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    )
+    return j.groupBy("o_year").agg(
+        F.round(num / F.sum("rev_i"), 6).alias("mkt_share")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J14 — returned-item reporting (TPC-H Q10 shape): the 20 customers who
+# returned the most revenue in one quarter, with their nation. Rank and
+# LIMIT happen on the exact integer revenue with custkey as the final
+# tie-break, so the top-20 SET is engine-deterministic even if two
+# customers returned identical totals.
+# Scale: the agg output is |customers-with-returns| rows; the sort is
+# TakeOrderedAndProject (per-partition top-20 heaps, never a global
+# sort); customer and nation broadcast onto the agg output, not onto
+# the fact table.
+# ---------------------------------------------------------------------------
+@query(
+    "j14_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                      AS BIGINT) / 10000.0, 2) AS returned_revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-10-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY 1, 2, 3
+    ORDER BY sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) DESC,
+             c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def j14_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    # Aggregate DOWN to per-customer totals before touching any dimension:
+    # the broadcasts then enrich |customers| rows, not |lineitems|.
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_i").alias("rev_total_i"))
+    )
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    top = (
+        per_cust.join(F.broadcast(c), per_cust["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .orderBy(F.col("rev_total_i").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+    return top.select(
+        "c_custkey",
+        "c_name",
+        "n_name",
+        F.round(F.col("rev_total_i") / 10000.0, 2).alias("returned_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J15 — promotion revenue share (TPC-H Q14 shape): what fraction of one
+# month's shipped revenue came from PROMO-type parts. The classic
+# conditional-sum-over-sum scalar; both sums accumulate as exact
+# integers in one pass, the percentage is the only double.
+# Scale: part broadcasts; lineitem never shuffles (broadcast join +
+# 1-row partial agg); the shipdate band prunes row groups at the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "j15_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                  THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                  ELSE 0 END)
+             / sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)),
+             4) AS promo_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1997-03-01' AND l.l_shipdate < DATE '1997-04-01'
+    """,
+)
+def j15_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    ).select(
+        "l_partkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", F.col("rev_i")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    )
+    return j.agg(
+        F.round(F.lit(100.0) * promo / F.sum("rev_i"), 4).alias("promo_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J16 — product-line profit by nation and year (TPC-H Q9 shape, revenue
+# adaptation): revenue from parts named like '%red%', grouped by the
+# SUPPLIER's nation and the order year. Q9 proper subtracts
+# ps_supplycost * l_quantity; this corpus has no partsupp table, so the
+# cost term has no data to come from and the query ships as the
+# revenue-only variant — same 5-table topology, same name-LIKE part
+# filter that defeats naive pushdown (it cannot use stats, but it CAN
+# broadcast-prefilter).
+# Scale: the part name filter runs once over the broadcast part dim;
+# supplier+nation broadcast; one fact shuffle per star edge as usual.
+# ---------------------------------------------------------------------------
+@query(
+    "j16_product_type_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                 / 10000.0, 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def j16_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100).cast("bigint")
+        ).alias("rev_i"),
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+    )
+    return j.groupBy(F.col("n_name").alias("nation"), "o_year").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("rev_i") / 10000.0, 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB9 — supplier diversity per part group (TPC-H Q16 shape): how many
+# DISTINCT suppliers ship each (brand, type, size) part group, excluding
+# one brand, one type, sizes outside a whitelist, and a supplier
+# denylist (Q16 proper excludes complaint suppliers via a comment LIKE;
+# this corpus has no comment column, so the denylist is negative-balance
+# suppliers — same NOT IN topology).
+# Scale: the expensive step is the distinct — it runs on (partkey,
+# suppkey) PAIRS first (map-side partial distinct shrinks the shuffle
+# to unique pairs), not on joined rows; part (pre-filtered) and the
+# denylist both broadcast; the final count-distinct-per-group re-uses
+# the pair distinct's partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "sub9_part_supplier_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def sub9_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = read_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = read_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    pairs = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), on="l_suppkey", how="left_anti")
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count(F.lit(1)).alias("supplier_cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SUB10 — global sales opportunity, hardened (TPC-H Q22 shape). sub5
+# already registers the textbook Q22 topology; this variant exists for
+# the two places the textbook form is fragile at scale, and upgrades
+# both:
+# 1. Determinism: sub5 compares c_acctbal against the FLOAT avg — a
+#    customer within one ULP of the average can flip membership between
+#    engines (summation order). Here the threshold comparison runs on
+#    EXACT integers — cents(c) * n_positive > sum_positive_cents — so
+#    the boundary can never flip (sum/count/product all bigint;
+#    overflow headroom to ~sf10^5).
+# 2. The NOT EXISTS is date-restricted ("no orders SINCE 1999" — the
+#    realistic dormancy question) and its right side is shrunk to
+#    DISTINCT custkeys BEFORE the anti-join shuffle, the shape sub5's
+#    unrestricted version never exercises.
+# Scale: the threshold is a 1-row broadcast (crossJoin of an aggregate
+# scalar); the anti-join's right side is the DISTINCT custkeys of
+# recent orders (shrunk before the shuffle); output is |nations| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "sub10_global_sales_opportunity",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT)
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= DATE '1999-01-01')
+    GROUP BY 1
+    """,
+)
+def sub10_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_i"),
+    )
+    thresh = c.filter(F.col("bal_i") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal_i").cast("bigint").alias("sum_pos"),
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("date"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    n = read_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = (
+        c.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_i") * F.col("n_pos") > F.col("sum_pos"))
+        .join(recent, on="c_custkey", how="left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+    )
+    return rich.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.round(F.sum("bal_i").cast("bigint") / 100.0, 2).alias("total_acctbal"),
+    )

@@ -785,3 +785,68 @@ def test_hs1_union_reaggregates_days_not_events(spark, sf_dir):
     plan = _plan(spark, "hs1_hll_weekly_rollup_events", sf_dir)
     assert "hll_union_agg" in plan or "hll_sketch_agg" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_a8_pure_pushdown_no_shuffle(spark, sf_dir):
+    """Q6-shape: all three predicates reach the lineitem scan and the plan
+    has no hash shuffle at all — a single scan partial-aggregated to one
+    row is the whole query."""
+    plan = _plan(spark, "a8_forecast_revenue_change", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert any(
+        "lineitem.parquet" in ln and "l_quantity" in ln
+        and "l_shipdate" in ln and "FileScan" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_j12_dimension_chains_broadcast(spark, sf_dir):
+    """Q7-shape: both nation->region dimension chains collapse into
+    broadcasts (supplier side onto lineitem, customer side onto orders);
+    the direction disjunction never degrades a join to a nested loop."""
+    plan = _plan(spark, "j12_region_trade_volume", sf_dir)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_j14_topk_never_global_sort(spark, sf_dir):
+    """Q10-shape: the top-20 runs as TakeOrderedAndProject (per-partition
+    heaps) over the per-customer aggregate, and customer/nation broadcast
+    onto that aggregate — never onto the fact table."""
+    plan = _plan(spark, "j14_returned_items", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_j15_lineitem_never_shuffles(spark, sf_dir):
+    """Q14-shape: broadcast part join + 1-row partial agg — zero hash
+    exchanges; the shipdate band reaches the lineitem scan."""
+    plan = _plan(spark, "j15_promo_revenue", sf_dir)
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert any(
+        "lineitem.parquet" in ln and "l_shipdate" in ln and "FileScan" in ln
+        for ln in plan.splitlines()
+    ), plan
+
+
+def test_sub9_denylist_is_broadcast_anti(spark, sf_dir):
+    """Q16-shape: the NOT IN supplier denylist compiles to a broadcast
+    anti join (NULL-aware, but the denylist key is non-nullable), never a
+    shuffled join or nested loop over lineitem."""
+    plan = _plan(spark, "sub9_part_supplier_counts", sf_dir)
+    assert "LeftAnti" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sub10_threshold_is_one_row_broadcast(spark, sf_dir):
+    """Q22-shape: the scalar threshold joins as a single-row broadcast
+    (the only nested-loop in the plan) and the no-recent-orders check is
+    an anti join on the pre-distinct custkey set."""
+    plan = _plan(spark, "sub10_global_sales_opportunity", sf_dir)
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
