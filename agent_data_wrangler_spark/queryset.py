@@ -4711,3 +4711,171 @@ def sub10_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_cust"),
         F.round(F.sum("bal_i").cast("bigint") / 100.0, 2).alias("total_acctbal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MC1 — peak concurrent open orders (sweep-line interval counting): for each
+# priority class, the maximum number of orders simultaneously "open"
+# (between o_orderdate and the max l_shipdate of their lineitems) and the
+# earliest day that peak is reached. The classic +1/-1 sweep: intervals
+# become boundary deltas, deltas aggregate to per-day nets, a running sum
+# over days is the concurrency curve.
+# Scale: the only fact-sized shuffle is the orderkey join (orders x the
+# per-order max-shipdate aggregate). Deltas are aggregated to (priority,
+# day) grain BEFORE the window — the running sum then runs over
+# |priorities| x |days| rows (thousands), not |orders|, so the low-
+# cardinality window partitioning is harmless at any SF. The peak argmax
+# is a one-pass lexicographic struct max (open desc, day asc via negated
+# unix_date), no join-back.
+# ---------------------------------------------------------------------------
+@query(
+    "mc1_peak_open_orders",
+    oracle="""
+    WITH iv AS (
+        SELECT o.o_orderpriority AS prio,
+               CAST(o.o_orderdate AS DATE) AS start_d,
+               e.end_d
+        FROM orders o
+        JOIN (SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS end_d
+              FROM lineitem GROUP BY 1) e
+          ON o.o_orderkey = e.l_orderkey
+    ),
+    d AS (
+        SELECT prio, start_d AS day, 1 AS delta FROM iv
+        UNION ALL
+        SELECT prio, end_d + 1 AS day, -1 AS delta FROM iv
+    ),
+    pd AS (SELECT prio, day, CAST(sum(delta) AS BIGINT) AS net
+           FROM d GROUP BY 1, 2),
+    c AS (SELECT prio, day,
+                 CAST(sum(net) OVER (PARTITION BY prio ORDER BY day) AS BIGINT) AS open
+          FROM pd),
+    m AS (SELECT prio, max(open) AS peak FROM c GROUP BY 1)
+    SELECT c.prio AS o_orderpriority, m.peak AS peak_open,
+           min(c.day) AS peak_day
+    FROM c JOIN m ON c.prio = m.prio AND c.open = m.peak
+    GROUP BY 1, 2
+    """,
+)
+def mc1_peak_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("start_d"),
+    )
+    ends = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.to_date("l_shipdate")).alias("end_d"))
+    )
+    iv = o.join(ends, o["o_orderkey"] == ends["l_orderkey"])
+    deltas = iv.select(
+        "prio", F.col("start_d").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "prio", F.date_add("end_d", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    per_day = deltas.groupBy("prio", "day").agg(
+        F.sum("delta").cast("bigint").alias("net")
+    )
+    w = windows.Window.partitionBy("prio").orderBy("day").rowsBetween(
+        windows.Window.unboundedPreceding, windows.Window.currentRow
+    )
+    curve = per_day.select(
+        "prio", "day", F.sum("net").over(w).cast("bigint").alias("open")
+    )
+    # One-pass argmax: struct compares lexicographically, so (open, -unix_date)
+    # maximizes open first, then the EARLIEST day on ties.
+    mx = curve.groupBy(F.col("prio").alias("o_orderpriority")).agg(
+        F.max(
+            F.struct(
+                F.col("open").alias("o"),
+                (-F.unix_date("day")).alias("nd"),
+            )
+        ).alias("mx")
+    )
+    return mx.select(
+        "o_orderpriority",
+        F.col("mx.o").alias("peak_open"),
+        F.date_from_unix_date(-F.col("mx.nd")).alias("peak_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQ2 — sequence pattern with negation (MATCH_RECOGNIZE shape): per user,
+# does the first 'signup' convert to a 'purchase' within 24 hours with NO
+# intervening 'error'? Funnels (fn1) count ordered step attainment; the
+# negation ("no E strictly between A and B") is the piece ordinary funnel
+# counting cannot express, and the reason SQL engines grew MATCH_RECOGNIZE.
+# Expressed here without any per-user sort: conditional MIN aggregates
+# recover the first qualifying purchase/error per user, and the verdict is
+# a three-way CASE on their order.
+# Scale: events pre-filtered to the three relevant types at the scan, one
+# shuffle on user_id for the signup anchor, one partitioning-reused shuffle
+# for the join+agg; state per user is two timestamps, never a collected
+# event list. At 100 TB the same plan holds — no sort, no explode, no
+# per-user arrays.
+# ---------------------------------------------------------------------------
+@query(
+    "sq2_signup_conversion_pattern",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, min(ts) AS signup_ts
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    per_user AS (
+        SELECT e.user_id,
+               min(CASE WHEN e.event_type = 'purchase' AND e.ts > su.signup_ts
+                         AND e.ts <= su.signup_ts + INTERVAL 24 HOUR
+                        THEN e.ts END) AS p_ts,
+               min(CASE WHEN e.event_type = 'error' AND e.ts > su.signup_ts
+                        THEN e.ts END) AS e_ts
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type IN ('signup', 'purchase', 'error')
+        GROUP BY 1
+    )
+    SELECT CASE WHEN p_ts IS NULL THEN 'no_purchase'
+                WHEN e_ts IS NOT NULL AND e_ts < p_ts THEN 'blocked_by_error'
+                ELSE 'converted' END AS outcome,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def sq2_signup_conversion_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", "event_type", "ts")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    j = ev.join(su, "user_id")
+    deadline = F.col("signup_ts") + F.expr("INTERVAL 24 HOURS")
+    per_user = j.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("signup_ts"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).alias("p_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "error")
+                & (F.col("ts") > F.col("signup_ts")),
+                F.col("ts"),
+            )
+        ).alias("e_ts"),
+    )
+    outcome = (
+        F.when(F.col("p_ts").isNull(), "no_purchase")
+        .when(F.col("e_ts").isNotNull() & (F.col("e_ts") < F.col("p_ts")), "blocked_by_error")
+        .otherwise("converted")
+    )
+    return per_user.groupBy(outcome.alias("outcome")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

@@ -35,6 +35,7 @@ from agent_data_wrangler_spark.functions.text import (
     lang_id,
     quality_score,
     token_count,
+    tokens,
 )
 from agent_data_wrangler_spark.operators import dedup, similarity
 from agent_data_wrangler_spark.sources.readers import read_table
@@ -3530,4 +3531,63 @@ def dd1_crossmodal_neardup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cos"), 6).alias("min_cos"),
         F.round(F.max("cos"), 6).alias("max_cos"),
         F.sum(pair_hash).alias("pair_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IV1 — inverted-index conjunctive term search: the retrieval shape a
+# decontamination or corpus-inspection service runs constantly ("find the
+# documents containing ALL of these terms, ranked by term frequency").
+# The posting list is never materialized as an array; it IS the exploded
+# (term, doc_id) relation, filtered to the query terms before any shuffle.
+# Reference parity: the pandas repertoire (tool_call_agent.py:136-146) has
+# no search primitive — this is north-star-tier corpus tooling.
+#
+# Scale: a coarse LIKE-conjunction prefilter runs in the scan stage — every
+# token match implies a substring match, so it is a sound superset — and
+# drops non-candidate docs BEFORE the explode (the explode multiplies rows
+# by tokens/doc, so pre-explode pruning is the whole game). The exploded
+# frame is then filtered to |query| terms per doc, so the single shuffle
+# carries at most |query_terms| x |candidate_docs| rows. Top-20 is a
+# TakeOrderedAndProject heap on the engine-total order (tf desc, doc_id
+# asc) — no global sort. At 100 TB the same plan holds: scan-stage
+# prefilter, bounded explode, tiny shuffle, per-partition heaps.
+# ---------------------------------------------------------------------------
+@query(
+    "iv1_inverted_search_documents",
+    oracle="""
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS tf_total
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   regexp_replace(regexp_replace(text, '^\\s+', ''), '\\s+$', ''),
+                   '\\s+')) AS term
+        FROM documents
+        WHERE text LIKE '%spark%' AND text LIKE '%merge%' AND text LIKE '%window%'
+    )
+    WHERE term IN ('spark', 'merge', 'window')
+    GROUP BY doc_id
+    HAVING count(DISTINCT term) = 3
+    ORDER BY tf_total DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def iv1_inverted_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = ("spark", "merge", "window")
+    docs = read_table(spark, sf_dir, "documents")
+    for t in terms:
+        docs = docs.filter(F.col("text").like(f"%{t}%"))
+    postings = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term").isin(*terms))
+    return (
+        postings.groupBy("doc_id")
+        .agg(
+            F.countDistinct("term").alias("__n_terms"),
+            F.count(F.lit(1)).alias("tf_total"),
+        )
+        .filter(F.col("__n_terms") == len(terms))
+        .select("doc_id", "tf_total")
+        .orderBy(F.col("tf_total").desc(), F.col("doc_id").asc())
+        .limit(20)
     )

@@ -850,3 +850,33 @@ def test_sub10_threshold_is_one_row_broadcast(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
     assert "LeftAnti" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_iv1_single_explode_after_scan_prefilter(spark, sf_dir):
+    """Inverted search: one Generate (the posting explode) fed by the
+    LIKE-conjunction prefilter, and a TakeOrderedAndProject heap for the
+    top-20 — never a global sort."""
+    plan = _plan(spark, "iv1_inverted_search_documents", sf_dir)
+    assert plan.count("Generate") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mc1_sweep_line_never_single_partition(spark, sf_dir):
+    """Interval sweep: the running sum windows over (priority, day) grain —
+    hash-partitioned by priority, never a single-partition or range
+    exchange (no global sort at any SF)."""
+    plan = _plan(spark, "mc1_peak_open_orders", sf_dir)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_sq2_pattern_without_window_or_collect(spark, sf_dir):
+    """Negation sequence pattern: resolved by conditional MIN aggregates —
+    no Window operator, no Generate (no per-user event arrays), no
+    nested-loop join anywhere."""
+    plan = _plan(spark, "sq2_signup_conversion_pattern", sf_dir)
+    assert "Window" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
