@@ -4879,3 +4879,180 @@ def sq2_signup_conversion_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
     return per_user.groupBy(outcome.alias("outcome")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# FI1 — frequent co-purchased part pairs (market-basket mining): the top-20
+# part pairs that appear together in the most orders. The canonical
+# frequent-itemset k=2 pass — the building block recommendation and
+# "bought-together" pipelines run at scale.
+# Scale: parts are deduped per order BEFORE pairing, so the within-order
+# self-join fans out C(basket_size, 2) per order — bounded by the max
+# basket (TPC-H ~7 lines), linear in orders, never |parts|². Both join
+# sides are the same deduped frame shuffled once on orderkey (reused
+# exchange); pair counts partial-aggregate map-side; top-20 is a
+# TakeOrderedAndProject heap on the (count desc, p1, p2) total order.
+# ---------------------------------------------------------------------------
+@query(
+    "fi1_frequent_part_pairs",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, p1 ASC, p2 ASC
+    LIMIT 20
+    """,
+)
+def fi1_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    return (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TR1 — triangle counting on the co-supply graph (the third classic
+# distributed-graph op next to PageRank gr1 and connected components cc1).
+# Vertices are suppliers; an edge joins two suppliers whose shared-order
+# count is in the TOP DECILE of pair weights (exact interpolating
+# percentile — data-derived, so the graph stays meaningfully sparse at
+# every SF; this testdata's co-supply graph is near-complete, so an
+# above-average cut kept ~half the edges and the 2-path join dominated
+# the bench at 8s/sf0.1 — p90 restores realistic sparsity, 518 triangles
+# at sf0.01. Integer weights interpolate identically in both engines, so
+# the boundary can't flip cross-engine).
+# Scale: the node-iterator join is ORIENTED by (degree, id) — every edge
+# points from its lower-degree endpoint — so 2-path fanout is bounded by
+# the max OUT-degree (≈ sqrt(|E|) even on graphs with hub vertices; the
+# standard Suri-Vassilvitskii MapReduce-triangles bound), and each
+# triangle is produced exactly once. Edge weights aggregate from per-order
+# pairs that fan out C(suppliers_per_order, 2) per order — linear in
+# orders, never |suppliers|².
+# ---------------------------------------------------------------------------
+@query(
+    "tr1_triangle_count",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+               CAST(count(*) AS BIGINT) AS w
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2),
+    tot AS (SELECT quantile_cont(w, 0.9) AS q FROM pairs),
+    edges AS (SELECT s1, s2 FROM pairs, tot WHERE w >= q),
+    tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e2.s1 = e1.s2
+            JOIN edges e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def tr1_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    tot = pairs.agg(F.expr("percentile(w, 0.9)").alias("q"))
+    edges = (
+        pairs.crossJoin(F.broadcast(tot))
+        .filter(F.col("w") >= F.col("q"))
+        .select("s1", "s2")
+        .persist()
+    )
+    # Orient by (degree, id): each edge points from its lower (deg, id)
+    # endpoint, bounding the 2-path join's per-vertex fanout by the max
+    # out-degree and producing each triangle exactly once.
+    deg = (
+        edges.select(F.col("s1").alias("v"))
+        .unionByName(edges.select(F.col("s2").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    d1 = deg.select(F.col("v").alias("s1"), F.col("deg").alias("deg1"))
+    d2 = deg.select(F.col("v").alias("s2"), F.col("deg").alias("deg2"))
+    ranked = edges.join(d1, "s1").join(d2, "s2")
+    lower_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("s1") < F.col("s2"))
+    )
+    oriented = ranked.select(
+        F.when(lower_first, F.col("s1")).otherwise(F.col("s2")).alias("src"),
+        F.when(lower_first, F.col("s2")).otherwise(F.col("s1")).alias("dst"),
+    ).persist()
+    p1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    p2 = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    two_paths = p1.join(p2, "b")
+    # Closing edge may carry either orientation relative to the 2-path ends.
+    closing = oriented.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    )
+    closed = two_paths.select(
+        F.least("a", "c").alias("lo"), F.greatest("a", "c").alias("hi")
+    ).join(closing, ["lo", "hi"], "left_semi")
+    n_edges = edges.count()
+    return closed.agg(
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PQ1 — SQL pipe syntax (Spark 4): the flagship segment-revenue aggregation
+# written in the new `|>` pipe dialect, proving the engine's SQL surface
+# covers it. The oracle is the equivalent ANSI form — identical integer-
+# cents math, so the parity check is exact. Catalyst plans pipe queries
+# identically to ANSI text (same pushdown/broadcast), so there is no scale
+# delta to manage.
+# ---------------------------------------------------------------------------
+_PQ1_PIPE_SQL = """
+FROM orders
+|> WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+|> JOIN customer ON o_custkey = c_custkey
+|> AGGREGATE count(*) AS n_orders,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+   GROUP BY c_mktsegment
+|> SELECT c_mktsegment, CAST(n_orders AS BIGINT) AS n_orders,
+          round(CAST(cents AS DOUBLE) / 100.0, 2) AS total_revenue
+"""
+
+
+@query(
+    "pq1_pipe_syntax_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 / 100.0, 2) AS total_revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01'
+    GROUP BY 1
+    """,
+)
+def pq1_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.plans.sql import run_sql
+
+    return run_sql(spark, sf_dir, _PQ1_PIPE_SQL)

@@ -880,3 +880,34 @@ def test_sq2_pattern_without_window_or_collect(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "Generate" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_fi1_basket_pairs_topk_heap(spark, sf_dir):
+    """Market-basket pairs: top-20 via TakeOrderedAndProject (per-partition
+    heaps), pair generation via equi join on orderkey — never a cartesian
+    pair explosion."""
+    plan = _plan(spark, "fi1_frequent_part_pairs", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tr1_reuses_persisted_edge_frame(spark, sf_dir):
+    """Triangle counting: the thresholded edge frame and the oriented frame
+    are persisted and re-read (degree calc, both 2-path legs, closing-edge
+    semi join) instead of recomputing the pair aggregation per leg. The
+    1-row threshold broadcast appears as a nested loop inside the cached
+    subtree text (repeated per cache read — an upper-bound artifact, see
+    PLANS.md); the ban that matters is CartesianProduct."""
+    plan = _plan(spark, "tr1_triangle_count", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq1_pipe_plans_like_ansi(spark, sf_dir):
+    """Pipe-syntax SQL compiles to the same physical shape as the ANSI
+    equivalent: pushed date filter, hash aggregate, no nested loop."""
+    plan = _plan(spark, "pq1_pipe_syntax_revenue", sf_dir)
+    assert "HashAggregate" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
