@@ -5056,3 +5056,47 @@ def pq1_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.plans.sql import run_sql
 
     return run_sql(spark, sf_dir, _PQ1_PIPE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# RX1 — recursive CTE (Spark 4): bounded-hop reachability over the p90
+# co-supply graph, written ONCE and executed with the SAME query text on
+# Spark and on the DuckDB oracle (the sq1 "portable SQL" guarantee, now
+# extended to WITH RECURSIVE — new in Spark 4). cc1 already proves the
+# iterative-DataFrame translation of recursion; this entry proves the SQL
+# surface itself.
+# Scale: recursion depth is bounded (hop < 2) and each step is an equi
+# join frontier×edges — the frontier after k hops is at most deg^k rows,
+# ~10k on this graph. Unbounded recursion over a cyclic graph would be a
+# frontier explosion under UNION ALL; the hop guard is the documented
+# control, and first-reach dedup happens once at the end (min(hop) per
+# vertex), not per step.
+# ---------------------------------------------------------------------------
+_RX1_SQL = """
+WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+    SELECT a.l_suppkey AS s1, b.l_suppkey AS s2, CAST(count(*) AS BIGINT) AS w
+    FROM op a JOIN op b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2),
+thr AS (SELECT percentile_cont(0.9) WITHIN GROUP (ORDER BY w) AS q FROM pairs),
+half AS (SELECT s1, s2 FROM pairs, thr WHERE w >= q),
+edges AS (SELECT s1 AS src, s2 AS dst FROM half
+          UNION ALL SELECT s2, s1 FROM half),
+reach(v, hop) AS (
+    SELECT (SELECT min(src) FROM edges), 0
+    UNION ALL
+    SELECT e.dst, r.hop + 1 FROM reach r JOIN edges e ON e.src = r.v
+    WHERE r.hop < 2
+)
+SELECT hop, CAST(count(*) AS BIGINT) AS n_first_reached
+FROM (SELECT v, min(hop) AS hop FROM reach GROUP BY v) f
+GROUP BY hop ORDER BY hop
+"""
+
+
+@query("rx1_recursive_reachability", oracle=_RX1_SQL)
+def rx1_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.plans.sql import run_sql
+
+    return run_sql(spark, sf_dir, _RX1_SQL)

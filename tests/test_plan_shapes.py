@@ -911,3 +911,11 @@ def test_pq1_pipe_plans_like_ansi(spark, sf_dir):
     assert "HashAggregate" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rx1_compiles_to_union_loop(spark, sf_dir):
+    """Recursive CTE: Spark 4 plans WITH RECURSIVE as a UnionLoop operator
+    (anchor + bounded iterative step), not a driver-side unrolled union."""
+    plan = _plan(spark, "rx1_recursive_reachability", sf_dir)
+    assert "UnionLoop" in plan, plan
+    assert "CartesianProduct" not in plan
