@@ -94,12 +94,18 @@ LAST_GREEN_ROUND: dict[str, int] = {
 
 DRIVER_VERIFIED = frozenset(LAST_GREEN_ROUND)
 
-# Small always-run regression set of established queries, one per tier
-# (relational agg, join, window, dedup, streaming) — kept ahead of the
+# Small always-run regression set of established queries, one per major
+# tier family (relational, dedup, streaming) — kept ahead of the
 # never-verified block so a capped pass still cross-checks prior rounds.
-CANARIES = ("a1_pricing_summary", "j1_revenue_by_segment",
-            "w1_top_order_per_customer", "n1_exact_dedup_documents",
+# Shrunk 5 -> 3 in round 6: the round added >45 never-verified queries, so
+# every canary slot now starves a new query of its first driver row; the
+# join/window canaries (j1/w1) were cut because their families are also
+# exercised by a1's scan+agg and the stalest-rotation re-verifies them soon.
+CANARIES = ("a1_pricing_summary", "n1_exact_dedup_documents",
             "st1_streaming_window_counts")
+
+# The driver's oracle pass verifies at most this many queries per round.
+DRIVER_SLOT_CAP = 50
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
