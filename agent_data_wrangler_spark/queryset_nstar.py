@@ -3591,3 +3591,50 @@ def iv1_inverted_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("tf_total").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# SS1 — exact set-similarity self-join via PREFIX FILTERING (All-Pairs /
+# PPJoin): the third text-dedup engine beside the full inverted index (n4)
+# and MinHash-LSH (n5), with the best exact-at-scale profile — candidate
+# join keys are only each doc's RAREST ~(1-t) shingle fraction under the
+# global (df, shingle) order, so hot shingles never become join keys and
+# the candidate volume drops (sf0.1: 1.13M inverted-index candidate
+# pairs vs 201k through prefixes, identical final pairs). The oracle is
+# the same brute-force inverted join n4 uses, at t=0.6 — prefix filtering
+# is provably complete (PPJoin Lemma 1; see near_dup_pairs_prefix), so the
+# outputs must be row-identical, which the driver hash-checks.
+# ---------------------------------------------------------------------------
+@query(
+    "ss1_prefix_jaccard_documents",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(CAST(count(*) AS DOUBLE)
+                   / nullif(CAST(a.n + b.n - count(*) AS DOUBLE), 0.0), 6) AS jaccard
+      FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    ) WHERE jaccard >= 0.6
+    """,
+)
+def ss1_prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    d = read_table(spark, sf_dir, "documents")
+    # The shingle frame feeds both candidate generation and the verify
+    # stage; persist + materialize so the CPU-heavy shingling runs once.
+    sh = dedup.shingle_frame(d, "doc_id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
+    return dedup.near_dup_pairs_prefix(
+        d, "doc_id", "text", k=3, threshold=0.6, shingles_df=sh
+    )

@@ -594,3 +594,79 @@ def test_append_guard_rejects_mixed_dim_delta(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-null"):
         similarity.append_lsh_bucketed(allnull, "embedding", path)
+
+
+# ---------------------------------------------------------------------------
+# Prefix filtering (near_dup_pairs_prefix): must be EXACTLY equal to the
+# full inverted-index join at the same (k, threshold) — completeness is the
+# PPJoin Lemma 1 claim the operator rides on, soundness is the shared
+# verify stage. Swept across thresholds to exercise the prefix-length
+# arithmetic (floor boundary cases at t*n integral and fractional).
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("threshold", [0.3, 0.5, 0.6, 0.75, 0.9])
+def test_prefix_filter_equals_inverted_index(spark, planted_docs, threshold):
+    exact = sorted(
+        dedup.near_dup_pairs_exact(
+            planted_docs, "doc_id", "text", k=3, threshold=threshold
+        ).collect()
+    )
+    pref = sorted(
+        dedup.near_dup_pairs_prefix(
+            planted_docs, "doc_id", "text", k=3, threshold=threshold
+        ).collect()
+    )
+    assert pref == exact
+    if threshold <= 0.9:
+        # the planted (0,1) near-dup and the (0,2) exact dup must be found
+        pairs = {(r.id_a, r.id_b) for r in pref}
+        assert (0, 2) in pairs
+
+
+def test_prefix_filter_candidate_volume_shrinks(spark):
+    """The point of prefix filtering: fewer candidate pairs than the full
+    inverted index. 40 docs sharing a long common core + distinct tails —
+    every pair shares shingles (full index: all 780 pairs are candidates),
+    but at t=0.9 the prefix (6 shingles here) fits entirely inside each
+    doc's df=1 tail shingles, so the high-df core never enters a prefix
+    and the candidate set is EMPTY — while staying complete (no pair
+    reaches J=0.9: shared core 28 of 34 shingles gives J=0.7)."""
+    core = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (i, core + f" tail{i} alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    t = 0.9
+    sh = dedup.shingle_frame(df, "doc_id", "text", k=3)
+    ex = sh.select("__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s"))
+    full_cands = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select("a.__id", "b.__id")
+        .distinct()
+        .count()
+    )
+    dfc = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    plen = (F.col("__n") - F.floor(F.lit(t) * F.col("__n")) + F.lit(1)).cast("int")
+    pref = (
+        ex.join(dfc, "__s")
+        .groupBy("__id", "__n")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("__df"), F.col("__s")))).alias("__o"))
+        .select("__id", F.explode(F.slice("__o", F.lit(1), plen)).alias("__e"))
+        .select("__id", F.col("__e.__s").alias("__s"))
+    )
+    pref_cands = (
+        pref.alias("a")
+        .join(
+            pref.alias("b"),
+            (F.col("a.__s") == F.col("b.__s")) & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select("a.__id", "b.__id")
+        .distinct()
+        .count()
+    )
+    assert full_cands == 40 * 39 // 2  # common core makes every pair collide
+    assert pref_cands == 0  # prefixes hold only df=1 tail shingles
