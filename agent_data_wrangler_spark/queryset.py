@@ -5100,3 +5100,33 @@ def rx1_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.plans.sql import run_sql
 
     return run_sql(spark, sf_dir, _RX1_SQL)
+
+
+# ---------------------------------------------------------------------------
+# XM1 — XML source/sink roundtrip (the enterprise-interchange format, native
+# in Spark 4 / SPARK-44265): export events through the versioned XML sink
+# (one <row> element per record), re-read with schema inference, aggregate.
+# The oracle reads the ORIGINAL parquet, so element escaping bugs, type
+# drift (long/double inference), or row loss in the XML path break the
+# hash. Scale: XML is land-once-convert-to-parquet only (row-based, no
+# pushdown; read_xml docstring mandates explicit schemas in production).
+# ---------------------------------------------------------------------------
+@query(
+    "xm1_xml_roundtrip_events",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def xm1_xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.sources.readers import read_xml
+
+    out = _staged_export(spark, sf_dir, "xml", "events.xml")
+    back = read_xml(spark, out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
+    )

@@ -210,6 +210,28 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan via the native Spark 4 XML source (SPARK-44265, the former
+    spark-xml package): one DataFrame row per ``row_tag`` element, entities
+    unescaped, missing elements → NULL.
+
+    Scale notes: XML is an ingestion/interchange format only — row-based,
+    schema inference costs a full extra pass (pass ``schema`` explicitly in
+    production, same rule as read_csv), and files split on element
+    boundaries. Land XML once, convert to parquet, query the parquet.
+    """
+    require_exists(path)
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
 def read_csv_quarantine(
     spark: SparkSession,
     path: str,

@@ -65,6 +65,11 @@ def write_versioned(
         writer.json(out)  # JSON-lines: one object per line, splittable
     elif fmt == "orc":
         writer.orc(out)  # columnar alternative; same pushdown/pruning story
+    elif fmt == "xml":
+        # Native XML sink (built into Spark 4, SPARK-44265): one <row>
+        # element per record, values escaped by the writer. Interchange/
+        # export path only — row-based, not columnar, no pushdown.
+        writer.format("xml").option("rowTag", "row").save(out)
     else:
         writer.parquet(out)
     return out
