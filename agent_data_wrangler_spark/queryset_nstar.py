@@ -3638,3 +3638,23 @@ def ss1_prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_pairs_prefix(
         d, "doc_id", "text", k=3, threshold=0.6, shingles_df=sh
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ1 — product-quantization ANN (Jégou et al. 2011), the third scale path
+# beside hyperplane-LSH (n7) and IVF (n9) — and the only one that also
+# COMPRESSES: 64-dim float vectors become 16 one-byte codes (16x), the ADC
+# pass is a pure codegen scan over the code table (m element_at lookups
+# into constant-folded LUT literals, zero shuffle), and the exact re-rank
+# touches only the sqrt(n)-row shortlist. Same verdict oracle as n7/n9:
+# recall@10 vs the exact scan (measured 1.0 at all three SFs with the
+# size-derived m=16/ksub=64/shortlist params; gate 0.7) + the exact top-1
+# DuckDB recomputes from scratch.
+# ---------------------------------------------------------------------------
+@query("pq1_pq_topk_embeddings", oracle=_ANN_VERDICT_ORACLE)
+def pq1_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "embeddings")
+    ann = similarity.topk_cosine_pq(
+        e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
+    )
+    return _ann_verdict(e, ann)

@@ -43,3 +43,84 @@ def test_xml_explicit_schema_skips_inference(spark, tmp_path):
     back = read_xml(spark, p, schema=schema)
     assert back.schema == schema
     assert {r.id for r in back.collect()} == {7, 9}
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: the raw-path semantics the verdict oracle cannot
+# pin (it only gates recall) — encode bounds/nulls, ADC == numpy LUT math,
+# and exact recovery on planted structure.
+# ---------------------------------------------------------------------------
+def _toy_vectors(spark, n=60, dim=8, seed=3):
+    import math as _m
+
+    rows = [
+        (i, [round(_m.sin(seed * (i * dim + j) + 1), 6) for j in range(dim)])
+        for i in range(n)
+    ]
+    rows.append((n, None))  # null vector must not break encode/score
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_encode_bounds_nulls_and_determinism(spark):
+    from agent_data_wrangler_spark.operators import similarity
+
+    df = _toy_vectors(spark)
+    books = similarity.pq_fit_codebooks(df, "embedding", m=4, ksub=8)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    coded = df.withColumn("pqc", similarity.pq_encode("embedding", books))
+    rows = {r.vec_id: r.pqc for r in coded.collect()}
+    assert rows[60] is None  # null vector -> null code
+    for vid, code in rows.items():
+        if code is not None:
+            assert len(code) == 4 and all(0 <= c < 8 for c in code)
+    books2 = similarity.pq_fit_codebooks(df, "embedding", m=4, ksub=8)
+    assert books == books2  # fit is deterministic (no RNG)
+
+
+def test_pq_adc_matches_numpy_lut(spark):
+    import numpy as np
+
+    from agent_data_wrangler_spark.operators import similarity
+
+    df = _toy_vectors(spark).filter(F.col("embedding").isNotNull())
+    books = similarity.pq_fit_codebooks(df, "embedding", m=4, ksub=8)
+    q = [0.3, -1.2, 0.8, 0.05, -0.4, 0.9, -0.7, 0.2]
+    got = (
+        df.withColumn("pqc", similarity.pq_encode("embedding", books))
+        .withColumn("adc", similarity.pq_adc_score("pqc", books, q))
+        .select("vec_id", "pqc", "adc")
+        .collect()
+    )
+    qn = np.asarray(q) / np.linalg.norm(q)
+    dsub = 2
+    for r in got:
+        lut = sum(
+            float(np.dot(books[j][r.pqc[j]], qn[j * dsub : (j + 1) * dsub]))
+            for j in range(4)
+        )
+        assert abs(lut - r.adc) < 1e-9
+
+
+def test_pq_topk_recovers_planted_neighbors(spark):
+    """Vectors clustered around 4 orthogonal axes; querying along one axis
+    must return exactly that cluster's members first (PQ cells align with
+    real structure, so even ADC alone is clean here — the planted twin of
+    the measured-recall claim on unstructured bench vectors)."""
+    from agent_data_wrangler_spark.operators import similarity
+
+    dim, per = 8, 12
+    rows = []
+    for axis in range(4):
+        for i in range(per):
+            v = [0.0] * dim
+            v[axis * 2] = 1.0
+            v[axis * 2 + 1] = 0.02 * (i - per // 2)  # small within-cluster spread
+            rows.append((axis * per + i, v))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = [0.0] * dim
+    q[2] = 1.0  # axis 1
+    got = similarity.topk_cosine_pq(
+        df, "embedding", q, k=per, m=4, ksub=8, shortlist=2 * per,
+        payload_cols=["vec_id"],
+    ).collect()
+    assert {r.vec_id for r in got} == {per + i for i in range(per)}
