@@ -5130,3 +5130,195 @@ def xm1_xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KM1 — Kaplan-Meier survival estimate of user lifetime (time-to-churn with
+# right-censoring): the standard retention-curve statistic. A user's
+# observed lifetime is first-event → last-event days; users whose last
+# event falls in the final 7 days of the corpus are CENSORED (still
+# active), not churned — the estimator that rc1-style naive retention gets
+# wrong. Per-duration d_t (churns) and the at-risk count n_t are exact
+# integers; S(t) = Π(1 - d/n) runs as exp(Σ ln(...)) over the SAME ordered
+# window in both engines (identical rational inputs, identical accumulation
+# order), rounded to 4. Scale: one shuffle on user_id for the spans, then
+# every window runs on the ≤|distinct-durations| aggregate frame (bounded
+# by the corpus date span, not by rows) — the global windows here are
+# windows over a tiny post-agg frame, never over raw events. The corpus
+# max-ts is a 1-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "km1_survival_users_events",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id,
+             date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS duration_days,
+             max(ts) AS last_ts
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ), mx AS (SELECT max(ts) AS mx_ts FROM events WHERE user_id IS NOT NULL),
+    marked AS (
+      SELECT duration_days,
+             CASE WHEN last_ts < mx_ts - INTERVAL 7 DAY THEN 1 ELSE 0 END AS churned
+      FROM spans, mx
+    ), g AS (
+      SELECT duration_days, CAST(count(*) AS BIGINT) AS n_end,
+             CAST(sum(churned) AS BIGINT) AS n_events
+      FROM marked GROUP BY duration_days
+    ), risk AS (
+      SELECT duration_days, n_events,
+             sum(n_end) OVER () -
+             coalesce(sum(n_end) OVER (ORDER BY duration_days
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM g
+    )
+    SELECT duration_days, CAST(n_risk AS BIGINT) AS n_risk, n_events,
+           CASE WHEN max(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                     OVER (ORDER BY duration_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE round(exp(sum(CASE WHEN n_events < n_risk
+                                        THEN ln(1.0 - CAST(n_events AS DOUBLE)
+                                                      / CAST(n_risk AS DOUBLE))
+                                        ELSE 0.0 END)
+                     OVER (ORDER BY duration_days
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+           END AS survival
+    FROM risk
+    QUALIFY n_events > 0
+    """,
+)
+def km1_survival_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    spans = e.groupBy("user_id").agg(
+        F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias("duration_days"),
+        F.max("ts").alias("__last"),
+    )
+    mx = e.agg(F.max("ts").alias("__mx"))
+    marked = spans.crossJoin(F.broadcast(mx)).select(
+        "duration_days",
+        F.when(
+            F.col("__last") < F.col("__mx") - F.expr("INTERVAL 7 DAY"), 1
+        ).otherwise(0).alias("__churned"),
+    )
+    g = marked.groupBy("duration_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n_end"),
+        F.sum("__churned").cast("bigint").alias("n_events"),
+    )
+    w_all = Window.partitionBy()
+    w_prev = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = g.select(
+        "duration_days",
+        "n_events",
+        (
+            F.sum("__n_end").over(w_all)
+            - F.coalesce(F.sum("__n_end").over(w_prev), F.lit(0))
+        ).cast("bigint").alias("n_risk"),
+    )
+    # ln(0) is NULL in Spark and -inf in DuckDB — the all-churn terminal
+    # row (d == n) is handled explicitly: survival pins to exactly 0.0 from
+    # that duration on, and the ln-sum only ever sees d < n factors.
+    dead = F.max(
+        F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    ).over(w_cum)
+    factor = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_events").cast("double") / F.col("n_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    surv = risk.withColumn(
+        "survival",
+        F.when(dead > 0, F.lit(0.0)).otherwise(
+            F.round(F.exp(F.sum(factor).over(w_cum)), 4)
+        ),
+    )
+    return surv.filter(F.col("n_events") > 0).select(
+        "duration_days", "n_risk", "n_events", "survival"
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM1 — RFM customer segmentation (recency / frequency / monetary), the
+# classic CRM cut. Scores are assigned against exact interpolating QUARTILE
+# BOUNDARIES (percentile / quantile_cont twins) computed in one global
+# aggregate and broadcast back — NOT via a global ntile, which would be a
+# full sort of every customer through one reducer at scale; comparing
+# against 9 broadcast doubles is scan-stage. Integer metrics (days, count,
+# cents) make the boundary comparisons bit-identical cross-engine. The
+# reference date is the in-query corpus max order date (testdata drifts
+# between rounds; no wall-clock).
+# ---------------------------------------------------------------------------
+@query(
+    "rfm1_rfm_segments_customers",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey
+    ), q AS (
+      SELECT quantile_cont(r, [0.25, 0.5, 0.75]) AS qr,
+             quantile_cont(f, [0.25, 0.5, 0.75]) AS qf,
+             quantile_cont(m, [0.25, 0.5, 0.75]) AS qm
+      FROM rfm
+    )
+    SELECT CAST(1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT) + CAST(r > qr[3] AS INT) AS INT) AS r_score,
+           CAST(1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT) + CAST(f > qf[3] AS INT) AS INT) AS f_score,
+           CAST(1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT) + CAST(m > qm[3] AS INT) AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM rfm, q
+    GROUP BY 1, 2, 3
+    """,
+)
+def rfm1_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    mx = o.agg(F.to_date(F.max("o_orderdate")).alias("__mx"))
+    rfm = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.to_date(F.max("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).cast("bigint").alias("f"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff(F.col("__mx"), F.col("__last")).alias("r"), "f", "m"
+        )
+    )
+    q = rfm.agg(
+        F.percentile("r", F.lit([0.25, 0.5, 0.75])).alias("qr"),
+        F.percentile("f", F.lit([0.25, 0.5, 0.75])).alias("qf"),
+        F.percentile("m", F.lit([0.25, 0.5, 0.75])).alias("qm"),
+    )
+
+    def score(col: str, bounds: str):
+        return (
+            F.lit(1)
+            + (F.col(col) > F.element_at(bounds, 1)).cast("int")
+            + (F.col(col) > F.element_at(bounds, 2)).cast("int")
+            + (F.col(col) > F.element_at(bounds, 3)).cast("int")
+        ).cast("int")
+
+    return (
+        rfm.crossJoin(F.broadcast(q))
+        .select(
+            score("r", "qr").alias("r_score"),
+            score("f", "qf").alias("f_score"),
+            score("m", "qm").alias("m_score"),
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )

@@ -124,3 +124,32 @@ def test_pq_topk_recovers_planted_neighbors(spark):
         payload_cols=["vec_id"],
     ).collect()
     assert {r.vec_id for r in got} == {per + i for i in range(per)}
+
+
+def test_km1_matches_hand_computed_kaplan_meier(spark, tmp_path):
+    """Planted cohort with known KM table: durations {1,1,2,3,3} where the
+    2-day user is censored (last event inside the final-7-days horizon).
+    t=1: S = 1*(1-2/5) = 0.6 ; t=2: censored only, no row ; t=3: n_risk=2
+    (censoring removed the 2-day user from later risk sets), d=2, S=0."""
+    import datetime as dt
+
+    from agent_data_wrangler_spark.queryset import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(uid, day):
+        return (uid, base + dt.timedelta(days=day))
+
+    rows = [
+        ev(1, 0), ev(1, 1),        # churn, duration 1
+        ev(2, 0), ev(2, 1),        # churn, duration 1
+        ev(3, 25), ev(3, 27),      # duration 2, last >= max-7d -> CENSORED
+        ev(4, 0), ev(4, 3),        # churn, duration 3
+        ev(5, 10), ev(5, 13),      # churn, duration 3
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(
+        QUERIES["km1_survival_users_events"](spark, str(tmp_path)).collect()
+    )
+    assert [tuple(r) for r in got] == [(1, 5, 2, 0.6), (3, 2, 2, 0.0)]
