@@ -5322,3 +5322,185 @@ def rfm1_rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_score", "f_score", "m_score")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MK1 — first-order Markov transition matrix over per-user event sequences:
+# P(next event type | current) — the session-flow profile behind "what do
+# users do after a click". One window (partition user, order ts/event_id)
+# produces (from, to) pairs; counts are exact integers and the row
+# probability divides two integers (round 4). Scale: the window partitions
+# by user (no global sort); the transition matrix is |types|^2 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "mk1_markov_transitions_events",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events WHERE user_id IS NOT NULL
+    ), pairs AS (
+      SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE)
+                 / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS p
+    FROM pairs
+    """,
+)
+def mk1_markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "p",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from).cast("double"), 4
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AC1 — autocorrelation function of the hourly revenue series (lags 1, 2,
+# 3, 6, 12, 24): the seasonality detector that decides resampling and
+# forecasting granularity. The series is the ts1 spine (gap hours = 0) in
+# INTEGER CENTS; each lag pairs the series with itself via lead over the
+# ordered spine and correlates — identical integer inputs make corr agree
+# cross-engine to well past the 6-dp rounding (a7 precedent). Scale: every
+# window/corr here runs on the bounded post-agg hourly frame (|hours| rows,
+# set by the corpus date span — 720 at the bench SFs), not on raw events.
+# ---------------------------------------------------------------------------
+@query(
+    "ac1_autocorr_hourly_events",
+    oracle="""
+    WITH e AS (SELECT date_trunc('hour', ts) AS h,
+                      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    hourly AS (SELECT h, CAST(sum(cents) AS BIGINT) AS c FROM e GROUP BY 1),
+    bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+    spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM bounds),
+    series AS (
+      SELECT s.hour, coalesce(c, CAST(0 AS BIGINT)) AS c
+      FROM spine s LEFT JOIN hourly ON s.hour = hourly.h
+    ),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+    shifted AS (
+      SELECT l.lag, c,
+             lead(c, l.lag) OVER (PARTITION BY l.lag ORDER BY hour) AS c_next
+      FROM series, lags l
+    )
+    SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(c AS DOUBLE), CAST(c_next AS DOUBLE)), 6) AS acf
+    FROM shifted WHERE c_next IS NOT NULL GROUP BY lag
+    """,
+)
+def ac1_autocorr_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    hourly = ev.groupBy("h").agg(F.sum("cents").cast("bigint").alias("c"))
+    spine = ev.agg(F.min("h").alias("lo"), F.max("h").alias("hi")).select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    series = spine.join(hourly, spine.hour == hourly.h, "left").select(
+        "hour", F.coalesce(F.col("c"), F.lit(0).cast("bigint")).alias("c")
+    )
+    lags = spark.createDataFrame([(lg,) for lg in (1, 2, 3, 6, 12, 24)], "lag int")
+    # lead(c, lag) needs a constant offset, so per-row lags pair via a
+    # self-join on hour + lag hours instead — both sides are the bounded
+    # hourly frame, and the same rows the oracle's lead() selects.
+    a = series.crossJoin(lags).select("lag", "hour", F.col("c"))
+    b = series.select(F.col("hour").alias("hour_b"), F.col("c").alias("c_next"))
+    paired = a.join(
+        b,
+        F.col("hour_b")
+        == F.col("hour") + F.col("lag") * F.expr("interval 1 hour"),
+    )
+    return paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.corr(F.col("c").cast("double"), F.col("c_next").cast("double")), 6).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CU1 — CUSUM changepoint scan over daily order revenue: the largest
+# mean-shift candidates are the days maximizing |N·cumsum_t − t·total| —
+# the classic CUSUM statistic scaled by N (days) so it stays EXACT INTEGER
+# arithmetic end-to-end (no mean, no doubles; fits int64 through ~sf100 at
+# ~2400 days, ANSI mode errors loudly beyond). Scale: one shuffle to daily
+# partials; the cumulative window and the top-3 run on the |days| frame.
+# ---------------------------------------------------------------------------
+@query(
+    "cu1_changepoint_daily_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS total
+      FROM daily
+    ), cum AS (
+      SELECT day, n_days,
+             CAST(sum(cents) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+             total
+      FROM daily, tot
+    )
+    SELECT day, n_days,
+           CAST(abs(n_days * cs - t * total) AS BIGINT) AS abs_scaled_cusum
+    FROM cum
+    ORDER BY abs_scaled_cusum DESC, day ASC LIMIT 3
+    """,
+)
+def cu1_changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("total"),
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_rn = Window.orderBy("day")
+    cum = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n_days",
+        F.sum("cents").over(w_cum).cast("bigint").alias("cs"),
+        F.row_number().over(w_rn).cast("bigint").alias("t"),
+        "total",
+    )
+    return (
+        cum.select(
+            "day",
+            "n_days",
+            F.abs(
+                F.col("n_days") * F.col("cs") - F.col("t") * F.col("total")
+            ).cast("bigint").alias("abs_scaled_cusum"),
+        )
+        .orderBy(F.col("abs_scaled_cusum").desc(), F.col("day").asc())
+        .limit(3)
+    )

@@ -153,3 +153,50 @@ def test_km1_matches_hand_computed_kaplan_meier(spark, tmp_path):
         QUERIES["km1_survival_users_events"](spark, str(tmp_path)).collect()
     )
     assert [tuple(r) for r in got] == [(1, 5, 2, 0.6), (3, 2, 2, 0.0)]
+
+
+def test_cu1_finds_planted_mean_shift(spark, tmp_path):
+    """30 days of orders at 100.00/day, then 30 days at 200.00/day — the
+    scaled-CUSUM max must land exactly on the last low-regime day."""
+    import datetime as dt
+
+    from agent_data_wrangler_spark.queryset import QUERIES
+
+    base = dt.datetime(1995, 1, 1)
+    rows = []
+    for d in range(60):
+        price = 100.0 if d < 30 else 200.0
+        rows.append((d, d, "O", price, base + dt.timedelta(days=d), "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    got = QUERIES["cu1_changepoint_daily_orders"](spark, str(tmp_path)).collect()
+    assert got[0].day == dt.date(1995, 1, 30)  # day index 29: last 100.00 day
+    # |N*cs - t*total| at t=30: |60*3000_00*... | exact integer check
+    assert got[0].abs_scaled_cusum == abs(60 * 30 * 10000 - 30 * (30 * 10000 + 30 * 20000))
+
+
+def test_mk1_hand_computed_transitions(spark, tmp_path):
+    import datetime as dt
+
+    from agent_data_wrangler_spark.queryset import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    seq = [  # user 1: a->b->a ; user 2: a->b
+        (1, 1, "a", 0), (2, 1, "b", 1), (3, 1, "a", 2),
+        (4, 2, "a", 0), (5, 2, "b", 1),
+    ]
+    rows = [
+        (eid, base + dt.timedelta(hours=h), uid, et, 1.0, "{}")
+        for eid, uid, et, h in seq
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p)
+        for r in QUERIES["mk1_markov_transitions_events"](spark, str(tmp_path)).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
