@@ -110,7 +110,8 @@ def _staged_events(spark: SparkSession, sf_dir: str) -> tuple[str, StructType]:
 
 
 def _drain_to_table(
-    spark: SparkSession, stream_df: DataFrame, prefix: str, *, partitions: int = 4
+    spark: SparkSession, stream_df: DataFrame, prefix: str, *, partitions: int = 4,
+    no_data_batch: bool = False,
 ) -> DataFrame:
     """AvailableNow-drain a streaming frame into a uniquely-named memory table
     (fresh checkpoint per call so replays within one session re-process).
@@ -130,7 +131,9 @@ def _drain_to_table(
     mode) or emits on arrival (append dedup, inner interval join) with a
     365-day watermark nothing ever crosses, so the extra batch is pure
     fixed cost (~0.7s on the two-sided st7). Oracle parity pins that
-    results are unchanged.
+    results are unchanged. EXCEPTION: outer stream-stream joins emit their
+    unmatched rows only when the trailing no-data batch advances the
+    watermark — those callers pass ``no_data_batch=True`` (st9).
     """
     from agent_data_wrangler_spark.streaming import run_available_now
 
@@ -139,7 +142,10 @@ def _drain_to_table(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    spark.conf.set(
+        "spark.sql.streaming.noDataMicroBatches.enabled",
+        "true" if no_data_batch else "false",
+    )
     try:
         run_available_now(stream_df, name, ckpt)
     finally:
@@ -3658,3 +3664,77 @@ def pq1_pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "embedding", QUERY_VEC, k=10, payload_cols=["vec_id"]
     )
     return _ann_verdict(e, ann)
+
+
+# ---------------------------------------------------------------------------
+# ST9 — stream-stream LEFT OUTER interval join: click → purchase within 1
+# hour, PLUS a null-purchase row for every click whose window expired — the
+# abandoned-cart shape and the hard state-eviction case (st7 is the inner
+# half). Emission semantics are watermark-governed and pinned by a
+# controlled-cohort unit: unmatched clicks emit only once the GLOBAL
+# watermark (min over both sides' max event time, minus the 1-minute
+# delay) passes STRICTLY beyond click_ts + 1 hour; later clicks stay
+# pending in state. The oracle reproduces exactly that rule in SQL —
+# matched pairs are the plain batch interval join, expired clicks are the
+# anti-joined clicks whose bound clears the computed watermark. The drain
+# keeps the trailing no-data batch (no_data_batch=True) because that batch
+# IS what advances the watermark and flushes the final unmatched rows.
+# ---------------------------------------------------------------------------
+@query(
+    "st9_stream_outer_join_events",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id AS pu, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least(max(CASE WHEN event_type = 'click' THEN ts END),
+                        max(CASE WHEN event_type = 'purchase' THEN ts END))
+                  - INTERVAL 1 MINUTE AS w
+           FROM events),
+    matched AS (
+      SELECT c.user_id FROM c JOIN p ON c.user_id = p.pu
+       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR
+    ),
+    expired AS (
+      SELECT c.user_id FROM c, wm
+      WHERE c.c_ts + INTERVAL 1 HOUR < wm.w
+        AND NOT EXISTS (SELECT 1 FROM p WHERE p.pu = c.user_id
+                        AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+    ),
+    emits AS (
+      SELECT user_id, 1 AS is_match FROM matched
+      UNION ALL
+      SELECT user_id, 0 AS is_match FROM expired
+    )
+    SELECT user_id, CAST(sum(is_match) AS BIGINT) AS n_pairs,
+           CAST(sum(1 - is_match) AS BIGINT) AS n_expired
+    FROM emits GROUP BY user_id
+    """,
+)
+def st9_stream_outer_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.streaming import (
+        stream_from_directory,
+        stream_interval_join_outer,
+    )
+
+    staged, schema = _staged_events(spark, sf_dir)
+    clicks = (
+        stream_from_directory(spark, staged, schema)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    purchases = (
+        stream_from_directory(spark, staged, schema)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    )
+    joined = stream_interval_join_outer(
+        clicks, purchases, [("c_user", "p_user")],
+        left_time="c_ts", right_time="p_ts",
+        max_delay="1 HOUR", watermark="1 minute",
+    )
+    out = _drain_to_table(spark, joined, "st9_out", no_data_batch=True)
+    return out.groupBy(F.col("c_user").alias("user_id")).agg(
+        F.count("p_ts").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_expired"),
+    )

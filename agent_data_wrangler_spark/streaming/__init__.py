@@ -10,6 +10,7 @@ from agent_data_wrangler_spark.streaming.ops import (
     sessionize_stateful,
     stream_from_directory,
     stream_interval_join,
+    stream_interval_join_outer,
     windowed_agg,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "sessionize_stateful",
     "stream_from_directory",
     "stream_interval_join",
+    "stream_interval_join_outer",
     "windowed_agg",
 ]

@@ -265,3 +265,55 @@ def stream_interval_join(
         & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {max_delay}"))
     )
     return l.join(r, cond, "inner")
+
+
+def stream_interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[tuple[str, str]],
+    *,
+    left_time: str,
+    right_time: str,
+    max_delay: str,
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with an event-time bound: like
+    :func:`stream_interval_join`, plus a NULL-right row for every left row
+    whose join window closed without a match — the abandoned-cart /
+    request-without-response shape, and the hard state-eviction case.
+
+    Emission semantics (pinned by tests/test_round6c_ops.py against a
+    controlled cohort, and relied on by the st9 oracle):
+
+    - matched pairs emit on arrival, exactly like the inner join;
+    - an unmatched left row emits (with NULL right columns) only once the
+      GLOBAL watermark passes STRICTLY beyond ``left_time + max_delay``;
+      the global watermark is the MIN across both inputs
+      (spark.sql.streaming.multipleWatermarkPolicy default), i.e.
+      ``min(max seen left_time, max seen right_time) - watermark``;
+    - left rows whose bound has not been passed stay PENDING in the state
+      store (a later run against the same checkpoint emits them when new
+      data advances the watermark) — they are not lost, just not yet due;
+    - the final flush happens in AvailableNow's trailing no-data batch, so
+      the drain MUST keep ``noDataMicroBatches`` enabled (pass
+      ``no_data_batch=True`` to the drain helper) — with it disabled the
+      watermark never advances past the last data batch and no unmatched
+      row ever emits.
+
+    Keep ``watermark`` small for outer joins: it is pure emission latency —
+    every extra minute of delay widens the never-flushed tail.
+    """
+    if not on:
+        raise ValueError("stream_interval_join_outer requires at least one key pair")
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = None
+    for lc, rc in on:
+        eq = l[lc] == r[rc]
+        cond = eq if cond is None else (cond & eq)
+    cond = (
+        cond
+        & (r[right_time] >= l[left_time])
+        & (r[right_time] <= l[left_time] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l.join(r, cond, "leftOuter")

@@ -200,3 +200,46 @@ def test_mk1_hand_computed_transitions(spark, tmp_path):
         for r in QUERIES["mk1_markov_transitions_events"](spark, str(tmp_path)).collect()
     }
     assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_stream_outer_join_eviction_semantics(spark, tmp_path):
+    """Pins the emission rule st9's oracle encodes: with the global
+    watermark W = min(per-side max event time) - delay, an unmatched left
+    row emits iff left_ts + max_delay < W (STRICT); the boundary row and
+    everything later stays pending in state. Matched pairs always emit."""
+    import datetime as dt
+
+    from agent_data_wrangler_spark.streaming import (
+        run_available_now,
+        stream_interval_join_outer,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    clicks = [
+        (0, base - dt.timedelta(hours=2)),  # bound 23:00 prev day < W -> expired row
+        (1, base),                          # bound 01:00 == W -> pending (strict)
+        (2, base + dt.timedelta(minutes=1)),  # matched -> emits regardless
+        (9, base + dt.timedelta(hours=10)),   # far future -> pending
+    ]
+    purchases = [
+        (2, base + dt.timedelta(minutes=2)),
+        (99, base + dt.timedelta(hours=1, minutes=1)),  # sets right max: W = 01:00
+    ]
+    cdir, pdir = str(tmp_path / "c"), str(tmp_path / "p")
+    spark.createDataFrame(clicks, "c_user bigint, c_ts timestamp").write.parquet(cdir)
+    spark.createDataFrame(purchases, "p_user bigint, p_ts timestamp").write.parquet(pdir)
+    cs = spark.readStream.schema("c_user bigint, c_ts timestamp").parquet(cdir)
+    ps = spark.readStream.schema("p_user bigint, p_ts timestamp").parquet(pdir)
+    joined = stream_interval_join_outer(
+        cs, ps, [("c_user", "p_user")],
+        left_time="c_ts", right_time="p_ts",
+        max_delay="1 HOUR", watermark="1 minute",
+    )
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+    try:
+        run_available_now(joined, "oj_sem", str(tmp_path / "ckpt"))
+    finally:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prev)
+    got = {(r.c_user, r.p_user) for r in spark.table("oj_sem").collect()}
+    assert got == {(0, None), (2, 2)}
