@@ -5504,3 +5504,195 @@ def cu1_changepoint_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_scaled_cusum").desc(), F.col("day").asc())
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------------------
+# UP1 — UNPIVOT (melt): the wide→long reshape that is pivot's (pv1) inverse
+# and the missing half of any reporting layer. A per-priority aggregate
+# with three metric columns melts into (priority, metric, value) rows via
+# the native DataFrame unpivot — a zero-shuffle Expand over the bounded
+# aggregate, never over raw orders. Values are integer cents so the
+# long-form rows hash identically cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "up1_unpivot_order_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderpriority AS priority,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+             CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS max_cents
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (n_orders, total_cents, max_cents))
+    """,
+)
+def up1_unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    wide = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(cents).cast("bigint").alias("total_cents"),
+        F.max(cents).cast("bigint").alias("max_cents"),
+    )
+    return wide.unpivot(
+        ids=["priority"],
+        values=["n_orders", "total_cents", "max_cents"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# GP1 — gaps-and-islands over the event-id sequence: find the contiguous
+# runs (islands) that remain after a deterministic retention filter drops
+# every 97th id — the classic id − row_number() grouping trick, the shape
+# behind missing-record audits and contiguity checks. The grouping key is
+# exact integer arithmetic; the row_number window orders by the id itself.
+# Scale note: the single global row_number is the textbook form; at real
+# scale the same key is computed with windows.distributed_prefix_sum (the
+# pk1/ks1 machinery) — here the audit output (top-10 longest islands)
+# bounds what ships to the driver, not what shuffles.
+# ---------------------------------------------------------------------------
+@query(
+    "gp1_gaps_islands_events",
+    oracle="""
+    WITH kept AS (
+      SELECT event_id FROM events WHERE event_id % 97 <> 0
+    ), grp AS (
+      SELECT event_id,
+             event_id - row_number() OVER (ORDER BY event_id) AS g
+      FROM kept
+    )
+    SELECT CAST(min(event_id) AS BIGINT) AS island_start,
+           CAST(max(event_id) AS BIGINT) AS island_end,
+           CAST(count(*) AS BIGINT) AS island_len
+    FROM grp GROUP BY g
+    ORDER BY island_len DESC, island_start ASC LIMIT 10
+    """,
+)
+def gp1_gaps_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("event_id") % 97 != 0)
+    w = Window.orderBy("event_id")
+    grp = e.select(
+        "event_id", (F.col("event_id") - F.row_number().over(w)).alias("g")
+    )
+    return (
+        grp.groupBy("g")
+        .agg(
+            F.min("event_id").cast("bigint").alias("island_start"),
+            F.max("event_id").cast("bigint").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+        .drop("g")
+        .orderBy(F.col("island_len").desc(), F.col("island_start").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# WQ1 — distribution-rank window functions (percent_rank + cume_dist) of
+# order totals within priority: the relative-standing statistics the rank/
+# ntile family (w1/nt1) does not cover. Ranks run on integer cents (exact
+# ties), the emitted fractions divide two integers (round 6), and the
+# output is bounded to each priority's top-5 by percent_rank with cents as
+# tie-break. Scale: one window partitioned by priority, top-k via
+# WindowGroupLimit pushdown (tk1 lesson).
+# ---------------------------------------------------------------------------
+@query(
+    "wq1_rank_distribution_orders",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             round(percent_rank() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)), 6) AS pr,
+             round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)), 6) AS cd,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                         o_orderkey ASC) AS rk
+      FROM orders
+    )
+    SELECT priority, cents, pr, cd FROM ranked WHERE rk <= 5
+    """,
+)
+def wq1_rank_distribution_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        "o_orderkey",
+    )
+    w_asc = Window.partitionBy("priority").orderBy(F.col("cents").asc())
+    w_top = Window.partitionBy("priority").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.select(
+            "priority",
+            "cents",
+            F.round(F.percent_rank().over(w_asc), 6).alias("pr"),
+            F.round(F.cume_dist().over(w_asc), 6).alias("cd"),
+            F.row_number().over(w_top).alias("__rk"),
+        )
+        .filter(F.col("__rk") <= 5)
+        .select("priority", "cents", "pr", "cd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AT1 — last-touch revenue attribution: each purchase's value (cents)
+# credits the user's most recent PRECEDING non-purchase event type — the
+# marketing-channel attribution shape. One per-user window with
+# last(..., ignorenulls) over the preceding frame (the ts2 IGNORE NULLS
+# bridge); purchases with no preceding touch attribute to 'direct'.
+# Exact integer cents; ties in ts broken by event_id.
+# ---------------------------------------------------------------------------
+@query(
+    "at1_last_touch_attribution_events",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM events WHERE user_id IS NOT NULL
+    )
+    SELECT coalesce(touch, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS revenue_cents
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def at1_last_touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w).alias("touch"),
+    )
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+    )
