@@ -966,6 +966,8 @@ def near_dup_pairs_prefix(
     Output: (id_a, id_b, jaccard) with J >= threshold — identical to
     :func:`near_dup_pairs_exact` at the same (k, threshold).
     """
+    from pyspark import StorageLevel
+
     sh = (
         shingles_df
         if shingles_df is not None
@@ -1015,7 +1017,13 @@ def near_dup_pairs_prefix(
         )
         .select("id_a", "id_b")
         .distinct()
+        # Same stage-boundary materialization as the minhash/exact paths:
+        # the verify stage reads the candidate frame three times, and
+        # without it the df-count + sort + prefix self-join all re-run per
+        # read (measured 3x on ss1).
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    cand.count()
     return jaccard_verify(
         df, cand, id_col, text_col, k=k, threshold=threshold, shingles_df=sh
     )

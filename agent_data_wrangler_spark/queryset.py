@@ -5696,3 +5696,64 @@ def at1_last_touch_attribution_events(spark: SparkSession, sf_dir: str) -> DataF
             F.sum("cents").cast("bigint").alias("revenue_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HQ1 — mergeable histogram-quantile rollup: per-day fixed-width bin
+# counts of order totals (the deterministic cousin of a t-digest) merged
+# into weekly sketches, from which the median is read off the cumulative
+# bin counts. This is the quantile half of the mergeable-sketch story hs1
+# tells for distinct counts: daily partials are |bins|-sized, merging is
+# an associative count-sum (groupBy week+bin), and the final quantile
+# read is a window over ≤|bins| rows per week — yesterday's sketch never
+# re-scans yesterday's orders. Bin width $100 on exact integer cents, so
+# both engines bin identically; the estimate reported is the bin's lower
+# bound in whole dollars (deterministic, resolution = the bin width).
+# ---------------------------------------------------------------------------
+@query(
+    "hq1_histogram_median_rollup_orders",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS wk,
+             CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT) / 10000)
+                  AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), cum AS (
+      SELECT wk, bin, cnt,
+             sum(cnt) OVER (PARTITION BY wk ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY wk) AS total
+      FROM daily
+    )
+    SELECT wk,
+           CAST(min(CASE WHEN cum * 2 >= total THEN bin END) * 100 AS BIGINT)
+             AS median_bin_dollars,
+           CAST(max(total) AS BIGINT) AS n_orders
+    FROM cum GROUP BY wk
+    """,
+)
+def hq1_histogram_median_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    daily = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+        F.floor(cents / 10000).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.partitionBy("wk").orderBy("bin")
+    w_tot = Window.partitionBy("wk")
+    cum = daily.select(
+        "wk",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+    return cum.groupBy("wk").agg(
+        (
+            F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin"))) * 100
+        )
+        .cast("bigint")
+        .alias("median_bin_dollars"),
+        F.max("total").cast("bigint").alias("n_orders"),
+    )

@@ -3738,3 +3738,67 @@ def st9_stream_outer_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_expired"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SG1 — skip-gram co-occurrence pair extraction (word2vec-style training
+# prep): for every token, pair it with the next WINDOW tokens in the same
+# document and count directed pairs corpus-wide. The pair list is built as
+# a pure nested-array expression inside the scan stage (flatten over an
+# index sequence — the bp1 pattern one level up), so nothing shuffles
+# until the |vocab²∩observed|-sized pair counts; per-doc work is
+# O(tokens × WINDOW), linear in corpus bytes.
+# Hazard pinned: F.sequence(1, 0) is DESCENDING in Spark, so both the
+# outer (docs with <2 tokens) and inner (tail positions) sequences are
+# range-guarded exactly as bp1 does for characters.
+# ---------------------------------------------------------------------------
+_SG_WINDOW = 2
+
+@query(
+    "sg1_skipgram_pairs_documents",
+    oracle=f"""
+    WITH docpairs AS (
+      SELECT flatten(
+               list_transform(
+                 generate_series(1, len(toks) - 1),
+                 i -> list_transform(
+                        generate_series(i + 1, least(i + {_SG_WINDOW}, len(toks))),
+                        j -> toks[i] || ' ' || toks[j])))
+             AS pairs
+      FROM (SELECT {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 2
+    )
+    SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(pairs) AS pair FROM docpairs)
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 30
+    """,
+)
+def sg1_skipgram_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    # Bind the token array once as a projected column (the qz1 lesson:
+    # expressions referenced inside transform lambdas are inlined per
+    # element — re-tokenizing every row O(tokens) times).
+    dd = d.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(i + 1, F.least(i + F.lit(_SG_WINDOW), n)),
+                    lambda j: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, j)
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        dd.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(30)
+    )
