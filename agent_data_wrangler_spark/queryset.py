@@ -5757,3 +5757,164 @@ def hq1_histogram_median_rollup_orders(spark: SparkSession, sf_dir: str) -> Data
         .alias("median_bin_dollars"),
         F.max("total").cast("bigint").alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IN1 — per-user LINEAR TIME-INTERPOLATION of missing values: the numeric
+# complement to ts2's ffill/bfill — each interior null draws the line
+# between its nearest non-null neighbors, weighted by actual event-time
+# position (epoch micros as exact integers, so both engines compute the
+# same IEEE doubles). Leading/trailing nulls are unfillable and counted,
+# not invented. Two frame-bounded windows per user (preceding last +
+# following first, IGNORE NULLS); equal-timestamp neighbors fall back to
+# the midpoint rather than dividing by zero (ANSI mode makes that an
+# error, not a NaN). Output is an order-free integer aggregate: each
+# interpolated value rounds to cents BEFORE the sum, so the total is
+# permutation-invariant across partitions.
+# ---------------------------------------------------------------------------
+@query(
+    "in1_linear_interpolate_events",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, value,
+             epoch_us(ts) AS t,
+             last_value(value IGNORE NULLS) OVER w_prev AS pv,
+             last_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w_prev AS pt,
+             first_value(value IGNORE NULLS) OVER w_next AS nv,
+             first_value(CASE WHEN value IS NOT NULL THEN epoch_us(ts) END
+                         IGNORE NULLS) OVER w_next AS nt
+      FROM events WHERE user_id IS NOT NULL
+      WINDOW
+        w_prev AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        w_next AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ), interp AS (
+      SELECT event_type,
+             CASE WHEN value IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+                  THEN CASE WHEN nt = pt THEN (pv + nv) / 2.0
+                            ELSE pv + (nv - pv) * (CAST(t - pt AS DOUBLE)
+                                                   / CAST(nt - pt AS DOUBLE))
+                       END
+             END AS iv,
+             (value IS NULL AND (pv IS NULL OR nv IS NULL)) AS unfillable
+      FROM seq
+    )
+    SELECT event_type,
+           CAST(count(iv) AS BIGINT) AS n_interpolated,
+           CAST(sum(CAST(round(iv * 100) AS BIGINT)) AS BIGINT) AS interp_cents,
+           CAST(sum(CASE WHEN unfillable THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unfillable
+    FROM interp GROUP BY event_type
+    """,
+)
+def in1_linear_interpolate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t = F.unix_micros(F.col("ts"))
+    t_nn = F.when(F.col("value").isNotNull(), t)
+    seq = e.select(
+        "event_type",
+        "value",
+        t.alias("t"),
+        F.last("value", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(t_nn, ignorenulls=True).over(w_prev).alias("pt"),
+        F.first("value", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(t_nn, ignorenulls=True).over(w_next).alias("nt"),
+    )
+    both = F.col("value").isNull() & F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    iv = F.when(
+        both,
+        F.when(F.col("nt") == F.col("pt"), (F.col("pv") + F.col("nv")) / 2.0).otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (
+                (F.col("t") - F.col("pt")).cast("double")
+                / (F.col("nt") - F.col("pt")).cast("double")
+            )
+        ),
+    )
+    unfillable = F.col("value").isNull() & (
+        F.col("pv").isNull() | F.col("nv").isNull()
+    )
+    return (
+        seq.select("event_type", iv.alias("iv"), unfillable.alias("unfillable"))
+        .groupBy("event_type")
+        .agg(
+            F.count("iv").cast("bigint").alias("n_interpolated"),
+            F.sum(F.round(F.col("iv") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("interp_cents"),
+            F.sum(F.when(F.col("unfillable"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unfillable"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OH1 — OHLC bar aggregation (open/high/low/close per event_type × hour):
+# the finance/telemetry candlestick shape, and the min_by/max_by ("first
+# and last by time, exactly") aggregate family the window tier doesn't
+# cover — one hash aggregate, no window, no second shuffle. Open/close
+# need a TOTAL order to be deterministic under ties, and both engines'
+# argmin aggregates take only scalar keys, so the order key is a
+# zero-padded epoch-micros‖event_id string (lexicographic == numeric,
+# collision-free because event_id is unique). All prices are exact
+# integer cents.
+# ---------------------------------------------------------------------------
+@query(
+    "oh1_ohlc_hourly_events",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+           arg_min(cents, k) AS open_cents,
+           CAST(max(cents) AS BIGINT) AS high_cents,
+           CAST(min(cents) AS BIGINT) AS low_cents,
+           arg_max(cents, k) AS close_cents,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM (
+      SELECT event_type, ts,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events WHERE value IS NOT NULL
+    )
+    GROUP BY 1, 2
+    """,
+)
+def oh1_ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    k = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hr"),
+            cents.alias("cents"),
+            k.alias("k"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(
+            F.min_by("cents", "k").alias("open_cents"),
+            F.max("cents").cast("bigint").alias("high_cents"),
+            F.min("cents").cast("bigint").alias("low_cents"),
+            F.max_by("cents", "k").alias("close_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        )
+    )

@@ -3802,3 +3802,103 @@ def sg1_skipgram_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# PM1 — PMI collocation scoring: the statistical layer on top of sg1's
+# raw pair counts — rank adjacent-token bigrams by pointwise mutual
+# information ln(p(a,b) / (p(a)·p(b))), the classic phrase-detection /
+# collocation-mining step of a tokenizer-and-vocab pipeline (word2phrase).
+# All probabilities derive from exact integer counts (bigrams over
+# N_pairs, unigrams over N_tokens), so both engines compute identical
+# doubles; a min-count floor (>=5) drops the unstable long tail. The
+# unigram frame is broadcast into both lookups — at web scale |vocab| is
+# millions of rows against trillions of bigram tokens, the canonical
+# broadcast shape; totals ride along as 1-row broadcast crossJoins.
+# ---------------------------------------------------------------------------
+@query(
+    "pm1_pmi_collocations_documents",
+    oracle=f"""
+    WITH toks AS (SELECT {_DUCK_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c1
+      FROM (SELECT unnest(toks) AS tok FROM toks) GROUP BY tok
+    ),
+    n_tok AS (SELECT CAST(sum(c1) AS BIGINT) AS nt FROM uni),
+    big AS (
+      SELECT pair, CAST(count(*) AS BIGINT) AS c2
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])) AS pair
+        FROM toks WHERE len(toks) >= 2
+      ) GROUP BY pair
+    ),
+    n_pair AS (SELECT CAST(sum(c2) AS BIGINT) AS np FROM big)
+    SELECT pair, c2 AS n_pair,
+           round(ln((CAST(c2 AS DOUBLE) / np)
+                    / ((CAST(a.c1 AS DOUBLE) / nt)
+                       * (CAST(b.c1 AS DOUBLE) / nt))), 6) AS pmi
+    FROM big, n_pair, n_tok
+    JOIN uni a ON a.tok = split_part(pair, ' ', 1)
+    JOIN uni b ON b.tok = split_part(pair, ' ', 2)
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, pair ASC LIMIT 20
+    """,
+)
+def pm1_pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    dd = d.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    uni = (
+        dd.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        dd.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c2"))
+        .filter(F.col("c2") >= 5)
+    )
+    n_tok = uni.agg(F.sum("c1").cast("bigint").alias("nt"))
+    n_pair_tot = (
+        dd.select(F.explode(pairs).alias("pair"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("np"))
+    )
+    a = uni.select(F.col("tok").alias("__ta"), F.col("c1").alias("__ca"))
+    b = uni.select(F.col("tok").alias("__tb"), F.col("c1").alias("__cb"))
+    scored = (
+        big.withColumn("__ta", F.split_part(F.col("pair"), F.lit(" "), F.lit(1)))
+        .withColumn("__tb", F.split_part(F.col("pair"), F.lit(" "), F.lit(2)))
+        .join(F.broadcast(a), "__ta")
+        .join(F.broadcast(b), "__tb")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair_tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c2").cast("double") / F.col("np"))
+            / (
+                (F.col("__ca").cast("double") / F.col("nt"))
+                * (F.col("__cb").cast("double") / F.col("nt"))
+            )
+        ),
+        6,
+    )
+    return (
+        scored.select(
+            "pair", F.col("c2").alias("n_pair"), pmi.alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), F.col("pair").asc())
+        .limit(20)
+    )
