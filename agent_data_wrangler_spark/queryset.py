@@ -5918,3 +5918,296 @@ def oh1_ohlc_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIT1 — point-in-time (SCD2) dimension lookup: the probe-side complement to
+# cd2 (which BUILDS the versioned dim). The dim here is derived in-query:
+# each customer's order dates partition time into half-open versions
+# [valid_from, next_from) carrying the priority of that date's latest order
+# (max_by o_orderkey — deterministic under same-date ties). Every lineitem
+# then resolves the version valid at its SHIP date. The join is an EQUI join
+# on custkey with the interval predicate as a residual filter — NOT a range
+# join: versions-per-key is small (≈ orders per customer), so the bounded
+# fan-out-then-filter is the standard SCD2 probe shape and shuffles only on
+# the key. At 100 TB the dim stays |orders|-sized and the equi-shuffle
+# dominates; no pair explosion is possible beyond the per-key version count.
+# ---------------------------------------------------------------------------
+@query(
+    "pit1_point_in_time_priority",
+    oracle="""
+    WITH v0 AS (
+      SELECT o_custkey, o_orderdate,
+             arg_max(o_orderpriority, o_orderkey) AS prio
+      FROM orders GROUP BY 1, 2
+    ), dim AS (
+      SELECT o_custkey, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate) AS valid_until,
+             prio
+      FROM v0
+    ), fact AS (
+      SELECT o_custkey AS custkey, l_shipdate AS ship_ts,
+             CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS rev_cents
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT prio AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(rev_cents) AS BIGINT) AS revenue_cents
+    FROM fact JOIN dim ON custkey = o_custkey
+      AND ship_ts >= valid_from
+      AND (valid_until IS NULL OR ship_ts < valid_until)
+    GROUP BY 1
+    """,
+)
+def pit1_point_in_time_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    v0 = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("prio")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    dim = v0.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_until"),
+        "prio",
+    )
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("l_shipdate").alias("ship_ts"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    joined = fact.join(
+        dim,
+        (fact.custkey == dim.o_custkey)
+        & (fact.ship_ts >= dim.valid_from)
+        & (dim.valid_until.isNull() | (fact.ship_ts < dim.valid_until)),
+    )
+    return joined.groupBy(F.col("prio").alias("priority_at_ship")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("rev_cents").cast("bigint").alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# AL1 — largest-remainder proportional allocation: distribute each order's
+# header total across its lineitems proportionally to quantity such that the
+# allocated cents SUM EXACTLY to the header total (the invoice/ledger
+# reconciliation shape — naive pro-rata rounding drifts by ±n/2 cents per
+# order and fails audit). Everything is exact int64: base share =
+# floor(total*qty/sumq), the per-order shortfall R = total − Σbase cents go
+# to the R rows with the largest integer remainder (total*qty mod sumq),
+# ties broken by line number. total*qty ≤ ~5.5e7 × 50 — int64-safe through
+# sf100+ (ANSI mode would make any overflow a hard error, not a wrap).
+# Three windows over the same l_orderkey partition → ONE shuffle, one sort.
+# ---------------------------------------------------------------------------
+@query(
+    "al1_allocate_order_totals",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS qty,
+             (SELECT CAST(round(o.o_totalprice * 100) AS BIGINT)
+              FROM orders o WHERE o.o_orderkey = l_orderkey) AS total_cents
+      FROM lineitem
+    ), shares AS (
+      SELECT l_returnflag,
+             total_cents * qty AS num,
+             sum(qty) OVER (PARTITION BY l_orderkey) AS sumq,
+             l_orderkey, l_linenumber, total_cents
+      FROM li
+    ), based AS (
+      SELECT l_returnflag, l_orderkey, total_cents,
+             num // sumq AS base,
+             num % sumq AS rem,
+             l_linenumber
+      FROM shares
+    ), ranked AS (
+      SELECT l_returnflag,
+             base,
+             total_cents - sum(base) OVER (PARTITION BY l_orderkey) AS shortfall,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY rem DESC, l_linenumber) AS rn
+      FROM based
+    )
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(base + CASE WHEN rn <= shortfall THEN 1 ELSE 0 END)
+                AS BIGINT) AS alloc_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def al1_allocate_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+    )
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "qty", "total_cents"
+    )
+    w_ord = Window.partitionBy("l_orderkey")
+    num = F.col("total_cents") * F.col("qty")
+    shares = j.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        num.alias("num"),
+        F.sum("qty").over(w_ord).alias("sumq"),
+    )
+    based = shares.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        # `div` is exact int64 division — float `/`-then-cast can mis-floor
+        # when the true quotient rounds up to the next integer in double.
+        F.expr("num div sumq").alias("base"),
+        (F.col("num") % F.col("sumq")).alias("rem"),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.col("rem").desc(), F.col("l_linenumber").asc()
+    )
+    ranked = based.select(
+        "l_returnflag",
+        "base",
+        (F.col("total_cents") - F.sum("base").over(w_ord)).alias("shortfall"),
+        F.row_number().over(w_rank).alias("rn"),
+    )
+    alloc = F.col("base") + F.when(F.col("rn") <= F.col("shortfall"), 1).otherwise(0)
+    return ranked.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(alloc).cast("bigint").alias("alloc_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WM1 — exact WEIGHTED median: the weighted complement of qt1's per-group
+# exact quantiles — each price counts with its quantity weight (the "median
+# unit economics" shape; percentile_cont can't take weights in either
+# engine). Two-level reduction keeps the window small: first aggregate to
+# distinct (flag, cents) with summed weight — collapsing ties also makes
+# the answer independent of intra-value row order — then one cumulative
+# window over the |distinct-values| frame picks the least value whose
+# cumulative weight reaches half the total. All arithmetic is int64; the
+# "2*cum >= total" form avoids any division. Scale: the window input is
+# |distinct prices per flag|, not |lineitem| — the raw table is reduced by
+# a hash aggregate before the only sort.
+# ---------------------------------------------------------------------------
+@query(
+    "wm1_weighted_median_price",
+    oracle="""
+    WITH byval AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, cents,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY cents) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS total
+      FROM byval
+    )
+    SELECT l_returnflag,
+           CAST(min(CASE WHEN cw * 2 >= total THEN cents END) AS BIGINT)
+             AS weighted_median_cents,
+           CAST(max(total) AS BIGINT) AS total_weight
+    FROM cum GROUP BY 1
+    """,
+)
+def wm1_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    byval = li.groupBy(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    ).agg(F.sum(F.round(F.col("l_quantity")).cast("bigint")).cast("bigint").alias("w"))
+    w_cum = Window.partitionBy("l_returnflag").orderBy("cents")
+    w_tot = Window.partitionBy("l_returnflag")
+    cum = byval.select(
+        "l_returnflag",
+        "cents",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("total"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(F.col("cw") * 2 >= F.col("total"), F.col("cents")))
+        .cast("bigint")
+        .alias("weighted_median_cents"),
+        F.max("total").cast("bigint").alias("total_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GD1 — golden-record survivorship (MDM consolidation): collapse each user's
+# event history to one record where each field independently keeps its best
+# surviving value under a priority-then-recency rule — 'purchase' events
+# outrank all others as a value source, and within a priority tier the
+# latest (ts, event_id) wins; NULL values never win (per-field null-skip is
+# what separates survivorship from a plain argmax). The rule compiles to a
+# single scalar sort key — priority digit ‖ zero-padded epoch-micros ‖
+# zero-padded event_id (lexicographic == (priority, time, id) by
+# construction, collision-free since event_id is unique) — fed to
+# max_by/arg_max with a NULL key for non-surviving rows, which both engines
+# skip. ONE hash aggregate over user_id, no window, no join, no second
+# shuffle; at 100 TB this is a straight map-side-combine reduction.
+# ---------------------------------------------------------------------------
+@query(
+    "gd1_golden_record_users",
+    oracle="""
+    SELECT user_id,
+           arg_max(CAST(round(value * 100) AS BIGINT),
+                   CASE WHEN value IS NOT NULL THEN k END)
+             AS golden_value_cents,
+           arg_max(event_type, CASE WHEN value IS NOT NULL THEN k END)
+             AS golden_value_source,
+           CAST(min(ts) AS TIMESTAMP) AS first_seen,
+           CAST(max(ts) AS TIMESTAMP) AS last_seen,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id, value, ts, event_type,
+             CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END
+               || lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS k
+      FROM events WHERE user_id IS NOT NULL
+    )
+    GROUP BY user_id
+    """,
+)
+def gd1_golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    k = F.concat(
+        F.when(F.col("event_type") == "purchase", F.lit("1")).otherwise(F.lit("0")),
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    k_nn = F.when(F.col("value").isNotNull(), k)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        e.select("user_id", "ts", "event_type", cents.alias("cents"), k_nn.alias("k"))
+        .groupBy("user_id")
+        .agg(
+            F.max_by("cents", "k").alias("golden_value_cents"),
+            F.max_by("event_type", "k").alias("golden_value_source"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
