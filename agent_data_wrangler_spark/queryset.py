@@ -6211,3 +6211,160 @@ def gd1_golden_record_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC1 — Pareto / ABC classification (inventory analytics): rank parts by
+# revenue descending and bucket them by cumulative revenue share (A <= 80%,
+# B <= 95%, C = tail). The global cumulative sum is the classic
+# single-reducer trap — a plain ORDER BY window funnels every part through
+# one task — so the Spark side runs windows.distributed_prefix_sums ordered
+# by negative revenue (bucket partials + broadcast offsets: every stage
+# |parts|-parallel). Tie order within equal revenues is engine-arbitrary,
+# but tied parts contribute IDENTICAL values to the running sum, so the
+# cumulative multiset — and therefore every class-level aggregate emitted
+# here — is tie-order invariant; the oracle can use a plain deterministic
+# window. Class boundaries are exact integer comparisons (cum*5 <= total*4,
+# cum*20 <= total*19): no float share ever decides a boundary. int64
+# headroom: total ~1.2e13 cents at sf1, *20 overflows only past ~sf40000
+# (ANSI mode would make that a hard error, not a wrap).
+# ---------------------------------------------------------------------------
+@query(
+    "abc1_pareto_class_parts",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT rev_cents,
+             sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey)
+               AS cum_cents,
+             sum(rev_cents) OVER () AS total
+      FROM rev
+    )
+    SELECT CASE WHEN cum_cents * 5 <= total * 4 THEN 'A'
+                WHEN cum_cents * 20 <= total * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents,
+           round(CAST(sum(rev_cents) AS DOUBLE) / max(total), 6) AS rev_share
+    FROM cum GROUP BY 1
+    """,
+)
+def abc1_pareto_class_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).cast("bigint").alias("rev_cents")
+    )
+    ordered = rev.withColumn("__neg", -F.col("rev_cents"))
+    cum = windows.distributed_prefix_sums(
+        ordered, ["rev_cents"], "__neg", aliases=["cum_cents"], inclusive=True
+    )
+    total = rev.agg(F.sum("rev_cents").cast("bigint").alias("__total"))
+    cls = (
+        F.when(F.col("cum_cents") * 5 <= F.col("__total") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("__total") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(cls.alias("abc_class"), "rev_cents", "__total")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+            F.round(
+                F.sum("rev_cents").cast("double") / F.max("__total"), 6
+            ).alias("rev_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MB1 — market-basket association rules at the brand level: for every brand
+# pair co-occurring in an order, support / confidence / lift from exact
+# integer counts. Baskets are DISTINCT (order, brand) sets, so the
+# within-order self-join fan-out is bounded by |brands| (25), not by line
+# count — the a-priori trick of mining a bounded category vocabulary
+# instead of the raw item space, which is what keeps this shape alive at
+# 100 TB (the pair shuffle carries |orders| x O(brands-per-order^2) rows,
+# never |lineitem|^2). Brand marginals (25 rows) and the basket total
+# (1 row) join back as broadcasts. Lift/confidence are double divisions of
+# identical exact integers — IEEE-identical cross-engine; ranking uses the
+# raw integer pair count with the pair name as tie-break, so no float ever
+# orders the output.
+# ---------------------------------------------------------------------------
+@query(
+    "mb1_brand_basket_lift",
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM basket
+    ), marg AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS c FROM basket GROUP BY 1
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_pair
+      FROM basket a JOIN basket b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_pair,
+           round(CAST(n_pair AS DOUBLE) / n.n_orders, 6) AS support,
+           round(CAST(n_pair AS DOUBLE) / ma.c, 6) AS confidence,
+           round(CAST(n_pair AS DOUBLE) * n.n_orders / (ma.c * mb.c), 6)
+             AS lift
+    FROM pairs, n
+    JOIN marg ma ON ma.p_brand = brand_a
+    JOIN marg mb ON mb.p_brand = brand_b
+    ORDER BY n_pair DESC, brand_a, brand_b
+    LIMIT 15
+    """,
+)
+def mb1_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = basket.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    marg = basket.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = basket.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
+    b = basket.select(F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (a.k == b.k2) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    ma = marg.select(F.col("p_brand").alias("__ba"), F.col("c").alias("__ca"))
+    mb = marg.select(F.col("p_brand").alias("__bb"), F.col("c").alias("__cb"))
+    scored = (
+        pairs.crossJoin(F.broadcast(n))
+        .join(F.broadcast(ma), F.col("brand_a") == F.col("__ba"))
+        .join(F.broadcast(mb), F.col("brand_b") == F.col("__bb"))
+        .select(
+            "brand_a", "brand_b", "n_pair",
+            F.round(F.col("n_pair").cast("double") / F.col("n_orders"), 6)
+            .alias("support"),
+            F.round(F.col("n_pair").cast("double") / F.col("__ca"), 6)
+            .alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_orders")
+                / (F.col("__ca") * F.col("__cb")), 6
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("n_pair").desc(), F.col("brand_a"), F.col("brand_b")
+    ).limit(15)

@@ -3902,3 +3902,98 @@ def pm1_pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFram
         .orderBy(F.col("pmi").desc(), F.col("pair").asc())
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM1 — BM25 keyword ranking (Okapi BM25, the Lucene-default scoring that
+# tf1's TF-IDF is the ancestor of): score every document against a fixed
+# 3-term query and return the top 10. tf comes from ONE token explode that
+# also carries the document length from the same bound array (no second
+# scan, no dl join); the explode is pre-filtered to the query terms, so the
+# (doc, term) shuffle carries only matching occurrences — at 100 TB the
+# fan-in is |docs containing a query term|, not |tokens|. Per-term document
+# frequencies (3 rows) and the corpus stats (1 row: N, sum_dl) join back as
+# broadcasts. avgdl is derived as sum_dl/N from exact integers on BOTH
+# sides (never engine avg(), whose summation order is unspecified), so
+# every double in idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) is an
+# IEEE-identical function of exact integers. Ranking runs on the ROUNDED
+# score (4 dp) with doc_id as tie-break — float noise cannot reorder.
+# ---------------------------------------------------------------------------
+_BM1_TERMS = ("join", "spark", "window")
+_BM1_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM1_TERMS)
+
+
+@query(
+    "bm1_bm25_rank_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(toks)) AS DOUBLE) AS sum_dl
+      FROM tok
+    ),
+    t2 AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(toks) AS term
+      FROM tok
+    ),
+    tf AS (
+      SELECT doc_id, term, max(dl) AS dl, CAST(count(*) AS BIGINT) AS tf
+      FROM t2 WHERE term IN ({_BM1_TERMS_SQL}) GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                 / (stats.sum_dl / stats.n))) AS s
+      FROM tf JOIN df ON tf.term = df.term, stats
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(s), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY round(sum(s), 4) DESC, doc_id
+    LIMIT 10
+    """,
+)
+def bm1_bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k1, b = 1.2, 0.75
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.lower("text")).alias("toks"))
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.size("toks")).cast("double").alias("__sum_dl"),
+    )
+    t2 = toks.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    ).filter(F.col("term").isin(*_BM1_TERMS))
+    tf = t2.groupBy("doc_id", "term").agg(
+        F.max("dl").alias("dl"), F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df")
+    ).withColumnRenamed("term", "__term")
+    avgdl = F.col("__sum_dl") / F.col("__n")
+    idf = F.log(1 + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5))
+    s = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * ((1 - b) + b * F.col("dl") / avgdl)
+    )
+    scored = (
+        tf.join(F.broadcast(df), F.col("term") == F.col("__term"))
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+            F.round(F.sum("s"), 4).alias("bm25"),
+        )
+        .orderBy(F.col("bm25").desc(), F.col("doc_id"))
+        .limit(10)
+    )
