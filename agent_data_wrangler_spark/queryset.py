@@ -6368,3 +6368,250 @@ def mb1_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("n_pair").desc(), F.col("brand_a"), F.col("brand_b")
     ).limit(15)
+
+
+# ---------------------------------------------------------------------------
+# EN1 — Shannon entropy of each user's event-type distribution: the
+# behavioral-diversity score (low entropy = bot-like single-action users,
+# high = diverse engagement) and the same computation a training-data
+# pipeline runs over source/label distributions to audit dataset balance.
+# Two hash aggregates — (user, type) counts, then per-user Σ and the
+# -Σ p·ln(p) fold — no window, no join; the shuffle carries count partials
+# only. Each p = n_i/n divides exact integers, so every ln() term is
+# IEEE-identical cross-engine; the per-user sum runs over ≤|event types|
+# terms, so summation-order noise is ~1e-15 relative — far below the 6-dp
+# rounding. Scale: map-side combine on (user, type); output is |users|.
+# ---------------------------------------------------------------------------
+@query(
+    "en1_user_entropy_events",
+    oracle="""
+    WITH ut AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2
+    ), p AS (
+      SELECT user_id, n,
+             CAST(n AS DOUBLE)
+               / sum(n) OVER (PARTITION BY user_id) AS frac
+      FROM ut
+    )
+    SELECT user_id,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(-sum(frac * ln(frac)), 6) AS entropy
+    FROM p GROUP BY user_id
+    """,
+)
+def en1_user_entropy_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ut = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_u = Window.partitionBy("user_id")
+    p = F.col("n").cast("double") / F.sum("n").over(w_u)
+    return (
+        ut.select("user_id", "n", (p * F.log(p)).alias("__plogp"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.round(-F.sum("__plogp"), 6).alias("entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BF1 — Benford first-digit audit of order totals: the fraud/forensics
+# screen that flags fabricated numeric columns by comparing the leading
+# significant digit distribution against log10(1 + 1/d). The first digit is
+# taken from the STRING form of exact integer cents — never
+# floor(x/10^floor(log10 x)), whose float log flips at powers of ten.
+# Expected frequencies are ln(1+1/d)/ln(10) computed from the digit in both
+# engines (identical doubles); the chi-square contribution per digit is a
+# double function of exact integer counts. One hash aggregate over 9 groups;
+# the scan-stage digit extraction is a codegen substring. Scale: trivially
+# map-side combined.
+# ---------------------------------------------------------------------------
+@query(
+    "bf1_benford_order_totals",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(count(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY 1
+    )
+    SELECT digit, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS obs_freq,
+           round(ln(1 + 1.0 / digit) / ln(10), 6) AS exp_freq,
+           round(pow(CAST(n AS DOUBLE) / total
+                     - ln(1 + 1.0 / digit) / ln(10), 2)
+                 / (ln(1 + 1.0 / digit) / ln(10)) * total, 6) AS chi2_term
+    FROM c
+    """,
+)
+def bf1_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    c = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "total", F.sum("n").over(Window.partitionBy()).cast("bigint")
+        )
+    )
+    exp = F.log(1 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    obs = F.col("n").cast("double") / F.col("total")
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(exp, 6).alias("exp_freq"),
+        F.round(F.pow(obs - exp, 2) / exp * F.col("total"), 6).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GI1 — Gini coefficient of customer revenue concentration (the Lorenz-curve
+# inequality measure behind "what share of revenue do the top customers
+# hold"). Uses the rank identity G = Σ(2r − n − 1)·x / (n·Σx) with r the
+# 1-based rank of x ascending. The global rank is a distributed prefix
+# COUNT (windows.distributed_prefix_sums over a literal 1) — no
+# single-reducer ORDER BY window anywhere. Tie order among equal revenues
+# is engine-arbitrary, but permuting ranks within a tied group leaves
+# Σ(2r)x unchanged (2x·Σr over the same rank set), so the statistic is
+# tie-order invariant and the oracle can rank with a deterministic window.
+# The numerator Σ(2r−n−1)x stays exact int64 (~1e16 at sf1, headroom to
+# ~sf100; ANSI makes any overflow a hard error); the final division runs in
+# double. Scale: one groupBy + the prefix-sum's bucket pass; output 1 row.
+# ---------------------------------------------------------------------------
+@query(
+    "gi1_gini_customer_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS r,
+             CAST(count(*) OVER () AS BIGINT) AS n,
+             CAST(sum(cents) OVER () AS BIGINT) AS total
+      FROM rev
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(max(total) AS BIGINT) AS total_cents,
+           round(CAST(sum((2 * r - n - 1) * cents) AS DOUBLE)
+                 / (CAST(max(n) AS DOUBLE) * max(total)), 6) AS gini
+    FROM ranked
+    """,
+)
+def gi1_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).withColumn("__one", F.lit(1).cast("bigint"))
+    ranked = windows.distributed_prefix_sums(
+        rev, ["__one"], "cents", aliases=["r"], inclusive=True
+    )
+    totals = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+        F.sum("cents").cast("bigint").alias("__total"),
+    )
+    term = (2 * F.col("r") - F.col("__n") - 1) * F.col("cents")
+    return (
+        ranked.crossJoin(F.broadcast(totals))
+        .select(term.alias("__term"), "__n", "__total")
+        .agg(
+            F.max("__n").cast("bigint").alias("n_customers"),
+            F.max("__total").cast("bigint").alias("total_cents"),
+            F.round(
+                F.sum("__term").cast("double")
+                / (F.max("__n").cast("double") * F.max("__total")), 6
+            ).alias("gini"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DS1 — calendar-spine densification: materialize EVERY day between the
+# corpus min and max event date (from the data, no wall clock), left-join
+# daily revenue onto the spine so silent zero-activity days become explicit
+# rows, then roll up per month — the "time spine" every BI/forecast layer
+# needs because a groupBy over raw events simply omits empty days (a8/ts1
+# interpolate over hours that EXIST; this query manufactures the missing
+# ones). The spine derives from a 1-row min/max aggregate exploded through
+# sequence() — |days| rows, broadcast to the daily-aggregate join. Scale:
+# the only big shuffle is the daily groupBy (map-side combined); the spine
+# side is calendar-bounded (36.5k rows per century) and broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "ds1_calendar_spine_events",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+      FROM events WHERE ts IS NOT NULL
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT CAST(date_trunc('month', spine.day) AS DATE) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN daily.day IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_days,
+           CAST(sum(coalesce(daily.n, 0)) AS BIGINT) AS n_events,
+           CAST(sum(coalesce(daily.cents, 0)) AS BIGINT) AS revenue_cents
+    FROM spine LEFT JOIN daily ON spine.day = daily.day
+    GROUP BY 1
+    """,
+)
+def ds1_calendar_spine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    bounds = e.agg(
+        F.min(F.col("ts").cast("date")).alias("lo"),
+        F.max(F.col("ts").cast("date")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    d = daily.withColumnRenamed("day", "__dday")
+    joined = spine.join(d, spine.day == d.__dday, "left")
+    return joined.groupBy(
+        F.date_trunc("month", F.col("day")).cast("date").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(F.when(F.col("__dday").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_empty_days"),
+        F.sum(F.coalesce(F.col("n"), F.lit(0))).cast("bigint").alias("n_events"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
