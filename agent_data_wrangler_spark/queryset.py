@@ -6615,3 +6615,255 @@ def ds1_calendar_spine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TZ1 — timezone-aware local-day aggregation: re-bucket UTC event time into
+# America/New_York local days (the "daily revenue is wrong because the
+# warehouse is UTC" fix every BI layer needs). The conversion is
+# from_utc_timestamp — IANA tzdata rules, DST-correct — and the query also
+# counts the rows whose LOCAL date differs from their UTC date (the
+# day-boundary spill that motivates the op). DuckDB twin composes
+# timezone('UTC', ·) → timezone('America/New_York', ·), the same
+# interpret-then-render pair. Scale: the conversion is a scan-stage
+# expression; one hash aggregate on local_date, map-side combined.
+# ---------------------------------------------------------------------------
+@query(
+    "tz1_local_day_events",
+    oracle="""
+    WITH loc AS (
+      SELECT CAST(CAST(timezone('America/New_York', timezone('UTC', ts))
+                       AS TIMESTAMP) AS DATE) AS local_date,
+             CAST(ts AS DATE) AS utc_date,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT local_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN local_date <> utc_date THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_day_shifted,
+           CAST(sum(coalesce(cents, 0)) AS BIGINT) AS revenue_cents
+    FROM loc GROUP BY 1
+    """,
+)
+def tz1_local_day_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    local_ts = F.from_utc_timestamp(F.col("ts"), "America/New_York")
+    loc = e.select(
+        local_ts.cast("date").alias("local_date"),
+        F.col("ts").cast("date").alias("utc_date"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    return loc.groupBy("local_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("local_date") != F.col("utc_date"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_day_shifted"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+        .cast("bigint")
+        .alias("revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# OL1 — ratio-to-report / percent-of-parent: each nation's revenue share of
+# its region AND its region's share of the world, in one frame — the OLAP
+# contribution primitive (Oracle RATIO_TO_REPORT, MDX percent-of-parent)
+# that rollup (r1) totals don't directly give. Big work is one orders →
+# customer equi join + hash aggregate to the (region, nation) grain; both
+# share windows then run over that 25-row frame (the parent totals are
+# window sums, not self-joins — no re-scan of the fact side). Shares are
+# double divisions of exact integer cents.
+# ---------------------------------------------------------------------------
+@query(
+    "ol1_ratio_to_report_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT r_name AS region, n_name AS nation,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           round(CAST(cents AS DOUBLE)
+                 / sum(cents) OVER (PARTITION BY region), 6)
+             AS share_of_region,
+           round(CAST(sum(cents) OVER (PARTITION BY region) AS DOUBLE)
+                 / sum(cents) OVER (), 6) AS region_share_of_total
+    FROM rev
+    """,
+)
+def ol1_ratio_to_report_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    w_r = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region", "nation", "cents",
+        F.round(F.col("cents").cast("double") / F.sum("cents").over(w_r), 6)
+        .alias("share_of_region"),
+        F.round(
+            F.sum("cents").over(w_r).cast("double") / F.sum("cents").over(w_all),
+            6,
+        ).alias("region_share_of_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SA1 — multiplicative seasonal index by hour of day: mean value per
+# (event_type, hour) divided by the event type's all-hours mean — the
+# seasonality table a forecaster multiplies a base rate by (and the
+# companion to ac1, which only DETECTS the cycle). Means are ratios of
+# exact integer sums, so the index divides two IEEE-identical doubles; the
+# type-level parent aggregates come from window sums over the 24-row-per-
+# type post-agg frame, never a second event scan. Scale: one map-side-
+# combined hash aggregate on (type, hour); everything after is |types|×24.
+# ---------------------------------------------------------------------------
+@query(
+    "sa1_seasonal_index_events",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+             CAST(count(value) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, hr, n,
+           round((CAST(cents AS DOUBLE) / n)
+                 / (CAST(sum(cents) OVER (PARTITION BY event_type) AS DOUBLE)
+                    / sum(n) OVER (PARTITION BY event_type)), 6)
+             AS seasonal_idx
+    FROM hourly WHERE n > 0
+    """,
+)
+def sa1_seasonal_index_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = read_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    hourly = e.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hr")
+    ).agg(
+        F.count("value").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    ).filter(F.col("n") > 0)
+    w_t = Window.partitionBy("event_type")
+    hourly_mean = F.col("cents").cast("double") / F.col("n")
+    type_mean = F.sum("cents").over(w_t).cast("double") / F.sum("n").over(w_t)
+    return hourly.select(
+        "event_type", "hr", "n",
+        F.round(hourly_mean / type_mean, 6).alias("seasonal_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WT1 — Welch two-sample t-test: weekend vs weekday value means per event
+# type, the unequal-variance significance test that completes the drift
+# family (ks1 = distribution shape, ct1 = categorical independence, wt1 =
+# mean difference). Group moments (n, Σx, Σx²) are exact int64 on integer
+# cents — Σx² headroom ~sf500 under ANSI — and the variance uses the
+# computational form (Σx² − (Σx)²/n)/(n−1) with Σx widened to DOUBLE
+# BEFORE squaring (the int64 square would overflow at sf1; the double
+# formula is written identically in both engines, so the t statistic is
+# IEEE-identical). Weekday split uses ISO day-of-week (Mon=1): Spark
+# weekday()+1 == DuckDB isodow — never locale-dependent dayofweek(). One
+# hash aggregate over (type, is_weekend); the pivot to side-by-side
+# columns is a 2-row-per-type conditional re-aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "wt1_welch_weekend_events",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CASE WHEN isodow(ts) >= 6 THEN 1 ELSE 0 END AS we,
+             CAST(count(value) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sq
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), wide AS (
+      SELECT event_type,
+             max(CASE WHEN we = 1 THEN n END) AS n1,
+             max(CASE WHEN we = 1 THEN s END) AS s1,
+             max(CASE WHEN we = 1 THEN sq END) AS q1,
+             max(CASE WHEN we = 0 THEN n END) AS n0,
+             max(CASE WHEN we = 0 THEN s END) AS s0,
+             max(CASE WHEN we = 0 THEN sq END) AS q0
+      FROM g GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_weekend,
+           CAST(n0 AS BIGINT) AS n_weekday,
+           round(CAST(s1 AS DOUBLE) / n1, 4) AS mean_weekend,
+           round(CAST(s0 AS DOUBLE) / n0, 4) AS mean_weekday,
+           round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                 / sqrt(((q1 - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1)) / n1
+                        + ((q0 - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1))
+                          / n0), 4) AS welch_t
+    FROM wide WHERE n1 > 1 AND n0 > 1
+    """,
+)
+def wt1_welch_weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    we = F.when(F.weekday("ts") + 1 >= 6, 1).otherwise(0)
+    g = e.select(
+        "event_type", we.alias("we"), cents.alias("c")
+    ).groupBy("event_type", "we").agg(
+        F.count("c").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+
+    def side(col, w):
+        return F.max(F.when(F.col("we") == w, F.col(col)))
+
+    wide = g.groupBy("event_type").agg(
+        side("n", 1).alias("n1"), side("s", 1).alias("s1"),
+        side("sq", 1).alias("q1"), side("n", 0).alias("n0"),
+        side("s", 0).alias("s0"), side("sq", 0).alias("q0"),
+    ).filter((F.col("n1") > 1) & (F.col("n0") > 1))
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    v1 = (F.col("q1") - F.col("s1").cast("double") * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    v0 = (F.col("q0") - F.col("s0").cast("double") * F.col("s0") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    return wide.select(
+        "event_type",
+        F.col("n1").cast("bigint").alias("n_weekend"),
+        F.col("n0").cast("bigint").alias("n_weekday"),
+        F.round(m1, 4).alias("mean_weekend"),
+        F.round(m0, 4).alias("mean_weekday"),
+        F.round(
+            (m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / F.col("n0")), 4
+        ).alias("welch_t"),
+    )

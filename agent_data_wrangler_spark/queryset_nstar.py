@@ -3960,6 +3960,8 @@ _BM1_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM1_TERMS)
     """,
 )
 def bm1_bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     k1, b = 1.2, 0.75
     d = read_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.lower("text")).alias("toks"))
@@ -3972,9 +3974,15 @@ def bm1_bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("toks").cast("bigint").alias("dl"),
         F.explode("toks").alias("term"),
     ).filter(F.col("term").isin(*_BM1_TERMS))
+    # tf feeds BOTH the scored path and the df aggregate below; without a
+    # materialized persist Catalyst re-derives the tokenize+explode subtree
+    # for the df branch (2 Generates — the tf1 lesson). The frame is
+    # |docs matching a query term| × |terms| rows — query-bounded, tiny
+    # relative to the corpus.
     tf = t2.groupBy("doc_id", "term").agg(
         F.max("dl").alias("dl"), F.count(F.lit(1)).cast("bigint").alias("tf")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tf.count()
     df = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("__df")
     ).withColumnRenamed("term", "__term")

@@ -919,3 +919,66 @@ def test_rx1_compiles_to_union_loop(spark, sf_dir):
     plan = _plan(spark, "rx1_recursive_reachability", sf_dir)
     assert "UnionLoop" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm1_single_explode_heap_topk(spark, sf_dir):
+    """BM25: the scored path reads the persisted tf frame (no re-derived
+    explode for the df branch — at most the one Generate outside the cache,
+    plus the cached subtree's own), broadcast df/stats joins, and a
+    TakeOrderedAndProject heap for the top-10 — never a global sort."""
+    plan = _plan(spark, "bm1_bm25_rank_documents", sf_dir)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_abc1_no_single_reducer_cumsum(spark, sf_dir):
+    """Pareto/ABC: the global cumulative share runs through
+    distributed_prefix_sums — the bucket key (__psb) is in the plan and no
+    range exchange (global sort) ever feeds a Window. SinglePartition
+    exchanges DO appear, but only under the bounded frames (the ≤256-row
+    bucket-offsets window and the 1-row total broadcast), which is the
+    design: the |parts|-sized path stays hash-partitioned."""
+    plan = _plan(spark, "abc1_pareto_class_parts", sf_dir)
+    assert "__psb" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_gi1_rank_is_distributed_prefix_count(spark, sf_dir):
+    """Gini: the global rank is a bucketed prefix COUNT (__psb key), not a
+    row_number over an empty-partition window — no range exchange (global
+    sort) anywhere; single-partition exchanges exist only for the bounded
+    offsets/total frames."""
+    plan = _plan(spark, "gi1_gini_customer_revenue", sf_dir)
+    assert "__psb" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_mb1_pairs_equi_join_broadcast_marginals(spark, sf_dir):
+    """Market-basket lift: pair generation is an equi join on orderkey
+    (never a cartesian brand cross), marginals join back as broadcasts,
+    and the top-15 is a TakeOrderedAndProject heap."""
+    plan = _plan(spark, "mb1_brand_basket_lift", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pit1_interval_probe_is_equi_join(spark, sf_dir):
+    """Point-in-time lookup: the validity interval is a residual filter on
+    the custkey EQUI join — never a nested-loop range join."""
+    plan = _plan(spark, "pit1_point_in_time_priority", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_al1_windows_share_one_orderkey_exchange(spark, sf_dir):
+    """Largest-remainder allocation: all three windows partition by
+    l_orderkey — no single-partition exchange ever appears (no global
+    sort), and the plan stays free of nested loops."""
+    plan = _plan(spark, "al1_allocate_order_totals", sf_dir)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
