@@ -6867,3 +6867,49 @@ def wt1_welch_weekend_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             (m1 - m0) / F.sqrt(v1 / F.col("n1") + v0 / F.col("n0")), 4
         ).alias("welch_t"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LJ1 — LATERAL correlated subquery with LIMIT (SQL:2016 lateral derived
+# table): the two most recent orders of every BUILDING-segment customer,
+# written exactly as an analyst would in DuckDB/Postgres. Spark 4
+# DECORRELATES the lateral (verified in the plan: the per-customer LIMIT
+# becomes a join + per-key order/limit, never a per-row re-execution of
+# the inner query) — the point of registering the SQL surface is pinning
+# that the declarative form gets the distributed plan, same argument as
+# sub1's decorrelated Q17. Cents are exact integers; the lateral's ORDER
+# BY is total (date DESC, orderkey), so row selection cannot flap.
+# ---------------------------------------------------------------------------
+@query(
+    "lj1_lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey,
+           CAST(t.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_orderdate, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def lj1_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("lj1_customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("lj1_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_orderdate,
+               CAST(round(t.o_totalprice * 100) AS BIGINT) AS total_cents
+        FROM lj1_customer c, LATERAL (
+          SELECT o_orderkey, o_orderdate, o_totalprice
+          FROM lj1_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

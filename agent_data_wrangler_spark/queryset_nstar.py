@@ -4005,3 +4005,109 @@ def bm1_bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# U6 — Arrow-optimized scalar Python UDF (Spark 4 `useArrow=True`): the
+# third lane of the §2.8 escape hatch (u1/u2 = pandas_udf Series batches,
+# u4/u5 = UDTF row streams, u6 = plain-Python-signature UDF with Arrow
+# batch TRANSPORT — the 4.x upgrade path for legacy row UDFs that keeps
+# per-row Python but kills per-row pickling). Logic: ROT13 + vowel count
+# over customer names, chosen because the oracle can recompute it exactly
+# with translate(), so the lane is value-checked like every other tier.
+# Scale: escape-hatch tier by definition — the aggregate AFTER the UDF is
+# the usual map-side-combined hash agg; the UDF itself is scan-stage.
+# ---------------------------------------------------------------------------
+_ROT13_SRC = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ROT13_DST = "nopqrstuvwxyzabcdefghijklmNOPQRSTUVWXYZABCDEFGHIJKLM"
+
+
+@query(
+    "u6_arrow_udf_rot13_customers",
+    oracle=f"""
+    WITH r AS (
+      SELECT translate(c_name, '{_ROT13_SRC}', '{_ROT13_DST}') AS rot
+      FROM customer
+    )
+    SELECT substr(rot, 1, 1) AS first_char,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(length(rot) - length(translate(rot, 'aeiouAEIOU', '')))
+                AS BIGINT) AS total_vowels
+    FROM r GROUP BY 1
+    """,
+)
+def u6_arrow_udf_rot13_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rot_map = str.maketrans(_ROT13_SRC, _ROT13_DST)
+
+    @F.udf("string", useArrow=True)
+    def rot13(s: str) -> str:
+        return None if s is None else s.translate(rot_map)
+
+    @F.udf("bigint", useArrow=True)
+    def n_vowels(s: str) -> int:
+        return None if s is None else sum(c in "aeiouAEIOU" for c in s)
+
+    c = read_table(spark, sf_dir, "customer")
+    r = c.select(rot13(F.col("c_name")).alias("rot"))
+    return r.groupBy(F.substring("rot", 1, 1).alias("first_char")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(n_vowels(F.col("rot"))).cast("bigint").alias("total_vowels"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U7 — grouped applyInArrow (Spark 4): per-event-type moments computed by
+# a function that receives the whole group as a pyarrow.Table and answers
+# with pyarrow.compute aggregations — zero pandas materialization, the
+# lowest-overhead grouped escape hatch (u3's grouped-agg pandas lane with
+# the pandas layer removed). The cents column is rounded to int64 BEFORE
+# the Arrow boundary (Spark F.round = HALF_UP; pyarrow's default is
+# half-to-even — doing the rounding inside Arrow would silently diverge
+# on .5 cents), so everything pc computes is exact integer arithmetic.
+# Scale: escape-hatch tier — each event type becomes ONE Arrow table on
+# one executor (the documented u3 skew caveat applies; |types| bounds
+# parallelism, fine for a bounded category vocabulary, wrong for user_id).
+# ---------------------------------------------------------------------------
+@query(
+    "u7_apply_in_arrow_events",
+    oracle="""
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events
+    GROUP BY 1
+    HAVING count(value) > 0
+    """,
+)
+def u7_apply_in_arrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def moments(table: pa.Table) -> pa.Table:
+        cents = table.column("cents")
+        mm = pc.min_max(cents)  # null-skipping by default
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": pa.array([pc.count(cents, mode="only_valid").as_py()],
+                              pa.int64()),
+                "sum_cents": pa.array([pc.sum(cents).as_py()], pa.int64()),
+                "min_cents": pa.array([mm["min"].as_py()], pa.int64()),
+                "max_cents": pa.array([mm["max"].as_py()], pa.int64()),
+            }
+        )
+
+    e = read_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    out = e.groupBy("event_type").applyInArrow(
+        moments,
+        schema="event_type string, n bigint, sum_cents bigint, "
+        "min_cents bigint, max_cents bigint",
+    )
+    return out.filter(F.col("n") > 0)

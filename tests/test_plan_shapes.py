@@ -982,3 +982,13 @@ def test_al1_windows_share_one_orderkey_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_lj1_lateral_decorrelates_to_group_limit(spark, sf_dir):
+    """LATERAL + LIMIT must decorrelate: per-customer top-2 becomes a
+    WindowGroupLimit (partial+final) feeding an equi join — never a
+    per-outer-row re-execution (no nested loop, no cartesian)."""
+    plan = _plan(spark, "lj1_lateral_top2_orders", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
