@@ -1,0 +1,137 @@
+"""Distributed iterative graph algorithms (PageRank).
+
+Reference parity: the reference agent (`tool_call_agent.py:29-54`) can emit
+arbitrary pandas scripts, including iterative ones; this module is the
+engine-side reification of its iterative-graph reach, designed for Spark's
+execution model instead of a driver loop over a single frame.
+
+Scale design (the same contract as ``dedup.connected_components``):
+
+- the edge+out-degree frame is built ONCE, repartitioned on the join key and
+  persisted — every iteration's contribution join reuses that partitioning,
+  so the per-iteration cost is one |N|-sized rank-frame shuffle plus one
+  map-side-combined ``groupBy(dst)``;
+- each iteration ``localCheckpoint``s the rank frame, keeping lineage flat
+  (no exponential plan growth, no checkpoint directory needed);
+- convergence is an explicit L1-delta test with a ``max_iter`` guard that
+  RAISES on non-convergence — a partially-converged rank vector is a wrong
+  answer and is never returned silently (mirrors ``dedup.py`` cc contract);
+- dangling mass (nodes with no out-edges) is redistributed uniformly each
+  iteration via a 1-row aggregate broadcast — the textbook correction, so
+  ranks always sum to 1 and directed graphs are handled exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    damping: float = 0.85,
+    teleport: float | None = None,
+    num_iters: int | None = None,
+    tol: float | None = None,
+    max_iter: int = 40,
+) -> DataFrame:
+    """PageRank over a directed edge list → ``(node, r)`` with Σr = 1.
+
+    Exactly one stopping rule must be chosen:
+
+    - ``num_iters=k``: k exact power iterations (deterministic, oracle-
+      replayable — what gr1 uses so DuckDB can unroll the same three steps);
+    - ``tol=eps``: iterate until the L1 delta between successive rank
+      vectors drops below ``eps``, raising ``RuntimeError`` if ``max_iter``
+      iterations don't get there (never returns partial ranks silently).
+
+    Parallel edges are kept (they weight the contribution, as in the
+    classic formulation over a multigraph); pre-``distinct()`` the edge
+    frame for simple-graph semantics.
+
+    ``teleport`` is the total teleport probability, default ``1.0 -
+    damping``. Pass it explicitly when an external oracle unrolls the same
+    iterations from a literal: IEEE-wise ``1.0 - 0.85 ==
+    0.15000000000000002 != 0.15``, and after a few iterations that last-bit
+    difference can flip a round(·, 6) boundary (gr1 pins ``teleport=0.15``
+    to stay bit-compatible with its SQL twin).
+    """
+    if (num_iters is None) == (tol is None):
+        raise ValueError(
+            "pagerank: specify exactly one of num_iters (fixed power "
+            "iterations) or tol (L1 convergence threshold)")
+    tp = (1.0 - damping) if teleport is None else teleport
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    edges_deg = (
+        e.join(deg, "src")
+        .repartition("src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Node universe = src ∪ dst (a dst-only node is a dangling node: it
+    # holds rank and must receive the base + dangling terms each round).
+    nodes = (
+        edges_deg.select(F.col("src").alias("node"))
+        .unionByName(edges_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n_nodes = float(nodes.count())
+    if n_nodes == 0:
+        raise ValueError(
+            "pagerank: graph has no edges — PageRank over an empty node set "
+            "is undefined")
+    out_deg = edges_deg.select("src", "d").distinct()
+
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(n_nodes)).alias("r")
+    ).localCheckpoint()
+
+    def step(r: DataFrame) -> DataFrame:
+        contrib = (
+            edges_deg.join(r, edges_deg["src"] == r["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+        )
+        # Dangling mass: rank held by nodes with no out-edges, spread
+        # uniformly. 1-row aggregate → broadcast into the update expression.
+        dangle = (
+            r.join(out_deg, r["node"] == out_deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
+        )
+        return (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangle))
+            .select(
+                "node",
+                (
+                    F.lit(tp / n_nodes)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0))
+                       + F.col("dm") / F.lit(n_nodes))
+                ).alias("r"),
+            )
+        )
+
+    if num_iters is not None:
+        for _ in range(num_iters):
+            ranks = step(ranks).localCheckpoint()
+        return ranks
+
+    for _ in range(max_iter):
+        prev = ranks
+        ranks = step(prev).localCheckpoint()
+        delta = (
+            ranks.join(prev.withColumnRenamed("r", "r_prev"), "node")
+            .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("l1"))
+            .first()["l1"]
+        )
+        if delta is not None and delta < tol:
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge to L1 delta < {tol} within {max_iter} "
+        "iterations — raise max_iter or loosen tol; partial ranks are a "
+        "wrong answer and are never returned silently")

@@ -736,6 +736,10 @@ def derive_pq_params(n: int, dim: int) -> tuple[int, int, int]:
     re-rank cost stays trivial (31.6k full vectors at n=1e9) while the
     shortlist widens as score gaps tighten with n.
     """
+    if dim < 1:
+        raise ValueError(
+            f"derive_pq_params: vector dim must be >= 1, got {dim} "
+            "(empty/null embedding column?)")
     m = max(d for d in range(1, min(16, dim) + 1) if dim % d == 0)
     return m, 64, max(100, math.isqrt(max(n, 1)))
 
@@ -895,12 +899,20 @@ def topk_cosine_pq(
         m = dm if m is None else m
         ksub = dk if ksub is None else ksub
         shortlist = ds if shortlist is None else shortlist
+    pre_encoded = "__pq_code" in df.columns
     if codebooks is None:
+        if pre_encoded:
+            raise ValueError(
+                "topk_cosine_pq: a pre-encoded __pq_code column requires the "
+                "codebooks that produced it — refitting would score the "
+                "codes against mismatched centroids")
         codebooks = pq_fit_codebooks(df, vec_col, m=m, ksub=ksub)
-    cols = list(payload_cols) if payload_cols is not None else [c for c in df.columns if c != vec_col]
-    coded = df.filter(F.col(vec_col).isNotNull()).withColumn(
-        "__pq_code", pq_encode(vec_col, codebooks)
-    )
+    cols = [c for c in (
+        list(payload_cols) if payload_cols is not None else df.columns
+    ) if c not in (vec_col, "__pq_code")]
+    coded = df.filter(F.col(vec_col).isNotNull())
+    if not pre_encoded:
+        coded = coded.withColumn("__pq_code", pq_encode(vec_col, codebooks))
     short = (
         coded.withColumn("__adc", pq_adc_score("__pq_code", codebooks, query_vec))
         .orderBy(F.desc("__adc"), F.asc(cols[0]))

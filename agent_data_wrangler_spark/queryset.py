@@ -1556,6 +1556,102 @@ def pl1_pipeline_spec_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PL2 — the pipeline's JSONL EVENT LOG itself as the verified surface (S5,
+# reference: the run provenance the LangGraph loop keeps in its message
+# history): run the pl1 spec with per-stage row counting and a log file,
+# replay that log through the engine's own JSONL reader, and hash the
+# (event, stage, rows_in, rows_out) trace against an oracle that recomputes
+# every stage cardinality from SQL. Timing fields are real but excluded (a
+# wall-clock column can never hash-match). This retires S5's unit-only
+# status: the lineage artifact is now driver-verified end-to-end.
+# Scale: the log is O(#stages) lines — driver-side appends are bounded by
+# pipeline length, never data size; the replay is a normal splittable scan.
+# ---------------------------------------------------------------------------
+@query(
+    "pl2_pipeline_event_log_events",
+    oracle="""
+    WITH c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events),
+    c1 AS (SELECT CAST(count(value) AS BIGINT) AS n FROM events),
+    b AS (SELECT avg(value) - 3 * stddev_samp(value) AS lo,
+                 avg(value) + 3 * stddev_samp(value) AS hi
+          FROM events WHERE value IS NOT NULL),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events, b
+           WHERE value >= lo AND value <= hi)
+    SELECT 'pipeline_start' AS event, CAST(NULL AS VARCHAR) AS stage,
+           CAST(NULL AS BIGINT) AS rows_in, CAST(NULL AS BIGINT) AS rows_out
+    UNION ALL SELECT 'stage_start', 'drop_null_values', NULL, NULL
+    UNION ALL SELECT 'stage_end', 'drop_null_values',
+                     (SELECT n FROM c0), (SELECT n FROM c1)
+    UNION ALL SELECT 'stage_start', 'sigma3_filter', NULL, NULL
+    UNION ALL SELECT 'stage_end', 'sigma3_filter',
+                     (SELECT n FROM c1), (SELECT n FROM c2)
+    UNION ALL SELECT 'stage_start', 'cap_p95', NULL, NULL
+    UNION ALL SELECT 'stage_end', 'cap_p95',
+                     (SELECT n FROM c2), (SELECT n FROM c2)
+    UNION ALL SELECT 'pipeline_end', NULL, NULL, (SELECT n FROM c2)
+    """,
+)
+def pl2_pipeline_event_log_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.plans.pipeline import Pipeline
+    from agent_data_wrangler_spark.sources.readers import read_jsonl
+
+    log_path = os.path.join(
+        tempfile.mkdtemp(prefix="adw_pl2_"), "pipeline_events.jsonl")
+    ev = read_table(spark, sf_dir, "events").select("event_type", "value")
+    pipe = Pipeline.from_spec(
+        "pl2_clean_events", _PL1_SPEC, count_rows=True, log_path=log_path)
+    pipe.run(ev)
+    log = read_jsonl(spark, log_path)
+    return log.select(
+        F.col("event"),
+        F.col("stage").cast("string").alias("stage"),
+        F.col("rows_in").cast("bigint").alias("rows_in"),
+        F.col("rows_out").cast("bigint").alias("rows_out"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P7 — the profile CACHE surface (reference: system.txt:2 basic_info computed
+# once; tool_call_agent.py:143-145 forbids re-exploring): TableProfile.of()
+# reified as a 1-row frame so the driver hash-verifies the cached shape,
+# column census, and null counts in one row. The struct is O(#columns) —
+# driver-side by design (it IS the cache object other stages reuse), and the
+# backing scan is the same one-pass null-census aggregate p6 verifies.
+# ---------------------------------------------------------------------------
+@query(
+    "p7_profile_cache_events",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(6 AS BIGINT) AS n_cols,
+           CAST(count(*) - count(event_id) AS BIGINT) AS null_event_id,
+           CAST(count(*) - count(ts) AS BIGINT) AS null_ts,
+           CAST(count(*) - count(user_id) AS BIGINT) AS null_user_id,
+           CAST(count(*) - count(event_type) AS BIGINT) AS null_event_type,
+           CAST(count(*) - count(value) AS BIGINT) AS null_value,
+           CAST(count(*) - count(props) AS BIGINT) AS null_props
+    FROM events
+    """,
+)
+def p7_profile_cache_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.profile import TableProfile
+
+    ev = read_table(spark, sf_dir, "events")
+    prof = TableProfile.of(ev)
+    row = {
+        "n_rows": prof.n_rows,
+        "n_cols": prof.n_cols,
+        **{f"null_{c}": int(prof.null_counts.get(c, 0)) for c in prof.columns},
+    }
+    return spark.createDataFrame(
+        [tuple(row[k] for k in row)],
+        ", ".join(f"{k} bigint" for k in row),
+    )
+
+
+# ---------------------------------------------------------------------------
 # U4 — Python UDTF (§2.8, the table-function escape hatch): one doc row →
 # N token rows via a generator class, consumed through a SQL LATERAL join,
 # then aggregated per lang. Oracle: the same explosion as DuckDB unnest.
@@ -5737,13 +5833,20 @@ def hq1_histogram_median_rollup_orders(spark: SparkSession, sf_dir: str) -> Data
 
     o = read_table(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    # Stage 1: per-DAY |bins|-sized partials (the persisted daily sketch).
     daily = o.groupBy(
-        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+        F.col("o_orderdate").alias("day"),
         F.floor(cents / 10000).cast("bigint").alias("bin"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # Stage 2: merge daily sketches into weekly ones — an associative
+    # count-sum over |bins|-sized rows, never re-scanning the orders.
+    weekly = daily.groupBy(
+        F.date_trunc("week", F.col("day")).cast("date").alias("wk"),
+        F.col("bin"),
+    ).agg(F.sum("cnt").cast("bigint").alias("cnt"))
     w_cum = Window.partitionBy("wk").orderBy("bin")
     w_tot = Window.partitionBy("wk")
-    cum = daily.select(
+    cum = weekly.select(
         "wk",
         "bin",
         F.sum("cnt").over(w_cum).alias("cum"),

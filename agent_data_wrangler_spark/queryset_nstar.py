@@ -1674,6 +1674,67 @@ def st6_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST10 — st6's twin on the Spark 4 ``transformWithStateInPandas`` lane
+# (StatefulProcessor: typed value state, TTL, composite vars — the successor
+# API to applyInPandasWithState). DETECTION-GATED registration: the TWS lane
+# needs google.protobuf in the Python env; where it is absent (this
+# container) the query is not registered at all — no stub, no runtime
+# failure, and the skip-unless-available test in tests/test_streaming
+# documents the gate. Same batch-convergence oracle as st6.
+# ---------------------------------------------------------------------------
+from agent_data_wrangler_spark.streaming.ops import (  # noqa: E402
+    transform_with_state_supported as _tws_ok,
+)
+
+if _tws_ok():
+
+    @query(
+        "st10_tws_user_totals",
+        oracle="""
+        WITH per_user AS (
+          SELECT user_id,
+                 count(*) AS n,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM events WHERE value IS NOT NULL GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS total_events,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(max(n) AS BIGINT) AS max_user_events
+        FROM per_user
+        """,
+    )
+    def st10_tws_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from agent_data_wrangler_spark.streaming import (
+            stream_from_directory,
+            user_totals_tws,
+        )
+
+        staged, schema = _staged_events(spark, sf_dir)
+        sdf = (
+            stream_from_directory(
+                spark, staged, schema, max_files_per_trigger=2)
+            .filter(F.col("value").isNotNull())
+            .select(
+                "user_id",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        totals = user_totals_tws(sdf, "user_id", "cents")
+        out = _drain_to_table(spark, totals, "st10_out", partitions=16)
+        final = out.groupBy("user_id").agg(
+            F.max("n").alias("n"), F.max_by("cents", "n").alias("cents")
+        )
+        return final.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("n").cast("bigint").alias("total_events"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.max("n").cast("bigint").alias("max_user_events"),
+        )
+
+
+# ---------------------------------------------------------------------------
 # BL1 — blocked edit-distance near-dup (the record-linkage school, next to
 # the shingle/MinHash school): deterministic blocking key (first 2 tokens +
 # length//16 band) equi-join, THRESHOLDED Levenshtein within blocks. No
@@ -2573,18 +2634,17 @@ def bp1_bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 # GR1 — PageRank over the customer–supplier bipartite graph (3 exact
 # power iterations, damping 0.85): the iterative-graph-algorithm
-# representative. Edges are the distinct (customer, supplier) trade pairs
-# from orders⋈lineitem, symmetrized; every node therefore has both in-
-# and out-edges, so no dangling-mass term is needed and the contribution
-# aggregate covers every node each iteration.
-# Scale: the edge list is built once, joined with its out-degrees,
-# repartitioned ON src and persisted — each iteration's rank join then
-# reuses that partitioning (the cache preserves outputPartitioning) and
-# only the |nodes|-sized rank frame moves; the per-iteration shuffle is
-# the groupBy(dst) contribution aggregate, which partial-aggregates
-# map-side. Three fixed iterations keep the lineage shallow (no
-# checkpoint needed); the driver never sees the graph. The |N| scalar is
-# a 1-row count probe.
+# representative, now routed through operators/graph.py's ``pagerank``
+# (which also offers a tolerance-stop convergence mode with a max_iter
+# guard — the gr1 oracle pins the deterministic num_iters=3 mode so
+# DuckDB can unroll the identical three steps). Edges are the distinct
+# (customer, supplier) trade pairs from orders⋈lineitem, symmetrized, so
+# the operator's dangling-mass term is exactly zero here and the update
+# reduces to the oracle's.
+# Scale: see operators/graph.py — edge+degree frame built once,
+# repartitioned on src and persisted; per-iteration cost is one
+# |N|-sized rank shuffle plus a map-side-combined groupBy(dst);
+# localCheckpoint keeps lineage flat.
 # ---------------------------------------------------------------------------
 @query(
     "gr1_pagerank_trade_graph",
@@ -2622,7 +2682,7 @@ def bp1_bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
+    from agent_data_wrangler_spark.operators.graph import pagerank
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -2637,45 +2697,14 @@ def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = e0.unionByName(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("double").alias("d")
-    )
-    # Edge+degree frame computed ONCE, partitioned on the join key, cached:
-    # the three rank joins reuse this partitioning instead of re-shuffling
-    # the (big) edge side every iteration.
-    edges_deg = (
-        edges.join(deg, "src")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    n_nodes = float(edges_deg.select("src").distinct().count())
-    if n_nodes == 0:
-        raise ValueError(
-            "gr1: trade graph has no edges (orders⋈lineitem is empty) — "
-            "PageRank over an empty node set is undefined"
-        )
-    # Initial ranks derive from the CACHE (not from deg, whose subtree
-    # would re-run the orders⋈lineitem join a second time).
-    ranks = (
-        edges_deg.select("src")
-        .distinct()
-        .select(
-            F.col("src").alias("node"),
-            (F.lit(1.0) / F.lit(n_nodes)).alias("r"),
-        )
-    )
-    for _ in range(3):
-        ranks = (
-            edges_deg.join(ranks, edges_deg["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit(0.15 / n_nodes)
-                    + F.lit(0.85) * F.sum(F.col("r") / F.col("d"))
-                ).alias("r")
-            )
-            .select(F.col("dst").alias("node"), "r")
-        )
+    # Fixed 3 power iterations (num_iters mode) so the DuckDB oracle can
+    # unroll the identical three steps; operators.graph.pagerank also offers
+    # the tol= convergence mode for production use (see test_round8_ops).
+    # An empty orders⋈lineitem raises inside the operator.
+    ranks = pagerank(edges, teleport=0.15, num_iters=3)
+    # ranks is the checkpointed |N|-frame — counting it is the cheap way to
+    # recover N for the oracle's rank*N scaling.
+    n_nodes = float(ranks.count())
     return ranks.filter(F.col("node").like("s%")).select(
         "node", F.round(F.col("r") * n_nodes, 6).alias("rank_scaled")
     )

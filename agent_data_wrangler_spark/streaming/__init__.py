@@ -11,6 +11,8 @@ from agent_data_wrangler_spark.streaming.ops import (
     stream_from_directory,
     stream_interval_join,
     stream_interval_join_outer,
+    transform_with_state_supported,
+    user_totals_tws,
     windowed_agg,
 )
 
@@ -24,5 +26,7 @@ __all__ = [
     "stream_from_directory",
     "stream_interval_join",
     "stream_interval_join_outer",
+    "transform_with_state_supported",
+    "user_totals_tws",
     "windowed_agg",
 ]

