@@ -90,19 +90,30 @@ def main() -> None:
     # the last stdout line must always fit the tail.
     for name in sorted(timings):
         print(f"bench_query {name} {timings[name]}", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "protocol": "sum_of_min_of_2_passes",
-                "wall_clock_s": wall_clock,
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "protocol": "sum_of_min_of_2_passes",
+        "wall_clock_s": wall_clock,
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(payload))
+    # Round-7 verdict item 4: the driver's stdout tail truncates the full
+    # per-query line (~51/205 visible), so round-over-round per-query diffs
+    # need a file. Written next to the repo root (or $SPARK_GRAFT_BENCH_OUT);
+    # commit it as BENCH_local_rNN.json when recording a round.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_local_latest.json"))
+    try:
+        with open(out_path, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     print(
         json.dumps(
             {"metric": "total_query_wall_time", "value": total, "unit": "sec",

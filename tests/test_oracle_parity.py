@@ -107,3 +107,29 @@ def test_no_rows_only_queries():
     here instead of auto-skipping an empty parameter set (r05 verdict item 2)."""
     rows_only = sorted(set(QUERIES) - set(ORACLE))
     assert rows_only == [], f"queries missing oracles: {rows_only}"
+
+
+def test_oracle_parity_detects_drift(spark, sf_dir):
+    """NEGATIVE CONTROL: a deliberately perturbed query must FAIL parity.
+
+    Guards the comparator itself — if a normalizer bug ever made
+    `_rows_to_multiset` collapse genuinely different results to equal
+    values, every green above would be meaningless. Perturb a1's revenue
+    by one cent on one group and assert the hash-level compare notices."""
+    from pyspark.sql import functions as F
+
+    con = _duck(sf_dir)
+    df = QUERIES["a1_pricing_summary"](spark, sf_dir)
+    first_flag = df.select(F.min("l_returnflag")).collect()[0][0]
+    perturbed = df.withColumn(
+        "sum_base_price",
+        F.when(F.col("l_returnflag") == F.lit(first_flag),
+               F.col("sum_base_price") + 0.01)
+        .otherwise(F.col("sum_base_price")))
+    spark_rows, spark_cols = _collect_spark(perturbed)
+    duck_rows, duck_cols = _collect_duck(con, ORACLE["a1_pricing_summary"])
+    assert [c.lower() for c in spark_cols] == [c.lower() for c in duck_cols]
+    assert len(spark_rows) == len(duck_rows)
+    assert spark_rows != duck_rows, (
+        "comparator failed to detect a planted 1-cent drift — the parity "
+        "harness is broken")
