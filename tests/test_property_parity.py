@@ -415,3 +415,49 @@ def test_bp1_pair_counts_match_python_model(spark, tmp_path_factory, words):
         ).collect()
     ]
     assert got == top
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)),
+        min_size=1, max_size=20,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_pagerank_matches_numpy_power_iteration(spark, edges):
+    """pagerank (fixed-iteration mode) vs an independent numpy power
+    iteration with the same dangling-mass redistribution, on generated
+    digraphs (self-loops, parallel edges, dangling nodes, disconnected
+    nodes all arise). Invariants: Σr = 1, every r ≥ (1-d)/N, per-node match
+    to 1e-9."""
+    import numpy as np
+
+    es = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(es, "src bigint, dst bigint")
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    got = {r["node"]: r["r"]
+           for r in pagerank(df, num_iters=12).collect()}
+
+    nodes = sorted({n for e in es for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in es:
+        out[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    d, tp = 0.85, 0.15
+    for _ in range(12):
+        contrib = np.zeros(n)
+        for a, b in es:
+            contrib[idx[b]] += r[idx[a]] / out[idx[a]]
+        dangling = sum(r[i] for i in range(n) if out[i] == 0)
+        r = tp / n + d * (contrib + dangling / n)
+    assert set(got) == set(nodes)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for node in nodes:
+        assert got[node] >= tp / n - 1e-12
+        assert abs(got[node] - r[idx[node]]) < 1e-9, (node, es)
