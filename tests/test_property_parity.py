@@ -461,3 +461,62 @@ def test_pagerank_matches_numpy_power_iteration(spark, edges):
     for node in nodes:
         assert got[node] >= tp / n - 1e-12
         assert abs(got[node] - r[idx[node]]) < 1e-9, (node, es)
+
+
+def _brute_jaccard_pairs(texts, k=3, threshold=0.5):
+    """Brute-force word-k-gram Jaccard over every pair — the independent
+    model for both exact set-similarity engines (inverted index, PPJoin)."""
+    def sh(text):
+        toks = text.lower().split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    shs = {i: sh(t) for i, t in texts}
+    out = {}
+    ids = sorted(shs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            u = shs[a] | shs[b]
+            if not u:
+                continue
+            j = round(len(shs[a] & shs[b]) / len(u), 6)
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+_WORDS = ["red", "blue", "fox", "dog", "jumps", "runs", "fast", "slow"]
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8)
+        .map(lambda ws: " ".join(ws)),
+        min_size=2, max_size=10,
+    )
+)
+def test_exact_set_similarity_engines_complete_and_sound(spark, docs):
+    """COMPLETENESS + SOUNDNESS of both exact set-similarity engines on
+    generated tiny-vocab corpora (high shingle overlap by construction,
+    plus empty docs and sub-k docs): the inverted-index path and the
+    PPJoin prefix-filter path must BOTH return exactly the brute-force
+    J >= t pair set with matching Jaccard values. This is the property the
+    prefix bound's floor-vs-ceil reasoning claims in the docstring —
+    falsified here if the prefix is ever one shingle too short."""
+    from agent_data_wrangler_spark.operators import dedup
+
+    texts = list(enumerate(docs))
+    want = _brute_jaccard_pairs(texts, k=3, threshold=0.5)
+    df = spark.createDataFrame(texts, "doc_id bigint, text string")
+
+    for engine in (dedup.near_dup_pairs_exact, dedup.near_dup_pairs_prefix):
+        got = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in engine(
+                df, "doc_id", "text", k=3, threshold=0.5
+            ).collect()
+        }
+        assert got == want, (engine.__name__, sorted(got), sorted(want), docs)
