@@ -520,3 +520,52 @@ def test_exact_set_similarity_engines_complete_and_sound(spark, docs):
             ).collect()
         }
         assert got == want, (engine.__name__, sorted(got), sorted(want), docs)
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 11), st.integers(0, 11)),
+        min_size=1, max_size=25,
+    )
+)
+def test_connected_components_both_paths_match_union_find(spark, edges):
+    """Both cc strategies — the driver union-find AND the distributed
+    min-label propagation (forced via local_edge_limit=0) — must produce
+    the exact smallest-id-per-component labeling of an independent Python
+    union-find, on generated graphs with self-loops, parallel edges, and
+    multiple components."""
+    from agent_data_wrangler_spark.operators import dedup
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical labels: smallest member id per component
+    members = {}
+    for n in parent:
+        members.setdefault(find(n), set()).add(n)
+    want = {n: min(members[find(n)]) for n in parent}
+
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    local = {r["id"]: r["component_id"]
+             for r in dedup.connected_components(df).collect()}
+    dist = {r["id"]: r["component_id"]
+            for r in dedup.connected_components(
+                df, local_edge_limit=0).collect()}
+    assert local == want, (sorted(local.items()), sorted(want.items()))
+    assert dist == want, (sorted(dist.items()), sorted(want.items()))
