@@ -64,7 +64,10 @@ def pagerank(
             "pagerank: specify exactly one of num_iters (fixed power "
             "iterations) or tol (L1 convergence threshold)")
     tp = (1.0 - damping) if teleport is None else teleport
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # NULL endpoints are dropped, not propagated: a NULL dst would otherwise
+    # enter the node universe as a phantom node holding teleport mass
+    # (breaking Σr = 1) while never matching any join key.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).na.drop()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
     # No explicit repartition: when the |N|-sized rank frame fits a
     # broadcast (the common case — ranks are 16 bytes/node), the iteration

@@ -153,3 +153,16 @@ def test_pagerank_dangling_and_guards(spark):
         pagerank(edges, num_iters=3, tol=1e-6)
     with _pytest.raises(RuntimeError, match="did not converge"):
         pagerank(edges, tol=1e-15, max_iter=1)
+
+
+def test_pagerank_drops_null_endpoints(spark):
+    """NULL src/dst must not become a phantom node: rank mass still sums
+    to 1 over the non-null graph."""
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), (None, "a"), ("b", None)],
+        "src string, dst string")
+    got = {r["node"]: r["r"] for r in pagerank(edges, num_iters=5).collect()}
+    assert set(got) == {"a", "b"}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
