@@ -483,6 +483,11 @@ def connected_components(
 
     raw = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        # NULL ids are dropped, not clustered: the driver union-find would
+        # crash ranking None against real ids, and the distributed path
+        # would mint a phantom "null" node joining otherwise-separate
+        # components through every null-bearing pair.
+        .na.drop()
         .distinct()
         .localCheckpoint()
     )

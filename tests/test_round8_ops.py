@@ -166,3 +166,17 @@ def test_pagerank_drops_null_endpoints(spark):
     got = {r["node"]: r["r"] for r in pagerank(edges, num_iters=5).collect()}
     assert set(got) == {"a", "b"}
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_connected_components_drops_null_ids(spark):
+    """A pair with a NULL side must not crash the driver union-find nor
+    bridge unrelated components through a phantom null node (both paths)."""
+    from agent_data_wrangler_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 4)],
+        "id_a bigint, id_b bigint")
+    for kwargs in ({}, {"local_edge_limit": 0}):
+        got = {r["id"]: r["component_id"]
+               for r in dedup.connected_components(pairs, **kwargs).collect()}
+        assert got == {1: 1, 2: 1}, (kwargs, got)
