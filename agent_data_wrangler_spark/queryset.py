@@ -1759,6 +1759,68 @@ def csv1_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ZO1 — the z-order clustered layout end-to-end (writers.write_zorder),
+# retiring its unit-only status: write events Morton-interleaved on
+# (user_id, value) into a bounded file count, re-read, and emit (a) HARD
+# content values the oracle recomputes from the original parquet (count,
+# integer cents, distinct users — any row loss or value drift in the
+# rewrite breaks the hash) and (b) LAYOUT verdict booleans computed from
+# per-file min/max statistics via input_file_name(): the file count must
+# respect the requested bound, and the mean per-file user_id span must be
+# well under the global span — the data-skipping property that makes the
+# layout worth paying a range shuffle for (a random layout measures ~1.0;
+# the z-curve's top bits split the user dimension first, measuring ~0.4).
+# Verdict-oracle pattern as n5/hs1: DuckDB asserts the booleans TRUE.
+# ---------------------------------------------------------------------------
+@query(
+    "zo1_zorder_layout_events",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           TRUE AS files_ok,
+           TRUE AS clustered
+    FROM events
+    """,
+)
+def zo1_zorder_layout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.writers import write_zorder
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value")
+    out = os.path.join(tempfile.mkdtemp(prefix="adw_zo1_"), "events_z")
+    write_zorder(ev, out, ["user_id", "value"], num_files=8)
+    back = spark.read.parquet(out)
+
+    per_file = back.groupBy(F.input_file_name().alias("f")).agg(
+        F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+    bounds = ev.agg(
+        F.min("user_id").alias("glo"), F.max("user_id").alias("ghi"))
+    layout = per_file.crossJoin(F.broadcast(bounds)).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.avg(
+            (F.col("hi") - F.col("lo"))
+            / F.greatest(F.col("ghi") - F.col("glo"), F.lit(1))
+        ).alias("avg_span"),
+    )
+    content = back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+    )
+    return content.crossJoin(F.broadcast(layout)).select(
+        "n_rows", "sum_cents", "n_users",
+        ((F.col("n_files") >= 2) & (F.col("n_files") <= 8)).alias("files_ok"),
+        (F.col("avg_span") <= 0.8).alias("clustered"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # RJ1 — range join (point-in-interval): events bucketed into literal time
 # bands via operators/joins.range_join. The operator converts the non-equi
 # range predicate into a bucket-exploded EQUI hash join with a residual
