@@ -1759,6 +1759,55 @@ def csv1_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BIN1 — binaryFile ingestion end-to-end (readers.read_binary_files),
+# retiring its unit-only status: stage the first 50 documents as one .txt
+# file each (utf-8 bytes; a bounded 50-row driver staging loop, same
+# contract as the streaming _staged_events fixture), ingest the directory
+# through the binaryFile source, and hash (file count, total byte length,
+# distinct md5-of-bytes) against DuckDB recomputing the identical values
+# from the documents table (strlen-bytes/md5 over the same utf-8 text).
+# Any dropped file, truncated payload, or byte mangling in the ingest path
+# breaks the hash. Scale: one row per file is the ingest contract; the
+# docstring mandates compaction into parquet binary columns upstream of
+# the multimodal operators (mm1-mm3 consume exactly that layout).
+# ---------------------------------------------------------------------------
+@query(
+    "bin1_binaryfile_ingest_documents",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50)
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_md5
+    FROM d
+    """,
+)
+def bin1_binaryfile_ingest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.readers import read_binary_files
+
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", "text")
+        .collect()  # bounded: 50 rows, staging fixture only
+    )
+    stage = tempfile.mkdtemp(prefix="adw_bin1_")
+    for r in docs:
+        with open(os.path.join(stage, f"doc_{r['doc_id']:05d}.txt"),
+                  "wb") as fh:
+            fh.write((r["text"] or "").encode("utf-8"))
+    files = read_binary_files(spark, stage, glob="*.txt")
+    return files.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("length").cast("bigint").alias("total_bytes"),
+        F.count_distinct(F.md5("content")).cast("bigint")
+        .alias("n_distinct_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ZO1 — the z-order clustered layout end-to-end (writers.write_zorder),
 # retiring its unit-only status: write events Morton-interleaved on
 # (user_id, value) into a bounded file count, re-read, and emit (a) HARD
