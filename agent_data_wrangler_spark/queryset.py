@@ -1759,6 +1759,61 @@ def csv1_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CM1 — small-file compaction end-to-end (writers.compact), retiring the
+# layout row's last unit-only leg: fragment events into 64 tiny parquet
+# files (the streaming-sink accretion pattern compact() exists to undo),
+# compact into the versioned sibling, and emit (a) HARD content values the
+# oracle recomputes from the original parquet — any row lost or value
+# drifted by the rewrite breaks the hash — and (b) layout verdict booleans:
+# the compacted directory must hold strictly fewer data files, within the
+# size-derived bound. Verdict-oracle pattern as zo1/n5/hs1.
+# Scale: compact() is the daily janitor against open/footer overhead; the
+# coalesce path merges scan partitions shuffle-free.
+# ---------------------------------------------------------------------------
+@query(
+    "cm1_compaction_events",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           TRUE AS compacted_fewer,
+           TRUE AS file_bound_ok
+    FROM events
+    """,
+)
+def cm1_compaction_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from agent_data_wrangler_spark.sources.writers import compact
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    frag = os.path.join(tempfile.mkdtemp(prefix="adw_cm1_"), "events_frag")
+    ev.repartition(64).write.parquet(frag)
+
+    def n_data_files(p: str) -> int:
+        return sum(1 for f in os.listdir(p)
+                   if not f.startswith(("_", ".")))
+
+    before = n_data_files(frag)
+    out = compact(spark, frag, target_mb=128)
+    after = n_data_files(out)
+    back = spark.read.parquet(out)
+    return back.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint").alias("sum_cents"),
+        F.count_distinct("event_type").cast("bigint").alias("n_types"),
+    ).select(
+        "n_rows", "sum_cents", "n_types",
+        F.lit(after < before).alias("compacted_fewer"),
+        F.lit(1 <= after <= 8).alias("file_bound_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # BIN1 — binaryFile ingestion end-to-end (readers.read_binary_files),
 # retiring its unit-only status: stage the first 50 documents as one .txt
 # file each (utf-8 bytes; a bounded 50-row driver staging loop, same
