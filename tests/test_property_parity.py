@@ -569,3 +569,88 @@ def test_connected_components_both_paths_match_union_find(spark, edges):
                 df, local_edge_limit=0).collect()}
     assert local == want, (sorted(local.items()), sorted(want.items()))
     assert dist == want, (sorted(dist.items()), sorted(want.items()))
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    left=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)),
+                  min_size=0, max_size=25),
+    right=st.lists(st.tuples(st.integers(0, 4), st.integers(0, 100)),
+                   min_size=0, max_size=8),
+    how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+)
+def test_salted_join_equals_plain_join(spark, left, right, how):
+    """Salting is a physical rewrite: for every supported mode the result
+    multiset must be IDENTICAL to the plain join — duplicates on both
+    sides, hot keys, empty sides, unmatched rows."""
+    from agent_data_wrangler_spark.operators.joins import salted_join
+
+    l = spark.createDataFrame(left, "k int, lv int") if left else \
+        spark.createDataFrame([], "k int, lv int")
+    r = (spark.createDataFrame(right, "k int, rv int") if right else
+         spark.createDataFrame([], "k int, rv int"))
+    got = sorted(tuple(x) for x in
+                 salted_join(l, r, "k", salt=4, how=how).collect())
+    want = sorted(tuple(x) for x in l.join(r, "k", how).collect())
+    assert got == want, (how, got[:5], want[:5])
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2),            # partition key
+                  st.integers(-50, 50),          # order col (ties!)
+                  st.integers(-5, 5),            # v1
+                  st.integers(0, 3)),            # v2
+        min_size=0, max_size=40,
+    )
+)
+def test_distributed_prefix_sums_match_plain_window(spark, rows):
+    """The bucketed two-phase prefix sum must equal the plain (single
+    reducer) window cumsum for every (exclusive, inclusive) x partitioned
+    x unpartitioned combination, empty inputs included. Input is
+    pre-aggregated to unique (partition, order) keys first — the operator's
+    real consumers (ks1's value counts, ns1's corpus index) all feed
+    unique-key frames, and with duplicate order values the per-row
+    exclusive sums are documented tie-arbitrary in BOTH forms (not a
+    defined output to compare)."""
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.operators.windows import (
+        distributed_prefix_sums,
+    )
+
+    raw = (spark.createDataFrame(rows, "p int, o int, v1 int, v2 int")
+           if rows else spark.createDataFrame([], "p int, o int, v1 int, v2 int"))
+    for partition_by in (None, ["p"]):
+        # uniquify the order key WITHIN each window partition — ties across
+        # partitions are fine, ties inside one are the undefined case
+        df = raw.groupBy(*(partition_by or []), "o").agg(
+            F.sum("v1").cast("int").alias("v1"),
+            F.sum("v2").cast("int").alias("v2"))
+        if partition_by is None:
+            df = df.select("o", "v1", "v2")
+        for inclusive in (False, True):
+            got_df = distributed_prefix_sums(
+                df, ["v1", "v2"], "o", partition_by,
+                n_buckets=4, aliases=["c1", "c2"], inclusive=inclusive)
+            keys = (["p"] if partition_by else []) + ["o"]
+            got = sorted(
+                (tuple(r[k] for k in keys), r["c1"], r["c2"])
+                for r in got_df.collect())
+            w = Window.partitionBy(*(partition_by or [])).orderBy("o")
+            w = w.rowsBetween(Window.unboundedPreceding,
+                              0 if inclusive else -1)
+            want_df = df.select(
+                *keys,
+                F.coalesce(F.sum("v1").over(w), F.lit(0)).alias("c1"),
+                F.coalesce(F.sum("v2").over(w), F.lit(0)).alias("c2"))
+            want = sorted(
+                (tuple(r[k] for k in keys), r["c1"], r["c2"])
+                for r in want_df.collect())
+            # multiset equality per (partition, order-value): sort handles it
+            assert got == want, (partition_by, inclusive, got[:5], want[:5])
