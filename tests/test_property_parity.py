@@ -654,3 +654,36 @@ def test_distributed_prefix_sums_match_plain_window(spark, rows):
                 for r in want_df.collect())
             # multiset equality per (partition, order-value): sort handles it
             assert got == want, (partition_by, inclusive, got[:5], want[:5])
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+        min_size=1, max_size=40,
+    )
+)
+def test_two_phase_agg_equals_plain_groupby(spark, rows):
+    """The salted two-phase aggregate must equal the plain groupBy for
+    re-aggregatable functions (count/sum/min/max) on generated inputs —
+    hot keys and negative values included. (Exact-integer functions, so
+    no float association noise.)"""
+    from agent_data_wrangler_spark.operators.joins import two_phase_agg
+
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = sorted(
+        tuple(r) for r in two_phase_agg(
+            df, "k",
+            {"n": (F.count, F.sum, "v"),
+             "total": (F.sum, F.sum, "v"),
+             "mn": (F.min, F.min, "v"),
+             "mx": (F.max, F.max, "v")},
+            salt=4,
+        ).collect())
+    want = sorted(
+        tuple(r) for r in df.groupBy("k").agg(
+            F.count("v").alias("n"), F.sum("v").alias("total"),
+            F.min("v").alias("mn"), F.max("v").alias("mx")).collect())
+    assert got == want, (got[:5], want[:5])
