@@ -687,3 +687,42 @@ def test_two_phase_agg_equals_plain_groupby(spark, rows):
             F.count("v").alias("n"), F.sum("v").alias("total"),
             F.min("v").alias("mn"), F.max("v").alias("mx")).collect())
     assert got == want, (got[:5], want[:5])
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(
+    points=st.lists(st.integers(-40, 40), min_size=1, max_size=25),
+    intervals=st.lists(
+        st.tuples(st.integers(-40, 40), st.integers(0, 30)),
+        min_size=1, max_size=10,
+    ),
+    bucket=st.sampled_from([1.0, 3.0, 7.5, "auto"]),
+)
+def test_range_join_equals_naive_between(spark, points, intervals, bucket):
+    """The bucket-exploded equi rewrite must return exactly the naive
+    half-open BETWEEN join's pairs for every bucket width — boundary
+    points, zero-length intervals, nested/overlapping intervals. (At
+    bucket='auto' zero-mean-length interval sets raise, which the naive
+    form can't mimic — skip those draws.)"""
+    from agent_data_wrangler_spark.operators.joins import range_join
+
+    ivs = [(i, s, s + ln) for i, (s, ln) in enumerate(intervals)]
+    l = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(points)], "pid int, pt int")
+    r = spark.createDataFrame(ivs, "iid int, lo int, hi int")
+    if bucket == "auto" and all(ln == 0 for _, ln in intervals):
+        with pytest.raises(ValueError, match="auto-size"):
+            range_join(l, r, "pt", "lo", "hi", bucket=bucket)
+        return
+    got = sorted(
+        (x["pid"], x["iid"])
+        for x in range_join(l, r, "pt", "lo", "hi", bucket=bucket)
+        .select("pid", "iid").collect())
+    want = sorted(
+        (pid, iid)
+        for pid, p in enumerate(points)
+        for iid, lo, hi in ivs
+        if lo <= p < hi)
+    assert got == want, (bucket, got[:6], want[:6])
