@@ -1,4 +1,4 @@
-"""Distributed iterative graph algorithms (PageRank).
+"""Distributed iterative graph algorithms (PageRank family).
 
 Reference parity: the reference agent (`tool_call_agent.py:29-54`) can emit
 arbitrary pandas scripts, including iterative ones; this module is the
@@ -16,15 +16,18 @@ Scale design (the same contract as ``dedup.connected_components``):
 - convergence is an explicit L1-delta test with a ``max_iter`` guard that
   RAISES on non-convergence — a partially-converged rank vector is a wrong
   answer and is never returned silently (mirrors ``dedup.py`` cc contract);
-- dangling mass (nodes with no out-edges) is redistributed uniformly each
-  iteration via a 1-row aggregate broadcast — the textbook correction, so
-  ranks always sum to 1 and directed graphs are handled exactly.
+- dangling mass (nodes with no out-edges) is redistributed along the
+  teleport vector each iteration via a 1-row aggregate broadcast — the
+  textbook correction, so ranks always sum to 1 and directed graphs are
+  handled exactly.
 """
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def pagerank(
@@ -34,6 +37,8 @@ def pagerank(
     *,
     damping: float = 0.85,
     teleport: float | None = None,
+    weight_col: str | None = None,
+    source_nodes: Sequence | None = None,
     num_iters: int | None = None,
     tol: float | None = None,
     max_iter: int = 40,
@@ -47,6 +52,24 @@ def pagerank(
     - ``tol=eps``: iterate until the L1 delta between successive rank
       vectors drops below ``eps``, raising ``RuntimeError`` if ``max_iter``
       iterations don't get there (never returns partial ranks silently).
+
+    Variants (compose freely):
+
+    - ``weight_col``: WEIGHTED PageRank — each edge contributes
+      ``r(src) · w / Σw(src)`` instead of ``r(src) / out_degree(src)``.
+      Weights must be strictly positive (a zero/negative weight makes the
+      transition matrix non-stochastic and is raised on, not normalized
+      away); NULL-weight edges are dropped with the NULL-endpoint rule.
+    - ``source_nodes``: PERSONALIZED PageRank (random walk with restart) —
+      the teleport vector concentrates uniformly on the given nodes instead
+      of all of N, ranks answer "importance relative to these sources"
+      (trust-rank / recommendation semantics). The list is driver-side and
+      must be small (personalization sets are; for a distributed reset
+      vector you want a different operator). Every source must exist in the
+      graph — a missing source would silently leak teleport mass, so it
+      raises instead. Dangling mass is redistributed along the SAME vector,
+      keeping Σr = 1 exactly. Iterations start from the teleport vector
+      (the standard RWR init) rather than uniform.
 
     Parallel edges are kept (they weight the contribution, as in the
     classic formulation over a multigraph); pre-``distinct()`` the edge
@@ -67,8 +90,20 @@ def pagerank(
     # NULL endpoints are dropped, not propagated: a NULL dst would otherwise
     # enter the node universe as a phantom node holding teleport mass
     # (breaking Σr = 1) while never matching any join key.
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).na.drop()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("d"))
+    cols = [F.col(src).alias("src"), F.col(dst).alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    e = edges.select(*cols).na.drop()
+    if weight_col is None:
+        e = e.withColumn("w", F.lit(1.0))
+    else:
+        bad = e.agg(F.min("w").alias("mn")).first()["mn"]
+        if bad is not None and bad <= 0.0:
+            raise ValueError(
+                f"pagerank: weight_col {weight_col!r} contains a "
+                f"non-positive weight ({bad}) — the transition matrix must "
+                "be stochastic; filter or re-scale weights upstream")
+    deg = e.groupBy("src").agg(F.sum("w").alias("d"))
     # No explicit repartition: when the |N|-sized rank frame fits a
     # broadcast (the common case — ranks are 16 bytes/node), the iteration
     # join moves ZERO edge bytes and a pre-shuffle would be a wasted full
@@ -89,6 +124,25 @@ def pagerank(
         raise ValueError(
             "pagerank: graph has no edges — PageRank over an empty node set "
             "is undefined")
+
+    # Teleport vector t(v): uniform 1/N, or uniform over source_nodes for
+    # the personalized walk. A per-row Column expression — never a join.
+    if source_nodes is not None:
+        srcs = sorted(set(source_nodes))
+        if not srcs:
+            raise ValueError("pagerank: source_nodes must be non-empty")
+        present = nodes.filter(F.col("node").isin(srcs)).count()
+        if present != len(srcs):
+            raise ValueError(
+                f"pagerank: {len(srcs) - present} of {len(srcs)} "
+                "source_nodes are not in the graph — teleport mass would "
+                "silently leak; fix the source list")
+        tvec: Column = F.when(
+            F.col("node").isin(srcs), F.lit(1.0 / len(srcs))
+        ).otherwise(F.lit(0.0))
+    else:
+        tvec = F.lit(1.0 / n_nodes)
+
     # The node set is static, so the DANGLING set (nodes with no out-edges)
     # is computed ONCE — never re-derive the |E|→|V| distinct inside the
     # loop — and probed for emptiness once. On a symmetrized graph (gr1) or
@@ -107,31 +161,35 @@ def pagerank(
     if not has_dangling:
         dangling.unpersist()
 
-    ranks = nodes.select(
-        "node", (F.lit(1.0) / F.lit(n_nodes)).alias("r")
-    )
+    ranks = nodes.select("node", tvec.alias("r")) \
+        if source_nodes is not None else \
+        nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
 
     def step(r: DataFrame) -> DataFrame:
         contrib = (
             edges_deg.join(r, edges_deg["src"] == r["node"])
             .groupBy("dst")
-            .agg(F.sum(F.col("r") / F.col("d")).alias("c"))
+            .agg(F.sum(F.col("r") * F.col("w") / F.col("d")).alias("c"))
         )
         out = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
         mass = F.coalesce(F.col("c"), F.lit(0.0))
+        # Uniform case keeps the LITERAL tp/n and dm/n forms — tp*(1/n) is
+        # not IEEE-identical to tp/n, and gr1's oracle unrolls the /n form.
         if has_dangling:
             # Dangling mass: rank held by nodes with no out-edges, spread
-            # uniformly. 1-row aggregate → broadcast into the update.
+            # along the teleport vector. 1-row aggregate → broadcast.
             dangle = (
                 r.join(dangling, "node", "semi")
                 .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dm"))
             )
             out = out.crossJoin(F.broadcast(dangle))
-            mass = mass + F.col("dm") / F.lit(n_nodes)
+            mass = mass + (
+                F.col("dm") * tvec if source_nodes is not None
+                else F.col("dm") / F.lit(n_nodes))
+        base = (F.lit(tp) * tvec if source_nodes is not None
+                else F.lit(tp / n_nodes))
         return out.select(
-            "node",
-            (F.lit(tp / n_nodes) + F.lit(damping) * mass).alias("r"),
-        )
+            "node", (base + F.lit(damping) * mass).alias("r"))
 
     # Checkpoint cadence: materializing EVERY iteration costs one Spark job
     # per step (3x slower for gr1's 3-iteration run); never checkpointing

@@ -180,3 +180,74 @@ def test_connected_components_drops_null_ids(spark):
         got = {r["id"]: r["component_id"]
                for r in dedup.connected_components(pairs, **kwargs).collect()}
         assert got == {1: 1, 2: 1}, (kwargs, got)
+
+
+def test_pagerank_weighted_matches_numpy(spark):
+    """Weighted PageRank on a fixed 4-node graph vs a from-scratch numpy
+    power iteration with w/Σw transitions; non-positive weights raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    es = [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+          ("c", "a", 1.0), ("c", "d", 1.0), ("d", "a", 5.0)]
+    df = spark.createDataFrame(es, "src string, dst string, w double")
+    got = {r["node"]: r["r"]
+           for r in pagerank(df, weight_col="w", num_iters=20).collect()}
+
+    nodes = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    out_w = {n: sum(w for s, _, w in es if s == n) for n in nodes}
+    r = np.full(4, 0.25)
+    d = 0.85
+    for _ in range(20):
+        nxt = np.full(4, (1 - d) / 4)
+        for s, t, w in es:
+            nxt[idx[t]] += d * r[idx[s]] * w / out_w[s]
+        r = nxt
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9, n
+
+    bad = spark.createDataFrame(
+        [("a", "b", 0.0)], "src string, dst string, w double")
+    with _pytest.raises(ValueError, match="non-positive weight"):
+        pagerank(bad, weight_col="w", num_iters=1)
+
+
+def test_pagerank_personalized_concentrates_on_sources(spark):
+    """Personalized PageRank: teleport mass restricted to the source set —
+    closed-form check on a 4-node chain vs numpy, Σr = 1, and a missing
+    source raises instead of leaking mass."""
+    import numpy as np
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    es = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(es, "src string, dst string")
+    got = {r["node"]: r["r"]
+           for r in pagerank(df, source_nodes=["a"],
+                             tol=1e-12, max_iter=200).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # numpy RWR fixed point
+    nodes = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    t = np.array([1.0, 0.0, 0.0, 0.0])
+    r = t.copy()
+    d = 0.85
+    for _ in range(500):
+        nxt = 0.15 * t
+        for s, x in es:
+            nxt[idx[x]] += d * r[idx[s]]
+        r = nxt
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9, n
+    # the restart node dominates its antipode
+    assert got["a"] > got["c"]
+
+    with _pytest.raises(ValueError, match="not in the graph"):
+        pagerank(df, source_nodes=["a", "zzz"], num_iters=2)
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(df, source_nodes=[], num_iters=2)
