@@ -5395,6 +5395,45 @@ def xm1_xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AV1 — Avro source/sink roundtrip (the Kafka/schema-registry interchange
+# format), DETECTION-GATED like st10: spark-avro is built-in-but-external
+# since Spark 2.4 and absent from plain-pip distributions (this container),
+# so the query registers only where `avro_supported()` finds the module —
+# no stub, no runtime failure; `tests/test_round8_ops.py` pins the gate.
+# Where present: export events through the versioned Avro sink, re-read,
+# aggregate; the oracle reads the ORIGINAL parquet, so row loss or type
+# drift in the Avro path breaks the hash. Scale: Avro is a land-once
+# format (splittable, schema-carrying, but no pushdown/pruning) — convert
+# to parquet at the lake boundary.
+# ---------------------------------------------------------------------------
+from agent_data_wrangler_spark.sources.readers import (  # noqa: E402
+    avro_supported as _avro_ok,
+)
+
+if _avro_ok():
+
+    @query(
+        "av1_avro_roundtrip_events",
+        oracle="""
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+        FROM events GROUP BY event_type
+        """,
+    )
+    def av1_avro_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from agent_data_wrangler_spark.sources.readers import read_avro
+
+        out = _staged_export(spark, sf_dir, "avro", "events.avro")
+        back = read_avro(spark, out)
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint").alias("sum_cents"),
+        )
+
+
+# ---------------------------------------------------------------------------
 # KM1 — Kaplan-Meier survival estimate of user lifetime (time-to-churn with
 # right-censoring): the standard retention-curve statistic. A user's
 # observed lifetime is first-event → last-event days; users whose last

@@ -269,3 +269,50 @@ def read_csv_quarantine(
         .schema(full)
         .csv(path)
     )
+
+
+def avro_supported(spark: SparkSession | None = None) -> bool:
+    """Probe for the spark-avro DATA SOURCE module (session-free by default).
+
+    Avro is built-in-but-external since Spark 2.4: the pip pyspark
+    distribution bundles the avro-* LIBRARY jars but NOT the
+    ``spark-avro_2.x`` data source, so plain-pip environments (this
+    container) fail with AnalysisException at plan time. The av1 roundtrip
+    query registers only where the module is deployed — same
+    detection-gated contract as the transformWithStateInPandas lane (no
+    stub, no runtime surprise).
+
+    With no session the probe checks the distribution's jars directory for
+    a ``spark-avro*`` jar (registration-time gate — no JVM needed); with a
+    session it additionally resolves the format against the live
+    classpath, which also covers ``spark.jars.packages`` deployments the
+    jar scan cannot see."""
+    if spark is not None:
+        try:
+            spark.read.format("avro").schema("probe int").load(
+                "/nonexistent/__avro_probe__")
+            return True
+        except Exception as exc:
+            return "Failed to find data source" not in str(exc)
+    import glob
+    import pyspark
+
+    jars = os.path.join(os.path.dirname(pyspark.__file__), "jars")
+    return bool(glob.glob(os.path.join(jars, "spark-avro*.jar")))
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — the row-based interchange format of the Kafka/schema-
+    registry ecosystem. Splittable (block-compressed container files) and
+    schema-carrying, so it lands well and converts to parquet once; like
+    CSV/XML it has no column pruning or predicate pushdown, so it is a
+    land-once format, not a query format. Gate on :func:`avro_supported`
+    — plain-pip pyspark lacks the external module."""
+    if not avro_supported(spark):
+        raise RuntimeError(
+            "spark-avro module not deployed in this Spark environment — "
+            "probe avro_supported(spark) before calling read_avro; add "
+            "org.apache.spark:spark-avro to spark.jars.packages on a "
+            "connected cluster")
+    require_exists(path)
+    return spark.read.format("avro").load(path)

@@ -251,3 +251,24 @@ def test_pagerank_personalized_concentrates_on_sources(spark):
         pagerank(df, source_nodes=["a", "zzz"], num_iters=2)
     with _pytest.raises(ValueError, match="non-empty"):
         pagerank(df, source_nodes=[], num_iters=2)
+
+
+def test_avro_lane_detection_gated(spark):
+    """spark-avro registers only where the module is deployed: on plain-pip
+    runtimes the probe is False, av1 is absent from the registry, and
+    read_avro raises a NAMED error instead of an AnalysisException."""
+    from agent_data_wrangler_spark import queryset
+    from agent_data_wrangler_spark.sources.readers import (
+        avro_supported,
+        read_avro,
+    )
+
+    jar_probe = avro_supported()
+    live_probe = avro_supported(spark)
+    assert jar_probe == live_probe  # jar scan and live resolution agree here
+    assert ("av1_avro_roundtrip_events" in queryset.QUERIES) == jar_probe
+    if not jar_probe:
+        with pytest.raises(RuntimeError, match="spark-avro module"):
+            read_avro(spark, "/tmp/nonexistent.avro")
+        pytest.skip("spark-avro absent — lane correctly gated off; rerun "
+                    "on a cluster with spark.jars.packages deployed")
