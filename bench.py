@@ -2,7 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints a full
 per-query JSON line followed by a short final summary line
 {"metric": ..., "value": N, "unit": "sec", "sf": ...} sized to survive the
-driver's bounded stdout-tail capture (per-query timings also mirror to stderr).
+driver's bounded stdout-tail capture (per-query timings also mirror to
+stderr), and persists the complete payload to $SPARK_GRAFT_BENCH_OUT
+(default BENCH_local_latest.json next to this file) so per-query diffs
+never depend on the truncated tail.
 
 Each query is forced through a noop sink (df.write.format("noop")) so the full
 plan executes — aggregation, shuffle, window — without driver-side collect
