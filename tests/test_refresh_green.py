@@ -50,3 +50,34 @@ def test_slate_puts_unverified_first():
     assert len(unverified) <= entry.DRIVER_SLOT_CAP - len(entry.CANARIES) \
         or not missing, f"never-verified queries outside the slate: {missing}"
     assert not missing, f"never-verified queries outside the slate: {missing}"
+
+
+def test_compute_green_rounds_semantics(tmp_path):
+    """A green row needs rows+schema+hash ALL true; rows-only and failed
+    rows never count; a later failed round does not erase an earlier green
+    (the map records the most recent GREEN, and the rotation will resurface
+    the query for re-verification anyway)."""
+    import json
+
+    from tools.refresh_green import compute_green_rounds
+
+    def write(rnd, data):
+        (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(
+            json.dumps(data))
+
+    green = {"rows_match": True, "schema_match": True, "hash_match": True,
+             "spark_rows": 1, "oracle_rows": 1, "err": None}
+    hash_fail = dict(green, hash_match=False)
+    rows_only = {"rows_match": None, "schema_match": None,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": "no_oracle"}
+    write(1, {"a": green, "b": hash_fail, "c": rows_only})
+    write(2, {"a": hash_fail, "b": green})
+
+    import sys
+    sys.path.insert(0, str(REPO))
+    try:
+        got = compute_green_rounds(str(tmp_path))
+    finally:
+        sys.path.pop(0)
+    assert got == {"a": 1, "b": 2}
