@@ -2707,9 +2707,10 @@ def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tol= convergence mode for production use (see test_round8_ops).
     # An empty orders⋈lineitem raises inside the operator.
     ranks = pagerank(edges, teleport=0.15, num_iters=3)
-    # ranks is the checkpointed |N|-frame — counting it is the cheap way to
-    # recover N for the oracle's rank*N scaling.
-    n_nodes = float(ranks.count())
+    # N for the oracle's rank*N scaling comes from the operator itself
+    # (it already counted the node universe) — no extra job on the
+    # checkpointed frame.
+    n_nodes = ranks.pagerank_n_nodes
     return ranks.filter(F.col("node") % 2 == 1).select(
         F.concat(
             F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint").cast("string")
