@@ -293,7 +293,41 @@ def avro_supported(spark: SparkSession | None = None) -> bool:
                 "/nonexistent/__avro_probe__")
             return True
         except Exception as exc:
-            return "Failed to find data source" not in str(exc)
+            # "module absent" must be recognized by the STABLE error
+            # condition name, not one message spelling — Spark rewords the
+            # prose across versions, and a probe that defaults unmatched
+            # errors to supported=True would misreport a broken-classpath
+            # deployment. getCondition (4.x, nee getErrorClass) carries
+            # the condition for Spark-raised errors; the message substrings
+            # cover older sessions and non-captured JVM exceptions.
+            cond = ""
+            for attr in ("getCondition", "getErrorClass"):
+                fn = getattr(exc, attr, None)
+                if callable(fn):
+                    try:
+                        cond = fn() or ""
+                        break
+                    except Exception:
+                        pass
+            msg = str(exc)
+            missing = (
+                "DATA_SOURCE_NOT_FOUND" in cond
+                or "DATA_SOURCE_NOT_FOUND" in msg
+                or "Failed to find data source" in msg
+                or "Failed to find the data source" in msg
+            )
+            if missing:
+                return False
+            # Any OTHER error from a schema-pinned load of a nonexistent
+            # path is unexpected (the expected outcomes are "module
+            # missing" above or path-not-found when deployed) — treat a
+            # classpath/linkage failure as unsupported rather than letting
+            # read_avro fail later despite the guard.
+            path_probe_ok = (
+                "PATH_NOT_FOUND" in cond
+                or "Path does not exist" in msg
+            )
+            return path_probe_ok
     import glob
     import pyspark
 
