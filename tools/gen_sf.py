@@ -14,13 +14,19 @@ Replication rules (replica i in 0..M-1, i=0 is the verbatim original):
   edge (orders.o_custkey moves with customer.c_custkey, lineitem's
   orderkey/partkey/suppkey move with their parents), so referential
   integrity and join fan-outs are preserved exactly.
-- `documents.text` is Caesar-rotated by i over [a-zA-Z] per replica:
-  lengths (and therefore n_chars) are unchanged, but the token vocabulary
-  is disjoint across replicas, so shingle/Jaccard/MinHash pair structure is
-  M copies of the original's — pairwise operators scale LINEARLY in M, as
-  a real 10x corpus would, instead of quadratically as naive row
-  duplication would force (every doc would become a 10-clique of
-  near-dups, an artifact of the generator rather than the operator).
+- `documents.text` gets a deterministic per-replica substitution cipher
+  over [a-zA-Z] (replica 0 is the identity; replica i>0 uses a
+  Fisher-Yates permutation seeded by i from a fixed LCG): lengths (and
+  therefore n_chars) are unchanged, but the token vocabulary is disjoint
+  across replicas, so shingle/Jaccard/MinHash pair structure is M copies
+  of the original's — pairwise operators scale LINEARLY in M, as a real
+  Mx corpus would, instead of quadratically as naive row duplication
+  would force (every doc would become an M-clique of near-dups, an
+  artifact of the generator rather than the operator). A full permutation
+  rather than a Caesar rotation because rotation has period 26: at
+  mult>26 replica texts repeat byte-for-byte, and two whole multi-letter
+  tokens collide across independent permutations only if the permutations
+  agree on every letter in the token (probability ~(1/52)^len).
 - `embeddings.embedding` gets a small deterministic per-replica,
   per-dimension additive perturbation (<=5e-3) so replicas are distinct
   vectors (no degenerate exact ties in top-k) while neighborhood structure
@@ -76,11 +82,27 @@ DOMAIN_SOURCE = {
 LETTERS = string.ascii_lowercase + string.ascii_uppercase
 
 
-def _caesar_table(i: int) -> dict[int, str]:
-    lo = string.ascii_lowercase
-    up = string.ascii_uppercase
-    rot = lo[i % 26:] + lo[: i % 26] + up[i % 26:] + up[: i % 26]
-    return str.maketrans(LETTERS, rot)
+def _cipher_table(i: int) -> dict[int, str]:
+    """Deterministic per-replica letter permutation (identity at i=0).
+
+    The upper-case table MIRRORS the lower-case one (up[k] =
+    lo[k].upper()) so case-folding commutes with the cipher —
+    lower(cipher(t)) == cipher(lower(t)) — exactly as a Caesar rotation
+    does; within-replica shingle/Jaccard structure after any case
+    normalization is therefore preserved bit-for-bit, and upper->upper
+    keeps capitalization ratios intact. Seeded LCG + Fisher-Yates — no
+    global RNG state, same table for the same i on every run.
+    """
+    if i == 0:
+        return str.maketrans("", "")
+    chars = list(string.ascii_lowercase)
+    state = (i * 2654435761) % (2**32) or 1
+    for k in range(len(chars) - 1, 0, -1):
+        state = (state * 1103515245 + 12345) % (2**31)
+        j = state % (k + 1)
+        chars[k], chars[j] = chars[j], chars[k]
+    lo = "".join(chars)
+    return str.maketrans(LETTERS, lo + lo.upper())
 
 
 def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
@@ -108,7 +130,7 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
 
 def _rotate_documents(tbl: pa.Table, i: int) -> pa.Table:
     texts = tbl.column("text").to_pylist()
-    trans = _caesar_table(i)
+    trans = _cipher_table(i)
     rotated = pa.array([t.translate(trans) if t is not None else None for t in texts])
     idx = tbl.schema.get_field_index("text")
     return tbl.set_column(idx, tbl.schema.field(idx), rotated)
@@ -136,18 +158,22 @@ def main() -> None:
     unknown = wanted - set(KEY_DOMAINS)
     if unknown:
         raise SystemExit(f"unknown tables: {sorted(unknown)}")
-    if args.mult > 26 and "documents" in wanted:
-        # The Caesar rotation has period 26: replica 26's text is byte-
-        # identical to replica 0's, so beyond 26x every doc gains cross-
-        # replica exact duplicates and PAIRWISE operators (near-dup,
-        # Jaccard, edit distance) scale super-linearly as a generator
-        # artifact. Token-count / quality / sampling ops are unaffected.
-        print(
-            f"WARNING: mult={args.mult} > 26 — document replicas repeat "
-            "vocabulary every 26 copies; do NOT use this output to probe "
-            "pairwise dedup/similarity scaling (counts/quality ops are fine)",
-            flush=True,
-        )
+    if "documents" in wanted:
+        # The per-replica substitution ciphers must be pairwise distinct,
+        # or colliding replicas would be byte-identical text (shifted ids)
+        # and every doc would gain cross-replica exact duplicates, making
+        # PAIRWISE operators (near-dup, Jaccard, edit distance) scale
+        # super-linearly as a generator artifact. Distinctness is expected
+        # from the seeded shuffle but not guaranteed by construction, so
+        # verify it outright — it is O(mult) dict builds.
+        tables = [_cipher_table(i) for i in range(args.mult)]
+        seen = {tuple(sorted(t.items())) for t in tables}
+        if len(seen) != args.mult:
+            raise SystemExit(
+                f"cipher collision: only {len(seen)} distinct permutations "
+                f"for mult={args.mult}; pairwise-op scaling would be "
+                "contaminated by cross-replica exact duplicates"
+            )
     src_tables = {
         name: pq.read_table(os.path.join(args.src, f"{name}.parquet"))
         for name in list(KEY_DOMAINS) + list(FIXED_DIMS)
@@ -165,22 +191,27 @@ def main() -> None:
         if name not in wanted:
             continue
         src = src_tables[name]
-        replicas = []
-        for i in range(args.mult):
-            t = src
-            for col, dom in keys:
-                idx = t.schema.get_field_index(col)
-                field = t.schema.field(idx)
-                shifted = pc.add(t.column(col), pa.scalar(i * strides[dom], type=field.type))
-                t = t.set_column(idx, field, shifted.cast(field.type))
-            if i > 0 and name == "documents":
-                t = _rotate_documents(t, i)
-            if i > 0 and name == "embeddings":
-                t = _perturb_embeddings(t, i)
-            replicas.append(t)
-        full = pa.concat_tables(replicas)
-        pq.write_table(full, os.path.join(out, f"{name}.parquet"))
-        print(f"{name}: {src.num_rows} -> {full.num_rows} rows")
+        # Stream one replica per row group instead of concat-then-write:
+        # at high multipliers (sf10 = 100x lineitem) the concatenated
+        # table would hold the whole output uncompressed in RAM; the
+        # writer keeps peak memory at one replica regardless of mult.
+        path = os.path.join(out, f"{name}.parquet")
+        with pq.ParquetWriter(path, src.schema) as writer:
+            for i in range(args.mult):
+                t = src
+                for col, dom in keys:
+                    idx = t.schema.get_field_index(col)
+                    field = t.schema.field(idx)
+                    shifted = pc.add(
+                        t.column(col), pa.scalar(i * strides[dom], type=field.type)
+                    )
+                    t = t.set_column(idx, field, shifted.cast(field.type))
+                if i > 0 and name == "documents":
+                    t = _rotate_documents(t, i)
+                if i > 0 and name == "embeddings":
+                    t = _perturb_embeddings(t, i)
+                writer.write_table(t.cast(src.schema))
+        print(f"{name}: {src.num_rows} -> {src.num_rows * args.mult} rows")
 
 
 if __name__ == "__main__":
