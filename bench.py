@@ -30,6 +30,19 @@ def main() -> None:
     import __spark_entry__ as e
 
     qs = e.queries()
+    # Targeted probes (the sfN scale runs) bench a named subset:
+    # $SPARK_GRAFT_BENCH_ONLY is a comma-separated list of query names or
+    # name prefixes ("ss1,rl1" matches ss1_prefix_jaccard_documents). The
+    # protocol (warmup + min-of-2) is unchanged — only the query set
+    # shrinks, so subset numbers are directly comparable to full-run ones.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        prefixes = tuple(p.strip() for p in only.split(",") if p.strip())
+        qs = {n: f for n, f in qs.items()
+              if n in prefixes or n.startswith(tuple(p + "_" for p in prefixes))}
+        if not qs:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_ONLY={only!r} matched no registered query")
     # Untimed warmup of EVERY query at the smallest SF: Spark's codegen cache
     # is keyed by generated source, so running each plan shape once on tiny
     # data pays the Janino/JIT compile (measured 5-10s for the heavy minhash /
