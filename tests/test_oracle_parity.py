@@ -109,27 +109,68 @@ def test_no_rows_only_queries():
     assert rows_only == [], f"queries missing oracles: {rows_only}"
 
 
-def test_oracle_parity_detects_drift(spark, sf_dir):
-    """NEGATIVE CONTROL: a deliberately perturbed query must FAIL parity.
+# NEGATIVE CONTROLS: one per query FAMILY (r08 verdict item 4). A
+# normalizer bug can be family-specific — e.g. a float-rounding change
+# that only collapses aggregate drift, or a verdict-frame compare that
+# ignores booleans — so a single perturbed aggregate is not enough
+# evidence that "everything green" means anything. Representative shapes:
+# aggregate (a1), equi join (j1), window (w1), explode/text (tf1),
+# dedup-verdict 1-row frame (n6), streaming drain (st1), layout-verdict
+# booleans (zo1).
+_DRIFT_FAMILIES = [
+    "a1_pricing_summary",
+    "j1_revenue_by_segment",
+    "w1_top_order_per_customer",
+    "tf1_tfidf_top_terms_documents",
+    "n6_simhash_documents",
+    "st1_streaming_window_counts",
+    "zo1_zorder_layout_events",
+]
+
+
+def _perturb_one_column(df):
+    """Return (df', column) with ONE column deliberately drifted on every
+    row, type-dispatched: booleans flip, numerics move by more than the
+    comparator's round(·, 6) grain, strings/dates get visibly different
+    values. Raises if the frame has no perturbable column — a family whose
+    control cannot drift is a family without a real check."""
+    from pyspark.sql import functions as F, types as T
+
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, T.BooleanType):
+            repl = ~c
+        elif isinstance(field.dataType, (T.DoubleType, T.FloatType,
+                                         T.DecimalType)):
+            repl = c + F.lit(0.01)
+        elif isinstance(field.dataType, (T.LongType, T.IntegerType,
+                                         T.ShortType, T.ByteType)):
+            repl = c + F.lit(1)
+        elif isinstance(field.dataType, T.StringType):
+            repl = F.concat(F.coalesce(c, F.lit("")), F.lit("~drift"))
+        elif isinstance(field.dataType, (T.TimestampType, T.DateType,
+                                         T.TimestampNTZType)):
+            repl = F.date_add(c, 1).cast(field.dataType)
+        else:
+            continue
+        return df.withColumn(field.name, repl.cast(field.dataType)), field.name
+    raise AssertionError(
+        f"no perturbable column in {df.columns} — cannot plant drift")
+
+
+@pytest.mark.parametrize("name", _DRIFT_FAMILIES)
+def test_oracle_parity_detects_drift(name, spark, sf_dir):
+    """Each family's deliberately perturbed query must FAIL parity.
 
     Guards the comparator itself — if a normalizer bug ever made
     `_rows_to_multiset` collapse genuinely different results to equal
-    values, every green above would be meaningless. Perturb a1's revenue
-    by one cent on one group and assert the hash-level compare notices."""
-    from pyspark.sql import functions as F
-
+    values, every green above would be meaningless."""
     con = _duck(sf_dir)
-    df = QUERIES["a1_pricing_summary"](spark, sf_dir)
-    first_flag = df.select(F.min("l_returnflag")).collect()[0][0]
-    perturbed = df.withColumn(
-        "sum_base_price",
-        F.when(F.col("l_returnflag") == F.lit(first_flag),
-               F.col("sum_base_price") + 0.01)
-        .otherwise(F.col("sum_base_price")))
+    perturbed, col = _perturb_one_column(QUERIES[name](spark, sf_dir))
     spark_rows, spark_cols = _collect_spark(perturbed)
-    duck_rows, duck_cols = _collect_duck(con, ORACLE["a1_pricing_summary"])
+    duck_rows, duck_cols = _collect_duck(con, ORACLE[name])
     assert [c.lower() for c in spark_cols] == [c.lower() for c in duck_cols]
     assert len(spark_rows) == len(duck_rows)
     assert spark_rows != duck_rows, (
-        "comparator failed to detect a planted 1-cent drift — the parity "
-        "harness is broken")
+        f"{name}: comparator failed to detect planted drift in {col!r} — "
+        "the parity harness is broken for this family shape")
