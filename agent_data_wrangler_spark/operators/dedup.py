@@ -963,7 +963,10 @@ def near_dup_pairs_prefix(
     Measured on sf0.1 documents at t=0.6: 1.13M candidate pairs through the
     full inverted join vs 201k through prefixes (5.6x; the synthetic corpus
     is tiny-vocab, so even rare shingles are shared — on a real web-scale
-    vocabulary the prefix cut is far larger), identical final pairs. Shuffles: one on shingle (df counts), one on shingle (df join),
+    vocabulary the prefix cut is far larger), and the POSITIONAL filter
+    (see inline comment) drops those 201k to 66k (3.0x again) before the
+    dominant exact-verify join — identical final pairs at every stage.
+    Shuffles: one on shingle (df counts), one on shingle (df join),
     one on doc id (prefix rebuild), one on prefix shingle (candidates), then
     the verify joins on doc id — every exchange carries ids/counts/shingle
     strings, never document text.
@@ -999,15 +1002,49 @@ def near_dup_pairs_prefix(
         .select(
             "__id",
             "__n",
-            F.explode(F.slice("__o", F.lit(1), prefix_len)).alias("__e"),
+            # posexplode: __p is the shingle's 1-based POSITION in the
+            # doc's full global-order sorted list (the slice starts at 1,
+            # so slice index == list index) — the input to the PPJoin
+            # positional filter below.
+            F.posexplode(F.slice("__o", F.lit(1), prefix_len)).alias(
+                "__p0", "__e"
+            ),
         )
-        .select("__id", "__n", F.col("__e.__s").alias("__s"))
+        .select(
+            "__id",
+            "__n",
+            (F.col("__p0") + F.lit(1)).alias("__p"),
+            F.col("__e.__s").alias("__s"),
+        )
     )
     a = pref.select(
-        F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s"
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.col("__p").alias("__pa"),
+        "__s",
     )
     b = pref.select(
-        F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s"
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.col("__p").alias("__pb"),
+        "__s",
+    )
+    # POSITIONAL filter (PPJoin, Xiao et al. WWW'08 Lemma 2, bulk form):
+    # J >= t  <=>  |A∩B| >= α = t/(1+t)·(|A|+|B|). Per candidate pair let
+    # o = number of shared PREFIX shingles, (ia, jb) = positions of the
+    # order-MAXIMAL shared prefix shingle. Every shared shingle ordered
+    # below that one lies in BOTH prefixes (positions are consistent with
+    # the global order), so it is counted in o exactly; every shared
+    # shingle above it sits past position ia in A and jb in B. Hence
+    # |A∩B| <= o + min(|A|−ia, |B|−jb), and pairs whose bound misses α
+    # can never verify — dropped before the (dominant) exact-Jaccard
+    # verify join ever sees them. max(__pa)/max(__pb) both belong to that
+    # same maximal shingle, again by order-consistency of positions. The
+    # 1e-9 slack keeps float noise in t/(1+t)·(n_a+n_b) from dropping a
+    # boundary pair — a loose α only admits candidates verify will reject.
+    alpha = (
+        F.lit(threshold) / F.lit(1.0 + threshold)
+        * (F.col("__na") + F.col("__nb")) - F.lit(1e-9)
     )
     cand = (
         a.join(
@@ -1020,8 +1057,20 @@ def near_dup_pairs_prefix(
                 >= F.lit(threshold) * F.greatest("__na", "__nb")
             ),
         )
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(
+            F.count(F.lit(1)).alias("__o"),
+            F.max("__pa").alias("__ia"),
+            F.max("__pb").alias("__jb"),
+        )
+        .filter(
+            F.col("__o")
+            + F.least(
+                F.col("__na") - F.col("__ia"), F.col("__nb") - F.col("__jb")
+            )
+            >= alpha
+        )
         .select("id_a", "id_b")
-        .distinct()
         # Same stage-boundary materialization as the minhash/exact paths:
         # the verify stage reads the candidate frame three times, and
         # without it the df-count + sort + prefix self-join all re-run per
