@@ -32,6 +32,14 @@ Replication rules (replica i in 0..M-1, i=0 is the verbatim original):
   vectors (no degenerate exact ties in top-k) while neighborhood structure
   stays intact. No RNG state: the offset is a pure function of
   (replica, dim).
+- `customer.c_acctbal` shifts by i cents per replica (i/100.00, exact in
+  2-decimal space): verbatim copies would make every balance value occur
+  M times, so ANY value-blocked operator (record linkage) degenerates to
+  M-member blocks — an artifact of duplication, not of data volume (real
+  M-times-larger data draws balances independently). The i-cent offset
+  keeps replicas' balances disjoint for M <= 100 while preserving every
+  within-replica relation (the +1.00 mutation, value distributions up to
+  a <=$1 shift).
 
 Usage: python tools/gen_sf.py [--src /root/testdata/sf0.1]
                               [--out .scratch/sf1] [--mult 10]
@@ -210,6 +218,14 @@ def main() -> None:
                     t = _rotate_documents(t, i)
                 if i > 0 and name == "embeddings":
                     t = _perturb_embeddings(t, i)
+                if i > 0 and name == "customer":
+                    idx = t.schema.get_field_index("c_acctbal")
+                    field = t.schema.field(idx)
+                    shifted_bal = pc.add(
+                        t.column("c_acctbal"),
+                        pa.scalar(i / 100.0, type=field.type),
+                    )
+                    t = t.set_column(idx, field, shifted_bal.cast(field.type))
                 writer.write_table(t.cast(src.schema))
         print(f"{name}: {src.num_rows} -> {src.num_rows * args.mult} rows")
 
