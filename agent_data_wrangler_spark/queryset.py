@@ -4326,15 +4326,18 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order — equal scores cannot flip the row set between engines. The
 # withheld key then grades the linkage: correct / wrong / sub-threshold
 # counts are exact.
-# Scale (the sf1 probe caught the first version): blocking granularity
-# must GROW with the data — coarse fixed-width buckets (floor(bal/1000))
-# keep block COUNT constant while block size grows linearly, so
-# candidates grow quadratically (measured 295 s at sf1). Blocks here are
-# exact integer dollars, and each right record probes TWO keys (its own
-# dollar and dollar−1, covering the +1.00 mutation exactly) — the
-# standard multi-pass blocking move: candidates per record stay O(n /
-# |distinct dollars|), and the whole chain is equi shuffles, no cross
-# join anywhere.
+# Scale (the sf1 probe caught the first version, the sf10 probe the
+# second): blocking granularity must GROW with the data — ANY fixed
+# bucket width keeps block COUNT constant while block size grows
+# linearly, so candidates grow quadratically (floor(bal/1000): 295 s at
+# sf1; integer dollars: 13.9x per 10x decade at sf10, the quadratic term
+# emerging). Blocks here are exact CENTS — the finest granularity the
+# mutation model permits, ~1.1M distinct keys per nation — and each
+# right record probes TWO keys (its own cents and cents−100, covering
+# the +1.00 mutation exactly, which never touches the cents digits) —
+# the standard multi-pass blocking move: candidates per record stay
+# O(n / |distinct cents|), and the whole chain is equi shuffles, no
+# cross join anywhere.
 # ---------------------------------------------------------------------------
 @query(
     "rl1_record_linkage_customers",
@@ -4342,7 +4345,7 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH a AS (
       SELECT c_custkey AS a_key, c_name AS a_name, c_acctbal AS a_bal,
              c_mktsegment AS a_seg, c_nationkey AS a_nat,
-             CAST(floor(c_acctbal) AS BIGINT) AS a_blk
+             CAST(round(c_acctbal * 100) AS BIGINT) AS a_blk
       FROM customer
     ), b AS (
       SELECT c_custkey AS b_key,
@@ -4354,8 +4357,8 @@ def ks1_ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              c_mktsegment AS b_seg, c_nationkey AS b_nat
       FROM customer WHERE c_custkey % 97 <> 0
     ), probes AS (
-      SELECT b.*, CAST(floor(b_bal) AS BIGINT) - t.o AS probe_blk
-      FROM b CROSS JOIN (SELECT unnest([0, 1]) AS o) t
+      SELECT b.*, CAST(round(b_bal * 100) AS BIGINT) - t.o AS probe_blk
+      FROM b CROSS JOIN (SELECT unnest([0, 100]) AS o) t
     ), cand AS (
       SELECT a_key, b_key,
              0.6 * (1.0 - CAST(levenshtein(a_name, b_name) AS DOUBLE)
@@ -4391,7 +4394,7 @@ def rl1_record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("a_bal"),
         F.col("c_mktsegment").alias("a_seg"),
         F.col("c_nationkey").alias("a_nat"),
-        F.floor(F.col("c_acctbal")).cast("bigint").alias("a_blk"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("a_blk"),
     )
     b = c.filter(F.col("c_custkey") % 97 != 0).select(
         F.col("c_custkey").alias("b_key"),
@@ -4415,9 +4418,10 @@ def rl1_record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     bal_sim = 1.0 - F.least(F.abs(F.col("a_bal") - F.col("b_bal")), F.lit(10.0)) / 10.0
     seg_sim = F.when(F.col("a_seg") == F.col("b_seg"), 1.0).otherwise(0.0)
     probes = b.select(
-        "*", F.explode(F.sequence(F.lit(0), F.lit(1))).alias("o")
+        "*", F.explode(F.array(F.lit(0), F.lit(100))).alias("o")
     ).withColumn(
-        "probe_blk", F.floor(F.col("b_bal")).cast("bigint") - F.col("o")
+        "probe_blk",
+        F.round(F.col("b_bal") * 100).cast("bigint") - F.col("o"),
     )
     cand = a.join(
         probes,
