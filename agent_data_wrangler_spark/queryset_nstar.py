@@ -4149,3 +4149,164 @@ def u7_apply_in_arrow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_cents bigint, max_cents bigint",
     )
     return out.filter(F.col("n") > 0)
+
+
+# ---------------------------------------------------------------------------
+# LK1 — near-dup SPLIT-LEAKAGE audit: the eval-contamination check a
+# train/val/test split must pass BEFORE training — a near-duplicate pair
+# straddling the train/test boundary leaks the test set into training no
+# matter how good the split hash is (random splits scatter near-dup
+# clusters across splits by construction; this query measures exactly how
+# much). Composes the two audited primitives: the PPJoin prefix-filter
+# exact-Jaccard engine (near_dup_pairs_prefix — candidates bounded by
+# rarest-prefix joins + positional filter) and the deterministic md5
+# hash_split (sp1), so the verdict is bit-reproducible. Oracle: DuckDB
+# recomputes the same J>=0.5 pair set (n4's inverted-index form, same
+# round-then-threshold) and the same generated split CASE on both pair
+# ends. Scale: pair volume is the near-dup engine's (bounded candidates,
+# no all-pairs); the split join is two equi joins on doc id; output is one
+# verdict row.
+# ---------------------------------------------------------------------------
+_LK1_FRACTIONS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _lk1_oracle() -> str:
+    from agent_data_wrangler_spark.operators.splits import split_boundaries_sql
+
+    case_a = split_boundaries_sql(_LK1_FRACTIONS, "id_a", salt="split-v1")
+    case_b = split_boundaries_sql(_LK1_FRACTIONS, "id_b", salt="split-v1")
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(generate_series(1, len(toks) - 2),
+                                                    i -> array_to_string(toks[i:i+2], ' ')))
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+    ), e AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM t),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(CAST(count(*) AS DOUBLE)
+                     / nullif(CAST(a.n + b.n - count(*) AS DOUBLE), 0.0), 6)
+                 AS jaccard
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      ) WHERE jaccard >= 0.5
+    ), graded AS (
+      SELECT ({case_a}) AS sa, ({case_b}) AS sb FROM pairs
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(*) FILTER (WHERE sa <> sb) AS BIGINT) AS n_leaked,
+           round(CASE WHEN count(*) = 0 THEN 0.0
+                      ELSE CAST(count(*) FILTER (WHERE sa <> sb) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) END, 6) AS leak_rate
+    FROM graded
+    """
+
+
+@query("lk1_split_leakage_documents", oracle=_lk1_oracle())
+def lk1_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs_prefix(
+        d, "doc_id", "text", k=3, threshold=0.5
+    )
+    sp = hash_split(
+        d.select("doc_id"), "doc_id", _LK1_FRACTIONS, salt="split-v1"
+    )
+    graded = (
+        pairs.join(
+            sp.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("sa")
+            ),
+            "id_a",
+        )
+        .join(
+            sp.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("sb")
+            ),
+            "id_b",
+        )
+    )
+    counted = graded.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.count(F.when(F.col("sa") != F.col("sb"), 1))
+        .cast("bigint")
+        .alias("n_leaked"),
+    )
+    return counted.select(
+        "n_pairs",
+        "n_leaked",
+        F.round(
+            F.when(F.col("n_pairs") == 0, F.lit(0.0)).otherwise(
+                F.col("n_leaked").cast("double")
+                / F.col("n_pairs").cast("double")
+            ),
+            6,
+        ).alias("leak_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TW1 — temperature-resampled mixture weights (the mT5/XLM-R "alpha
+# sampling" recipe at alpha=0.5): per-source raw probability p_i = n_i/N is
+# flattened to w_i = p_i^alpha / sum_j p_j^alpha, boosting low-resource
+# sources without letting any source dominate — THE standard re-weighting
+# step between corpus stats and the mixture sampler (mx1 consumes exactly
+# these weights). alpha=0.5 makes the power a SQRT, which IEEE-754 rounds
+# correctly in both engines (an arbitrary pow() is not bit-stable across
+# libm builds), and w_i reduces to sqrt(n_i)/sum_j sqrt(n_j) — both sides
+# compute that exact form. expected_docs derives from the ALREADY-ROUNDED
+# weight via floor(w*N + 0.5), so both engines floor identical bits.
+# Scale: one |sources|-row aggregate, a 1-row broadcast of the totals, and
+# scan-free arithmetic — the whole query moves |sources| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "tw1_temperature_weights_documents",
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS DOUBLE) AS n,
+             sum(sqrt(CAST(n_docs AS DOUBLE))) AS s2
+      FROM s
+    )
+    SELECT source, n_docs, n_chars,
+           round(CAST(n_docs AS DOUBLE) / tot.n, 6) AS p_raw,
+           round(sqrt(CAST(n_docs AS DOUBLE)) / tot.s2, 6) AS w_temp,
+           CAST(floor(round(sqrt(CAST(n_docs AS DOUBLE)) / tot.s2, 6)
+                      * tot.n + 0.5) AS BIGINT) AS expected_docs
+    FROM s CROSS JOIN tot
+    """,
+)
+def tw1_temperature_weights_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("double").alias("__n"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("__s2"),
+    )
+    w = F.round(
+        F.sqrt(F.col("n_docs").cast("double")) / F.col("__s2"), 6
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("n_docs").cast("double") / F.col("__n"), 6).alias(
+            "p_raw"
+        ),
+        w.alias("w_temp"),
+        F.floor(w * F.col("__n") + F.lit(0.5)).cast("bigint").alias(
+            "expected_docs"
+        ),
+    )
