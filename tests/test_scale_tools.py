@@ -94,18 +94,30 @@ def test_scaling_report_ratios_and_flags(tmp_path):
     assert "only_big" not in report
 
 
-def test_scaling_report_matches_committed_artifacts():
-    """SCALING.md is generated — regenerating from the committed artifact
-    pair must reproduce it byte-for-byte (the no-prose-drift guarantee)."""
-    path = os.path.join(REPO, "SCALING.md")
-    if not os.path.exists(path):
-        import pytest
+import pytest
 
-        pytest.skip("no committed SCALING.md")
+
+@pytest.mark.parametrize(
+    "out_name,pair_specs",
+    [
+        # The headline decade trio: the 10 heaviest families measured with
+        # ONE code version and ONE generator version at all three SFs.
+        ("SCALING.md", [("sf0.1", "BENCH_probe_sf0.1.json"),
+                        ("sf1", "BENCH_probe_sf1.json"),
+                        ("sf10", "BENCH_sf10.json")]),
+        # The legacy full-registry pair (r08 code/generator, 210 queries).
+        ("SCALING_full_registry_sf1.md",
+         [("sf0.1", "BENCH_local_r08.json"), ("sf1", "BENCH_sf1.json")]),
+    ],
+)
+def test_scaling_report_matches_committed_artifacts(out_name, pair_specs):
+    """The SCALING files are generated — regenerating from the committed
+    artifact pairs must reproduce them byte-for-byte (the no-prose-drift
+    guarantee, r08 verdict item 3)."""
+    path = os.path.join(REPO, out_name)
+    if not os.path.exists(path):
+        pytest.skip(f"no committed {out_name}")
     with open(path, encoding="utf-8") as fh:
         committed = fh.read()
-    pairs = [("sf0.1", os.path.join(REPO, "BENCH_local_r08.json")),
-             ("sf1", os.path.join(REPO, "BENCH_sf1.json"))]
-    if os.path.exists(os.path.join(REPO, "BENCH_sf10.json")):
-        pairs.append(("sf10", os.path.join(REPO, "BENCH_sf10.json")))
+    pairs = [(lbl, os.path.join(REPO, rel)) for lbl, rel in pair_specs]
     assert scaling_report.build_report(pairs) == committed
