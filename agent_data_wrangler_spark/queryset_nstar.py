@@ -4286,11 +4286,18 @@ def lk1_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tw1_temperature_weights_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = read_table(spark, sf_dir, "documents")
+    # Persist the |sources|-row aggregate: without it Catalyst re-derives
+    # the totals subtree from a SECOND full documents scan (the broadcast
+    # side replans the lazy frame) — two passes over a 100 TB table for
+    # two tiny aggregates. With the cache, the scan happens once and the
+    # totals read |sources| rows (pinned in test_plan_shapes).
     per = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     tot = per.agg(
         F.sum("n_docs").cast("double").alias("__n"),
         F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("__s2"),
