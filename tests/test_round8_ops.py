@@ -272,3 +272,20 @@ def test_avro_lane_detection_gated(spark):
             read_avro(spark, "/tmp/nonexistent.avro")
         pytest.skip("spark-avro absent — lane correctly gated off; rerun "
                     "on a cluster with spark.jars.packages deployed")
+
+
+def test_pagerank_exposes_node_count_attribute(spark):
+    """The returned frame carries pagerank_n_nodes (float |N|) in BOTH
+    stopping modes — gr1 scales ranks by it instead of re-counting the
+    checkpointed frame, so this attribute is load-bearing API surface."""
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    fixed = pagerank(edges, num_iters=2)
+    assert fixed.pagerank_n_nodes == 3.0
+    assert fixed.count() == 3
+    conv = pagerank(edges, damping=0.5, tol=1e-6, max_iter=40)
+    assert conv.pagerank_n_nodes == 3.0
