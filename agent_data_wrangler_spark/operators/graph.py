@@ -223,15 +223,20 @@ def pagerank(
     # property of the run, not per-row data, and a constant column would
     # change the result schema of every caller.
     if num_iters is not None:
-        interval = 1 if has_dangling else 5
-        for i in range(num_iters):
-            ranks = step(ranks)
-            if (i + 1) % interval == 0 and (i + 1) < num_iters:
-                ranks = ranks.localCheckpoint()
-        final = ranks.localCheckpoint()
-        _unpersist_build_frames()
-        final.pagerank_n_nodes = n_nodes
-        return final
+        # try/finally like the tol path: a step() job failing mid-loop
+        # (task failure, interrupt) must not strand the persisted build
+        # frames — the exact leak class this cleanup exists to prevent.
+        try:
+            interval = 1 if has_dangling else 5
+            for i in range(num_iters):
+                ranks = step(ranks)
+                if (i + 1) % interval == 0 and (i + 1) < num_iters:
+                    ranks = ranks.localCheckpoint()
+            final = ranks.localCheckpoint()
+            final.pagerank_n_nodes = n_nodes
+            return final
+        finally:
+            _unpersist_build_frames()
 
     try:
         for _ in range(max_iter):

@@ -43,6 +43,16 @@ def main() -> None:
         if not qs:
             raise SystemExit(
                 f"SPARK_GRAFT_BENCH_ONLY={only!r} matched no registered query")
+        # A subset run must NEVER clobber the full-run capture: the
+        # regression gate (tests/test_bench_regression.py) reads
+        # BENCH_local_latest.json, and a 1-query payload there would make
+        # the gate skip-forever until someone re-runs the full bench.
+        # Divert the default out path; an explicit SPARK_GRAFT_BENCH_OUT
+        # still goes wherever the caller pointed it.
+        if "SPARK_GRAFT_BENCH_OUT" not in os.environ:
+            os.environ["SPARK_GRAFT_BENCH_OUT"] = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_local_subset.json")
     # Untimed warmup of EVERY query at the smallest SF: Spark's codegen cache
     # is keyed by generated source, so running each plan shape once on tiny
     # data pays the Janino/JIT compile (measured 5-10s for the heavy minhash /
