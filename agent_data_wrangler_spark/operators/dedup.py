@@ -142,20 +142,34 @@ def minhash_signature(shingle_col: Column | str, num_hashes: int = 64, seed: int
 
 
 def band_keys(sig_col: Column | str, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: array of ``bands`` strings ``"<band_idx>:<v1,v2,...>"``.
+    """LSH banding: array of ``bands`` fixed-width packed keys
+    ``struct(b, w0, w1, ...)`` — the band index plus the band's minhash
+    slice packed two values per BIGINT word.
 
     Two docs land in the same bucket iff one band of their signatures matches
     exactly — P(candidate) = 1-(1-J^r)^b, the classic S-curve.
+
+    The packing is EXACT (collision-free), not a hash: every minhash value
+    is already < 2^31 (mod Mersenne-31), so ``w = hi * 2^31 + lo`` embeds
+    two values injectively in one 62-bit BIGINT (an odd tail value rides
+    alone). Packed integers replace the former ``"i:v1,v2,..."`` strings
+    (r09 scale item: n5's band shuffle was the one growing decade ratio) —
+    the band explode/join/distinct now moves ~20-byte fixed-width UnsafeRow
+    keys instead of ~50-byte strings, and bucket hashing/compare never
+    touches a varlen payload.
     """
     sc = F.col(sig_col) if isinstance(sig_col, str) else sig_col
-    keys = [
-        F.concat_ws(
-            ":",
-            F.lit(str(i)),
-            F.concat_ws(",", F.transform(F.slice(sc, i * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
-        )
-        for i in range(bands)
-    ]
+    n_words = (rows_per_band + 1) // 2
+    keys = []
+    for i in range(bands):
+        fields = [F.lit(i).alias("b")]
+        for j in range(n_words):
+            lo_idx = i * rows_per_band + 2 * j + 1  # element_at is 1-based
+            w = F.element_at(sc, lo_idx)
+            if 2 * j + 1 < rows_per_band:
+                w = w * F.lit(2147483648) + F.element_at(sc, lo_idx + 1)
+            fields.append(w.alias(f"w{j}"))
+        keys.append(F.struct(*fields))
     return F.array(*keys)
 
 

@@ -114,7 +114,43 @@ def pagerank(
     # pass over |E|; when ranks outgrow broadcast, AQE plans the shuffle
     # join and the persisted frame's existing layout is reused across
     # iterations either way.
+    # Every persisted build frame is recorded in this ledger the moment it
+    # is persisted, and the single try/finally below starts IMMEDIATELY
+    # after the first persist — so every exit path (the empty-graph raise,
+    # the source_nodes validation raises, a step() job failing mid-loop,
+    # non-convergence) unpersists exactly what was persisted. A ledger
+    # rather than a fixed trio because the early raises fire before the
+    # later frames exist.
+    persisted: list[DataFrame] = []
+
+    def _unpersist_build_frames() -> None:
+        for frame in persisted:
+            frame.unpersist()
+
     edges_deg = e.join(deg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    persisted.append(edges_deg)
+    try:
+        return _pagerank_body(
+            edges_deg, persisted, tp=tp, damping=damping,
+            source_nodes=source_nodes, num_iters=num_iters, tol=tol,
+            max_iter=max_iter)
+    finally:
+        _unpersist_build_frames()
+
+
+def _pagerank_body(
+    edges_deg: DataFrame,
+    persisted: list[DataFrame],
+    *,
+    tp: float,
+    damping: float,
+    source_nodes: Sequence | None,
+    num_iters: int | None,
+    tol: float | None,
+    max_iter: int,
+) -> DataFrame:
+    """Everything after the first persist — runs inside pagerank's
+    try/finally so every raise or return unpersists the ledger."""
     # Node universe = src ∪ dst (a dst-only node is a dangling node: it
     # holds rank and must receive the base + dangling terms each round).
     nodes = (
@@ -123,6 +159,7 @@ def pagerank(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    persisted.append(nodes)
     n_nodes = float(nodes.count())
     if n_nodes == 0:
         raise ValueError(
@@ -161,9 +198,11 @@ def pagerank(
         .select("node")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    persisted.append(dangling)
     has_dangling = not dangling.isEmpty()
     if not has_dangling:
         dangling.unpersist()
+        persisted.remove(dangling)
 
     ranks = nodes.select("node", tvec.alias("r")) \
         if source_nodes is not None else \
@@ -205,16 +244,10 @@ def pagerank(
     # so consumers get a flat ExistingRDD scan instead of re-running the
     # whole loop per action.
     # The returned frame is an eagerly-materialized localCheckpoint (an
-    # ExistingRDD scan) that no longer depends on the three persisted
-    # frames, so they are unpersisted before returning — repeated
-    # invocations (bench min-of-2 passes, full-registry parity sweeps)
-    # would otherwise accumulate leaked cache entries per call.
-    def _unpersist_build_frames() -> None:
-        edges_deg.unpersist()
-        nodes.unpersist()
-        if has_dangling:
-            dangling.unpersist()
-
+    # ExistingRDD scan) that no longer depends on the persisted build
+    # frames, so pagerank's finally unpersists them before returning —
+    # repeated invocations (bench min-of-2 passes, full-registry parity
+    # sweeps) would otherwise accumulate leaked cache entries per call.
     # The operator already paid the nodes.count() job, so the result frame
     # carries it as a plain Python attribute (``pagerank_n_nodes``) —
     # callers that need N for scaling (gr1's rank*N display) reuse it
@@ -223,43 +256,34 @@ def pagerank(
     # property of the run, not per-row data, and a constant column would
     # change the result schema of every caller.
     if num_iters is not None:
-        # try/finally like the tol path: a step() job failing mid-loop
-        # (task failure, interrupt) must not strand the persisted build
-        # frames — the exact leak class this cleanup exists to prevent.
-        try:
-            interval = 1 if has_dangling else 5
-            for i in range(num_iters):
-                ranks = step(ranks)
-                if (i + 1) % interval == 0 and (i + 1) < num_iters:
-                    ranks = ranks.localCheckpoint()
-            final = ranks.localCheckpoint()
-            final.pagerank_n_nodes = n_nodes
-            return final
-        finally:
-            _unpersist_build_frames()
+        interval = 1 if has_dangling else 5
+        for i in range(num_iters):
+            ranks = step(ranks)
+            if (i + 1) % interval == 0 and (i + 1) < num_iters:
+                ranks = ranks.localCheckpoint()
+        final = ranks.localCheckpoint()
+        final.pagerank_n_nodes = n_nodes
+        return final
 
-    try:
-        for _ in range(max_iter):
-            prev = ranks
-            # Lazy checkpoint: the delta aggregate below is the action that
-            # materializes it — one job per iteration, not two, and lineage
-            # still truncates at every step.
-            ranks = step(prev).localCheckpoint(eager=False)
-            delta = (
-                ranks.join(prev.withColumnRenamed("r", "r_prev"), "node")
-                .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("l1"))
-                .first()["l1"]
-            )
-            if delta is not None and delta < tol:
-                # The delta aggregate above already materialized this
-                # step's lazy checkpoint, so the returned frame is lineage-
-                # free and survives the finally-block unpersist.
-                ranks.pagerank_n_nodes = n_nodes
-                return ranks
-        raise RuntimeError(
-            f"pagerank did not converge to L1 delta < {tol} within "
-            f"{max_iter} iterations — raise max_iter or loosen tol; "
-            "partial ranks are a wrong answer and are never returned "
-            "silently")
-    finally:
-        _unpersist_build_frames()
+    for _ in range(max_iter):
+        prev = ranks
+        # Lazy checkpoint: the delta aggregate below is the action that
+        # materializes it — one job per iteration, not two, and lineage
+        # still truncates at every step.
+        ranks = step(prev).localCheckpoint(eager=False)
+        delta = (
+            ranks.join(prev.withColumnRenamed("r", "r_prev"), "node")
+            .agg(F.sum(F.abs(F.col("r") - F.col("r_prev"))).alias("l1"))
+            .first()["l1"]
+        )
+        if delta is not None and delta < tol:
+            # The delta aggregate above already materialized this step's
+            # lazy checkpoint, so the returned frame is lineage-free and
+            # survives the caller's finally-block unpersist.
+            ranks.pagerank_n_nodes = n_nodes
+            return ranks
+    raise RuntimeError(
+        f"pagerank did not converge to L1 delta < {tol} within "
+        f"{max_iter} iterations — raise max_iter or loosen tol; "
+        "partial ranks are a wrong answer and are never returned "
+        "silently")

@@ -318,15 +318,30 @@ def avro_supported(spark: SparkSession | None = None) -> bool:
             )
             if missing:
                 return False
-            # Any OTHER error from a schema-pinned load of a nonexistent
-            # path is unexpected (the expected outcomes are "module
-            # missing" above or path-not-found when deployed) — treat a
-            # classpath/linkage failure as unsupported rather than letting
-            # read_avro fail later despite the guard.
+            # "Module deployed" is recognized by the path-error FAMILY,
+            # not one spelling: the stable condition name (either side of
+            # the bracket form), the classic prose, or — the widest net —
+            # an AnalysisException that echoes the probe path (a data
+            # source that resolved far enough to touch the path exists on
+            # the classpath). A rewording that matches none of these is
+            # logged before returning False so a misclassified deployment
+            # is diagnosable rather than a silent feature-off (r09 ADVICE).
+            from pyspark.errors import AnalysisException
             path_probe_ok = (
                 "PATH_NOT_FOUND" in cond
+                or "PATH_NOT_FOUND" in msg
                 or "Path does not exist" in msg
+                or (isinstance(exc, AnalysisException)
+                    and "__avro_probe__" in msg)
             )
+            if not path_probe_ok:
+                import logging
+                logging.getLogger(__name__).warning(
+                    "avro_supported: probe raised an unrecognized error — "
+                    "treating avro as unsupported; if spark-avro IS "
+                    "deployed here, report this condition/message so the "
+                    "probe can learn it: condition=%r message=%r",
+                    cond, msg)
             return path_probe_ok
     import glob
     import pyspark

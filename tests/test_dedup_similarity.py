@@ -419,6 +419,48 @@ def test_blocked_editdist_max_block_size_guard(spark):
     assert (r0.n_blocks_refined, r0.n_blocks_skipped, r0.n_rows_skipped) == (0, 0, 0)
 
 
+def test_band_key_packing_is_exact(spark):
+    """r09 scale item: band keys are packed 31-bit-pairs-per-BIGINT structs
+    instead of strings. The packing must be INJECTIVE — two signatures
+    share a packed band key iff the raw minhash slices are equal — for
+    every slice parity (even r, odd r), including boundary values 0 and
+    P-1 whose string forms differ but whose packed sums could collide if
+    the shift width were wrong."""
+    from pyspark.sql import functions as F
+
+    P = 2**31 - 1
+    # Signatures engineered so naive packing mistakes are visible:
+    # (0, P-1) vs (1, 2**31-2**31) style near-boundary swaps.
+    sigs = [
+        [0, P - 1, 5, 6],
+        [1, 2147483646 - 2147483648 + P, 5, 6],  # != row 0 in slice 0
+        [0, P - 1, 5, 7],                        # equal band 0, differs band 1
+        [0, P - 1, 5, 6],                        # exact dup of row 0
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "id int, sig array<bigint>")
+    for bands, r in ((2, 2), (1, 3)):  # even and odd rows_per_band
+        keyed = df.select(
+            "id", F.explode(dedup.band_keys("sig", bands, r)).alias("k"))
+        a, b = keyed.alias("a"), keyed.alias("b")
+        got = {
+            (x["aid"], x["bid"], x["band"]) for x in
+            a.join(b, (F.col("a.k") == F.col("b.k"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("aid"), F.col("b.id").alias("bid"),
+                    F.col("a.k.b").alias("band")).collect()
+        }
+        # Ground truth from the raw slices.
+        want = set()
+        for i in range(len(sigs)):
+            for j in range(i + 1, len(sigs)):
+                for band in range(bands):
+                    if (sigs[i][band * r:(band + 1) * r]
+                            == sigs[j][band * r:(band + 1) * r]):
+                        want.add((i, j, band))
+        assert got == want, (bands, r, got, want)
+
+
 def test_empty_shingle_docs_never_band_collide(spark):
     """ADVICE r05 (medium): m sub-k-token docs all carry the identical all-P
     sentinel signature; before the sentinel filter they band-collided with

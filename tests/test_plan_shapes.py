@@ -1165,10 +1165,18 @@ def test_lk1_split_joins_stay_equi(spark, sf_dir):
 def test_tw1_single_scan_and_broadcast_totals(spark, sf_dir):
     """Temperature-weights claims: documents is scanned ONCE (pruned to
     source+n_chars) — the totals subtree reads the persisted |sources|-row
-    aggregate (InMemoryTableScan), never a second table pass — and the
-    totals attach as a 1-row broadcast (the only nested loop)."""
+    aggregate (InMemoryTableScan), never a second table pass — the totals
+    attach as a 1-row broadcast (the only nested loop), and (r09 ADVICE)
+    the registry entry checkpoints + unpersists so repeated invocations
+    leak zero cache entries."""
+    from agent_data_wrangler_spark.queryset_nstar import (
+        _tw1_frame, tw1_temperature_weights_documents)
+
     spark.catalog.clearCache()
-    plan = _plan(spark, "tw1_temperature_weights_documents", sf_dir)
+    # Single-scan claim, pinned on the LAZY frame (the registry entry
+    # checkpoints it away into an ExistingRDD scan).
+    per, lazy = _tw1_frame(spark, str(sf_dir))
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
     # BOTH consumers (per-source rows and the totals subtree) read the
     # cached aggregate; the FileScan text recurs under each
     # InMemoryTableScan only because plan printing repeats the cached
@@ -1177,6 +1185,17 @@ def test_tw1_single_scan_and_broadcast_totals(spark, sf_dir):
     assert "ReadSchema: struct<source:string,n_chars:bigint>" in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
     assert "CartesianProduct" not in plan
+    per.unpersist()
+
+    # Leak-free contract on the registry entry: flat checkpointed result,
+    # nothing left in the cache manager.
+    spark.catalog.clearCache()
+    final = tw1_temperature_weights_documents(spark, str(sf_dir))
+    fplan = final._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in fplan, fplan
+    assert "InMemoryTableScan" not in fplan, fplan
+    assert final.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
     spark.catalog.clearCache()
 
 

@@ -155,6 +155,43 @@ def test_pagerank_dangling_and_guards(spark):
         pagerank(edges, tol=1e-15, max_iter=1)
 
 
+def test_pagerank_error_paths_unpersist_build_frames(spark):
+    """r09 ADVICE: the empty-graph and source_nodes validation raises fire
+    AFTER build frames are persisted — every such exit must still run the
+    unpersist ledger, or repeated failing calls strand cache entries."""
+    import pytest as _pytest
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    spark.catalog.clearCache()
+    # Empty graph: edges_deg + nodes are persisted before the raise.
+    empty = spark.createDataFrame([], "src string, dst string")
+    with _pytest.raises(ValueError, match="no edges"):
+        pagerank(empty, num_iters=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # Missing personalization source: raises after all three persists.
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string")
+    with _pytest.raises(ValueError, match="not in the graph"):
+        pagerank(edges, source_nodes=["zzz"], num_iters=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # Empty source list: same persisted-before-raise window.
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(edges, source_nodes=[], num_iters=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+    # Non-convergence: the RuntimeError path must also clean up. The
+    # symmetric 2-cycle is already at its fixed point, so use the dangling
+    # chain (slow mixing) to force the max_iter raise.
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(chain, tol=1e-15, max_iter=1)
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_pagerank_drops_null_endpoints(spark):
     """NULL src/dst must not become a phantom node: rank mass still sums
     to 1 over the non-null graph."""
@@ -272,6 +309,52 @@ def test_avro_lane_detection_gated(spark):
             read_avro(spark, "/tmp/nonexistent.avro")
         pytest.skip("spark-avro absent — lane correctly gated off; rerun "
                     "on a cluster with spark.jars.packages deployed")
+
+
+def test_avro_probe_error_classification(caplog):
+    """r09 ADVICE: the live probe must recognize the path-error FAMILY
+    (condition name, bracket form in the message, classic prose, or an
+    AnalysisException echoing the probe path) as 'module deployed', and
+    must LOG any unrecognized error before defaulting to unsupported —
+    a reworded path error must not silently disable a working lane."""
+    import logging
+
+    from pyspark.errors import AnalysisException
+
+    from agent_data_wrangler_spark.sources.readers import avro_supported
+
+    class _StubReader:
+        def __init__(self, exc):
+            self._exc = exc
+
+        def format(self, *_):
+            return self
+
+        def schema(self, *_):
+            return self
+
+        def load(self, *_):
+            raise self._exc
+
+    class _StubSpark:
+        def __init__(self, exc):
+            self.read = _StubReader(exc)
+
+    def probe(exc):
+        return avro_supported(_StubSpark(exc))
+
+    # Module absent: stable condition string anywhere → unsupported.
+    assert probe(Exception("[DATA_SOURCE_NOT_FOUND] avro")) is False
+    # Path-error family → supported, in every spelling.
+    assert probe(Exception("[PATH_NOT_FOUND] Path does not exist")) is True
+    assert probe(Exception("Path does not exist: /nonexistent")) is True
+    assert probe(
+        AnalysisException("weird new wording /nonexistent/__avro_probe__")
+    ) is True
+    # Unrecognized error → unsupported, but LOGGED for diagnosis.
+    with caplog.at_level(logging.WARNING):
+        assert probe(Exception("totally novel failure")) is False
+    assert any("unrecognized" in r.message for r in caplog.records)
 
 
 def test_pagerank_exposes_node_count_attribute(spark):
