@@ -77,6 +77,36 @@ def test_cipher_replicas_share_no_multiletter_tokens():
         assert len(images) == 49, f"token {tok!r} collided across replicas"
 
 
+def test_skewed_cipher_properties():
+    """r09 verdict item 7: the skewed-alphabet mode must (a) stay a
+    case-class-preserving, case-folding-commuting letter bijection,
+    (b) remain pairwise-distinct across replicas (no byte-identical
+    replica texts), and (c) actually SKEW — frequent source letters
+    concentrate on frequent targets so hot tokens collide across some
+    replica pairs, the heavy-tailed cross-replica block behavior the
+    uniform cipher structurally flattens (and the reason the mode
+    exists: bl1's max_block_size guard needs a non-flattering probe)."""
+    tables = [gen_sf._cipher_table(i, skewed=True) for i in range(1, 33)]
+    assert len({tuple(sorted(t.items())) for t in tables}) == 32
+    text = "The Quick BROWN fox"
+    for t in tables[:5]:
+        lo = string.ascii_lowercase.translate(t)
+        assert sorted(lo) == list(string.ascii_lowercase)
+        assert text.translate(t).lower() == text.lower().translate(t)
+        assert "0129 ,.!-\n\t".translate(t) == "0129 ,.!-\n\t"
+    # Identity at replica 0, same as the uniform mode.
+    assert text.translate(gen_sf._cipher_table(0, skewed=True)) == text
+    # Skew witness 1: 'e' lands in the top-3 frequency ranks in a large
+    # majority of replicas (uniform would put it there ~12% of the time).
+    rank = {c: r for r, c in enumerate(gen_sf._FREQ_ORDER)}
+    e_ranks = [rank["e".translate(t)] for t in tables]
+    assert sum(1 for r in e_ranks if r < 3) >= 20, e_ranks
+    # Skew witness 2: at least one hot token collides byte-for-byte
+    # across a replica pair (deterministic given the seeded draws).
+    images = ["the".translate(t) for t in tables]
+    assert len(set(images)) < len(images), images
+
+
 def test_scaling_report_ratios_and_flags(tmp_path):
     small = tmp_path / "small.json"
     big = tmp_path / "big.json"

@@ -95,8 +95,12 @@ DOMAIN_SOURCE = {
 
 LETTERS = string.ascii_lowercase + string.ascii_uppercase
 
+# English letters in descending corpus-frequency order — the "Zipf-ish
+# letter prior" for the skewed-alphabet mode.
+_FREQ_ORDER = "etaoinshrdlcumwfgypbvkjxqz"
 
-def _cipher_table(i: int) -> dict[int, str]:
+
+def _cipher_table(i: int, skewed: bool = False) -> dict[int, str]:
     """Deterministic per-replica letter permutation (identity at i=0).
 
     The upper-case table MIRRORS the lower-case one (up[k] =
@@ -106,16 +110,58 @@ def _cipher_table(i: int) -> dict[int, str]:
     normalization is therefore preserved bit-for-bit, and upper->upper
     keeps capitalization ratios intact. Seeded LCG + Fisher-Yates — no
     global RNG state, same table for the same i on every run.
+
+    ``skewed=True`` (r09 verdict item 7) draws the permutation through a
+    Zipf-ish letter prior instead of uniformly: source letters are
+    assigned in frequency order, each sampling its target WITHOUT
+    replacement from the remaining letters with weight 1/rank over the
+    frequency-ranked target list. Frequent letters therefore tend to map
+    to frequent letters in EVERY replica, so hot tokens ("the", "and")
+    collide byte-for-byte across some replica pairs — re-creating the
+    heavy-tailed cross-replica block sizes a real M×-larger corpus has
+    (shared boilerplate everywhere), which the uniform cipher's disjoint
+    vocabularies structurally flatten. This is the stress mode for
+    blocking-keyed operators (bl1's ``max_block_size`` guard is the
+    defense under test); the uniform mode remains the default because
+    pairwise-linear scaling is the right NEUTRAL model for everything
+    else.
     """
     if i == 0:
         return str.maketrans("", "")
-    chars = list(string.ascii_lowercase)
     state = (i * 2654435761) % (2**32) or 1
-    for k in range(len(chars) - 1, 0, -1):
+
+    def lcg() -> int:
+        nonlocal state
         state = (state * 1103515245 + 12345) % (2**31)
-        j = state % (k + 1)
-        chars[k], chars[j] = chars[j], chars[k]
-    lo = "".join(chars)
+        return state
+
+    if skewed:
+        lcg(), lcg()  # warm-up: the raw seed's low bits correlate with i
+        remaining = list(_FREQ_ORDER)
+        mapping: dict[str, str] = {}
+        for src in _FREQ_ORDER:
+            # 1/rank² — strong enough that two replicas agree on a hot
+            # letter's target with ~40% probability, so 3-letter hot
+            # tokens collide byte-for-byte across ~7% of replica pairs
+            # (the heavy-tail block stressor); a flatter prior keeps
+            # replica vocabularies effectively disjoint and defeats the
+            # mode's purpose.
+            weights = [1.0 / (r + 1) ** 2 for r in range(len(remaining))]
+            total = sum(weights)
+            u = (lcg() / 2**31) * total
+            acc, idx = 0.0, 0
+            for idx, w in enumerate(weights):
+                acc += w
+                if u < acc:
+                    break
+            mapping[src] = remaining.pop(idx)
+        lo = "".join(mapping[c] for c in string.ascii_lowercase)
+    else:
+        chars = list(string.ascii_lowercase)
+        for k in range(len(chars) - 1, 0, -1):
+            j = lcg() % (k + 1)
+            chars[k], chars[j] = chars[j], chars[k]
+        lo = "".join(chars)
     return str.maketrans(LETTERS, lo + lo.upper())
 
 
@@ -142,9 +188,9 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
     return tbl.set_column(idx, tbl.schema.field(idx), new)
 
 
-def _rotate_documents(tbl: pa.Table, i: int) -> pa.Table:
+def _rotate_documents(tbl: pa.Table, i: int, skewed: bool = False) -> pa.Table:
     texts = tbl.column("text").to_pylist()
-    trans = _cipher_table(i)
+    trans = _cipher_table(i, skewed=skewed)
     rotated = pa.array([t.translate(trans) if t is not None else None for t in texts])
     idx = tbl.schema.get_field_index("text")
     return tbl.set_column(idx, tbl.schema.field(idx), rotated)
@@ -161,6 +207,15 @@ def main() -> None:
         help="comma-separated subset of scaling tables to emit (fixed dims "
         "are always copied); default all — used for targeted overflow "
         "probes at high multipliers where the full star is not needed",
+    )
+    ap.add_argument(
+        "--skewed-alphabet",
+        action="store_true",
+        help="draw document ciphers through a Zipf-ish letter prior so hot "
+        "tokens collide across replicas (heavy-tailed cross-replica blocks "
+        "— the stress mode for blocking-keyed operators); default uniform "
+        "permutations keep replica vocabularies disjoint (pairwise-linear "
+        "neutral scaling)",
     )
     args = ap.parse_args()
     out = os.path.abspath(args.out)
@@ -180,7 +235,10 @@ def main() -> None:
         # super-linearly as a generator artifact. Distinctness is expected
         # from the seeded shuffle but not guaranteed by construction, so
         # verify it outright — it is O(mult) dict builds.
-        tables = [_cipher_table(i) for i in range(args.mult)]
+        tables = [
+            _cipher_table(i, skewed=args.skewed_alphabet)
+            for i in range(args.mult)
+        ]
         seen = {tuple(sorted(t.items())) for t in tables}
         if len(seen) != args.mult:
             raise SystemExit(
@@ -221,7 +279,7 @@ def main() -> None:
                     )
                     t = t.set_column(idx, field, shifted.cast(field.type))
                 if i > 0 and name == "documents":
-                    t = _rotate_documents(t, i)
+                    t = _rotate_documents(t, i, skewed=args.skewed_alphabet)
                 if i > 0 and name == "embeddings":
                     t = _perturb_embeddings(t, i)
                 if i > 0 and name == "customer":

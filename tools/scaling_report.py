@@ -37,14 +37,17 @@ def _load(path: str) -> dict[str, float]:
 
 
 def _sf_value(label: str) -> float | None:
-    raw = label.removeprefix("sf")
+    # "sf1-skew" (a variant capture at the same volume) still means 1.0 —
+    # anything after the first '-' is a variant tag, not part of the SF.
+    raw = label.removeprefix("sf").split("-")[0]
     try:
         return float(raw)
     except ValueError:
         return None
 
 
-def build_report(pairs: list[tuple[str, str]]) -> str:
+def build_report(pairs: list[tuple[str, str]],
+                 footnotes: list[str] | None = None) -> str:
     lines = ["# Scaling report (generated — do not hand-edit)", ""]
     lines.append("Source artifacts: " + ", ".join(
         f"{lbl}={os.path.basename(p)}" for lbl, p in pairs))
@@ -81,6 +84,11 @@ def build_report(pairs: list[tuple[str, str]]) -> str:
                 f"Flagged (> {1.5 * mult:g}x at {mult:g}x data): "
                 + (", ".join(flagged) if flagged else "none"))
             lines.append("")
+    if footnotes:
+        lines.append("## Notes")
+        lines.append("")
+        lines += [f"- {note}" for note in footnotes]
+        lines.append("")
     return "\n".join(lines) + "\n"
 
 
@@ -90,6 +98,11 @@ def main() -> None:
         "--pair", action="append", required=True,
         help="label=path, smallest SF first (repeatable)")
     ap.add_argument("--out", default=None, help="write here instead of stdout")
+    ap.add_argument(
+        "--footnote", action="append", default=None,
+        help="verbatim bullet appended under a '## Notes' section "
+        "(repeatable); use for pointers to sibling generated reports, "
+        "never for numbers (numbers belong in generated rows)")
     args = ap.parse_args()
     pairs = []
     for spec in args.pair:
@@ -97,7 +110,7 @@ def main() -> None:
         if not path:
             raise SystemExit(f"--pair wants label=path, got {spec!r}")
         pairs.append((lbl, path))
-    report = build_report(pairs)
+    report = build_report(pairs, footnotes=args.footnote)
     if args.out:
         with open(args.out, "w", encoding="utf-8") as fh:
             fh.write(report)
