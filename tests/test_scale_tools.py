@@ -127,20 +127,39 @@ def test_scaling_report_ratios_and_flags(tmp_path):
 import pytest
 
 
+_SKEW_FOOTNOTE = (
+    "Skew-mode generator probe (gen_sf.py --skewed-alphabet, Zipf-prior "
+    "ciphers): SCALING_skew.md (generated from BENCH_probe_sf0.1.json vs "
+    "BENCH_probe_sf1skew.json) carries the bl1 row at 10x data under "
+    "cross-replica hot-token collisions; block structure measured "
+    "max-block 8 vs 4, +3.7% candidate pairs — the 2-token prefix key "
+    "stays high-entropy on this corpus, no quadratic hazard; "
+    "dedup.blocked_editdist_pairs(max_block_size=...) remains the guarded "
+    "path for boilerplate-heavy corpora.")
+
+
 @pytest.mark.parametrize(
-    "out_name,pair_specs",
+    "out_name,pair_specs,footnotes",
     [
-        # The headline decade trio: the 10 heaviest families measured with
-        # ONE code version and ONE generator version at all three SFs.
+        # The headline decade trio: the 12 heaviest families (10 legacy +
+        # lk1 + pq1_pq, r09 verdict item 4) measured with ONE code version
+        # and ONE generator version at all three SFs.
         ("SCALING.md", [("sf0.1", "BENCH_probe_sf0.1.json"),
                         ("sf1", "BENCH_probe_sf1.json"),
-                        ("sf10", "BENCH_sf10.json")]),
+                        ("sf10", "BENCH_sf10.json")], [_SKEW_FOOTNOTE]),
+        # The skewed-alphabet bl1 probe (r09 verdict item 7): same 10x
+        # volume, Zipf-prior ciphers.
+        ("SCALING_skew.md", [("sf0.1", "BENCH_probe_sf0.1.json"),
+                             ("sf1-skew", "BENCH_probe_sf1skew.json")],
+         None),
         # The legacy full-registry pair (r08 code/generator, 210 queries).
         ("SCALING_full_registry_sf1.md",
-         [("sf0.1", "BENCH_local_r08.json"), ("sf1", "BENCH_sf1.json")]),
+         [("sf0.1", "BENCH_local_r08.json"), ("sf1", "BENCH_sf1.json")],
+         None),
     ],
 )
-def test_scaling_report_matches_committed_artifacts(out_name, pair_specs):
+def test_scaling_report_matches_committed_artifacts(
+        out_name, pair_specs, footnotes):
     """The SCALING files are generated — regenerating from the committed
     artifact pairs must reproduce them byte-for-byte (the no-prose-drift
     guarantee, r08 verdict item 3)."""
@@ -150,4 +169,5 @@ def test_scaling_report_matches_committed_artifacts(out_name, pair_specs):
     with open(path, encoding="utf-8") as fh:
         committed = fh.read()
     pairs = [(lbl, os.path.join(REPO, rel)) for lbl, rel in pair_specs]
-    assert scaling_report.build_report(pairs) == committed
+    assert scaling_report.build_report(pairs, footnotes=footnotes) \
+        == committed
