@@ -2716,6 +2716,69 @@ def gr1_pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# DG1 / DG2 — the materialized trade-graph rollup (plans/derived.py),
+# oracle-checked DIRECTLY (r10): gr1/tr1/rx1 consume the rollup, so a bug
+# in the build would surface as THEIR hash mismatches, but these two rows
+# pin the artifact itself — dg1 hash-checks the co-supply pair weights
+# (top-20 under a total order), dg2 hash-checks the bipartite edge list
+# (counts + key checksum) — making the rollup a first-class verified
+# surface rather than an internal detail. Scale: dg1 is a
+# TakeOrderedAndProject heap over the already-aggregated pair table (reads
+# the rollup parquet, never lineitem); dg2 is one aggregate over the edge
+# table. The oracles re-derive both tables from lineitem/orders from
+# scratch, so the driver's hash compares materialized-vs-rederived content.
+# ---------------------------------------------------------------------------
+@query(
+    "dg1_cosupply_rollup_topk",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+               CAST(count(*) AS BIGINT) AS w
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+        GROUP BY 1, 2)
+    SELECT s1, s2, w FROM pairs
+    ORDER BY w DESC, s1 ASC, s2 ASC LIMIT 20
+    """,
+)
+def dg1_cosupply_rollup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.plans.derived import trade_graph_tables
+
+    _, pairs = trade_graph_tables(spark, sf_dir)
+    return (
+        pairs.orderBy(F.col("w").desc(), F.col("s1").asc(), F.col("s2").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "dg2_trade_edges_checksum",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(count(DISTINCT src) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT dst) AS BIGINT) AS n_suppliers,
+           CAST(sum(src) + sum(dst) AS BIGINT) AS key_checksum
+    FROM e
+    """,
+)
+def dg2_trade_edges_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.plans.derived import trade_graph_tables
+
+    edges, _ = trade_graph_tables(spark, sf_dir)
+    return edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.count_distinct("src").cast("bigint").alias("n_customers"),
+        F.count_distinct("dst").cast("bigint").alias("n_suppliers"),
+        (F.sum("src") + F.sum("dst")).cast("bigint").alias("key_checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CL1 — label-centroid confusion matrix over the embedding table: the
 # per-label mean vector, then pairwise cosine between centroids — the
 # "are my class clusters separable" audit a labeled training set gets

@@ -82,7 +82,8 @@ def test_graph_queries_scan_the_rollup(spark, sf_dir):
     from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q2
 
     derived.trade_graph_tables(spark, str(sf_dir))  # pay the build once
-    for name in ("tr1_triangle_count", "rx1_recursive_reachability"):
+    for name in ("tr1_triangle_count", "rx1_recursive_reachability",
+                 "dg1_cosupply_rollup_topk", "dg2_trade_edges_checksum"):
         q = {**Q1, **Q2}[name]
         df = q(spark, str(sf_dir))
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -94,3 +95,16 @@ def test_graph_queries_scan_the_rollup(spark, sf_dir):
                 or (files and all("adw_trade_graph_" in f for f in files))
                 ), (name, plan, files)
         assert "lineitem" not in plan, (name, plan)
+
+
+def test_dg1_is_topk_heap_over_rollup(spark, sf_dir):
+    """dg1's 100 TB shape: a TakeOrderedAndProject heap straight over the
+    materialized pair table — no global sort, no join, no lineitem."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q2
+
+    derived.trade_graph_tables(spark, str(sf_dir))
+    plan = Q2["dg1_cosupply_rollup_topk"](spark, str(sf_dir)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Join" not in plan, plan
+    assert "lineitem" not in plan, plan
