@@ -42,6 +42,7 @@ def pagerank(
     num_iters: int | None = None,
     tol: float | None = None,
     max_iter: int = 40,
+    broadcast_max_nodes: int = 10_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(node, r)`` with Σr = 1.
 
@@ -85,6 +86,22 @@ def pagerank(
     0.15000000000000002 != 0.15``, and after a few iterations that last-bit
     difference can flip a round(·, 6) boundary (gr1 pins ``teleport=0.15``
     to stay bit-compatible with its SQL twin).
+
+    ``broadcast_max_nodes`` picks the iteration-join strategy (r10: the
+    docstring's "broadcast when ranks fit" never actually fired beyond toy
+    scale — Spark's 10 MB autoBroadcast default is far below any real rank
+    frame, so at sf10 every iteration SortMergeJoined 117M edges,
+    re-shuffling AND re-sorting the whole edge frame per step):
+
+    - ``n_nodes <= broadcast_max_nodes`` (ranks ~24 B/node → default caps
+      the broadcast at ~240 MB/executor): the rank frame is EXPLICITLY
+      broadcast into the iteration join — zero edge bytes move, the
+      per-step cost is the map-side-combined groupBy(dst).
+    - above the guard: the edge frame is re-persisted hash-partitioned AND
+      sorted on ``src``, so the per-iteration sort-merge join reuses the
+      cached layout (no exchange, no sort on the |E| side) and only the
+      |N|-sized rank frame shuffles per step — the one-extra-build-pass
+      trade that makes iteration cost O(|N| shuffle), not O(|E| sort).
     """
     if (num_iters is None) == (tol is None):
         raise ValueError(
@@ -108,12 +125,9 @@ def pagerank(
                 f"non-positive weight ({bad}) — the transition matrix must "
                 "be stochastic; filter or re-scale weights upstream")
     deg = e.groupBy("src").agg(F.sum("w").alias("d"))
-    # No explicit repartition: when the |N|-sized rank frame fits a
-    # broadcast (the common case — ranks are 16 bytes/node), the iteration
-    # join moves ZERO edge bytes and a pre-shuffle would be a wasted full
-    # pass over |E|; when ranks outgrow broadcast, AQE plans the shuffle
-    # join and the persisted frame's existing layout is reused across
-    # iterations either way.
+    # No repartition HERE: the iteration-join layout decision needs |N|,
+    # which is only known after the node universe is counted — see the
+    # broadcast_max_nodes strategy switch in _pagerank_body.
     # Every persisted build frame is recorded in this ledger the moment it
     # is persisted, and the single try/finally below starts IMMEDIATELY
     # after the first persist — so every exit path (the empty-graph raise,
@@ -133,7 +147,7 @@ def pagerank(
         return _pagerank_body(
             edges_deg, persisted, tp=tp, damping=damping,
             source_nodes=source_nodes, num_iters=num_iters, tol=tol,
-            max_iter=max_iter)
+            max_iter=max_iter, broadcast_max_nodes=broadcast_max_nodes)
     finally:
         _unpersist_build_frames()
 
@@ -148,6 +162,7 @@ def _pagerank_body(
     num_iters: int | None,
     tol: float | None,
     max_iter: int,
+    broadcast_max_nodes: int,
 ) -> DataFrame:
     """Everything after the first persist — runs inside pagerank's
     try/finally so every raise or return unpersists the ledger."""
@@ -204,13 +219,40 @@ def _pagerank_body(
         dangling.unpersist()
         persisted.remove(dangling)
 
+    # Iteration-join strategy (see pagerank docstring). Spark's own
+    # autoBroadcast threshold (10 MB default) is far below any real rank
+    # frame, so the broadcast must be EXPLICIT; above the guard, pay one
+    # extra build pass to re-persist the edge frame hash-partitioned and
+    # sorted on src — every iteration's sort-merge join then reuses the
+    # cached layout (no |E| exchange, no |E| sort) and only the rank frame
+    # shuffles.
+    broadcast_ranks = n_nodes <= broadcast_max_nodes
+    if not broadcast_ranks:
+        iter_edges = (
+            edges_deg.repartition("src")
+            .sortWithinPartitions("src")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        persisted.append(iter_edges)
+        iter_edges.count()  # materialize, then drop the unsorted copy
+        if has_dangling:
+            # isEmpty above only touched the first partitions; fill the
+            # dangling cache fully while its edges_deg lineage is still
+            # cached, or the per-iteration semi-join would re-derive it.
+            dangling.count()
+        edges_deg.unpersist()
+        persisted.remove(edges_deg)
+    else:
+        iter_edges = edges_deg
+
     ranks = nodes.select("node", tvec.alias("r")) \
         if source_nodes is not None else \
         nodes.select("node", (F.lit(1.0) / F.lit(n_nodes)).alias("r"))
 
     def step(r: DataFrame) -> DataFrame:
+        rr = F.broadcast(r) if broadcast_ranks else r
         contrib = (
-            edges_deg.join(r, edges_deg["src"] == r["node"])
+            iter_edges.join(rr, iter_edges["src"] == rr["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("r") * F.col("w") / F.col("d")).alias("c"))
         )

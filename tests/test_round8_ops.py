@@ -155,6 +155,40 @@ def test_pagerank_dangling_and_guards(spark):
         pagerank(edges, tol=1e-15, max_iter=1)
 
 
+def test_pagerank_join_strategies_bit_identical(spark):
+    """r10: the iteration join has two physical strategies — explicit rank
+    broadcast (n_nodes <= broadcast_max_nodes) vs pre-sorted co-partitioned
+    edges (above the guard). Both must produce BIT-IDENTICAL ranks (same
+    float operation order per node: the sum re-orders only across
+    partitions of the same groupBy, which Spark's sum makes deterministic
+    here via the same partitioning), and both must clean up every persist
+    — the sorted path adds a fourth build frame to the ledger."""
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string")
+    spark.catalog.clearCache()
+    via_broadcast = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, num_iters=4).collect()}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    via_sorted = {
+        r["node"]: r["r"]
+        for r in pagerank(edges, num_iters=4,
+                          broadcast_max_nodes=0).collect()}
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert via_broadcast == via_sorted  # exact equality, not approx
+
+    # tol mode through the sorted path: converges and cleans up too.
+    conv = pagerank(edges, damping=0.5, tol=1e-8, max_iter=60,
+                    broadcast_max_nodes=0)
+    assert abs(sum(r["r"] for r in conv.collect()) - 1.0) < 1e-9
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_pagerank_error_paths_unpersist_build_frames(spark):
     """r09 ADVICE: the empty-graph and source_nodes validation raises fire
     AFTER build frames are persisted — every such exit must still run the
