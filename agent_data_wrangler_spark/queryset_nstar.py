@@ -4269,8 +4269,18 @@ def lk1_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.operators.splits import hash_split
 
     d = read_table(spark, sf_dir, "documents")
+    # Shared shingle stage (the ss1/n5 pattern): without it the prefix
+    # chain's ex⋈df self-reference plus the verify stage re-derive the
+    # CPU-heavy tokenize+k-gram shingles from raw text up to three times
+    # per run — measurable at sf10 where lk1 is the heaviest probe family.
+    from pyspark import StorageLevel
+
+    sh = dedup.shingle_frame(d, "doc_id", "text", k=3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh.count()
     pairs = dedup.near_dup_pairs_prefix(
-        d, "doc_id", "text", k=3, threshold=0.5
+        d, "doc_id", "text", k=3, threshold=0.5, shingles_df=sh
     )
     sp = hash_split(
         d.select("doc_id"), "doc_id", _LK1_FRACTIONS, salt="split-v1"
