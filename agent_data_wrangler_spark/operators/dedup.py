@@ -385,10 +385,17 @@ def near_dup_pairs_minhash(
         shingles_df=shingles_df,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()  # materialize once; the three verify-stage reads hit the cache
-    return jaccard_verify(
+    verified = jaccard_verify(
         df, cands, id_col, text_col, k=k, threshold=threshold,
         shingles_df=shingles_df,
     )
+    # Checkpoint the (small) verified output and release the candidate
+    # cache before returning — the prefix engine's teardown contract (r10
+    # self-review): repeated invocations must not accumulate cache entries.
+    try:
+        return verified.localCheckpoint()
+    finally:
+        cands.unpersist()
 
 
 def drop_near_duplicates(
@@ -885,7 +892,8 @@ def near_dup_pairs_incremental(
 
     Output: ``(batch_id, corpus_id, jaccard)`` with exact-Jaccard >= threshold
     (same two-stage candidates -> verify funnel as the self-join variant; the
-    shuffle carries band-key strings and doc ids, never text).
+    shuffle carries packed fixed-width band-key structs (see
+    :func:`band_keys`) and doc ids, never text).
     """
     from pyspark import StorageLevel
 
@@ -1092,6 +1100,16 @@ def near_dup_pairs_prefix(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand.count()
-    return jaccard_verify(
+    verified = jaccard_verify(
         df, cand, id_col, text_col, k=k, threshold=threshold, shingles_df=sh
     )
+    # The verified pair set is the funnel's (small) OUTPUT — eagerly
+    # localCheckpoint it so the candidate cache can be RELEASED before
+    # returning (r10 self-review: every invocation leaked one cand entry
+    # across bench min-of-2 / parity sweeps). Consumers get a flat
+    # ExistingRDD scan; callers that passed a persisted ``shingles_df``
+    # can likewise unpersist it as soon as this returns.
+    try:
+        return verified.localCheckpoint()
+    finally:
+        cand.unpersist()

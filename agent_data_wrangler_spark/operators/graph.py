@@ -93,10 +93,15 @@ def pagerank(
     frame, so at sf10 every iteration SortMergeJoined 117M edges,
     re-shuffling AND re-sorting the whole edge frame per step):
 
-    - ``n_nodes <= broadcast_max_nodes`` (ranks ~24 B/node → default caps
-      the broadcast at ~240 MB/executor): the rank frame is EXPLICITLY
+    - ``n_nodes <= broadcast_max_nodes``: the rank frame is EXPLICITLY
       broadcast into the iteration join — zero edge bytes move, the
-      per-step cost is the map-side-combined groupBy(dst).
+      per-step cost is the map-side-combined groupBy(dst). The default
+      (10M) assumes COMPACT node ids (~24 B/node → ~240 MB broadcast,
+      BIGINT-encoded graphs like gr1's); a broadcast also collects the
+      rank frame to the driver each iteration, so callers with wide
+      string ids or tight driver memory / maxResultSize should pass a
+      proportionally smaller guard — the sorted-edge path below handles
+      any size.
     - above the guard: the edge frame is re-persisted hash-partitioned AND
       sorted on ``src``, so the per-iteration sort-merge join reuses the
       cached layout (no exchange, no sort on the |E| side) and only the

@@ -1,5 +1,5 @@
 """Materialized derived tables — the warehouse rollup / materialized-view
-pattern, session-memoized per source directory.
+pattern, cached per source identity (stable path + session memo).
 
 The three graph queries (gr1 PageRank, tr1 triangle counting, rx1 recursive
 reachability) each used to re-derive their edge list from the raw
@@ -29,7 +29,9 @@ scans lineitem once and orders once, total.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -41,6 +43,35 @@ from agent_data_wrangler_spark.sources.readers import read_table
 # min-of-2 passes, full-registry parity runs), and the whole point of a
 # rollup is to not rebuild it per consumer.
 _TRADE_GRAPH: dict[str, tuple[str, str]] = {}
+
+
+def _cache_dir(sf_dir: str) -> str:
+    """STABLE artifact location, keyed by the source tables' identity.
+
+    A per-session ``mkdtemp`` would orphan a multi-GB copy of the rollup
+    in /tmp every session (the memo dies with the process); instead the
+    artifact lives at a deterministic path derived from (sf_dir, lineitem
+    + orders mtime/size), so (a) later sessions REUSE a completed build —
+    the correct steady-state for a materialized view — and (b) a changed
+    source gets a new key, never a stale read. Completeness is judged by
+    Spark's own _SUCCESS markers in both table dirs; builds land in a
+    pid-suffixed staging dir and publish with one atomic rename, so a
+    concurrent builder either wins the rename or discards its copy and
+    reads the winner's.
+    """
+    parts = [os.path.abspath(sf_dir)]
+    for t in ("lineitem", "orders"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        parts.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    key = hashlib.sha1(";".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "adw_trade_graph_cache", key)
+
+
+def _complete(base: str) -> bool:
+    return all(
+        os.path.isfile(os.path.join(base, t, "_SUCCESS"))
+        for t in ("trade_edges", "cosupply_pairs"))
 
 
 def trade_graph_tables(
@@ -63,50 +94,71 @@ def trade_graph_tables(
     order — bounded by the max basket (TPC-H ~7 lines), linear in orders,
     never |suppliers|².
 
-    Materialized once per (session, sf_dir); later calls are a parquet
-    footer read. The build persists the shared distinct (orderkey,
-    suppkey) frame so lineitem is scanned once for both outputs, and
-    unpersists it before returning (exception-safe — the graph operators'
-    ledger contract).
+    Materialized once per SOURCE IDENTITY (see :func:`_cache_dir` — the
+    artifact path is keyed by sf_dir + source table mtime/size, so later
+    calls AND later sessions reuse a completed build, and a changed
+    source can never serve stale data); later calls are a parquet footer
+    read. The build persists the shared distinct (orderkey, suppkey)
+    frame so lineitem is scanned once for both outputs, and unpersists it
+    before returning (exception-safe — the graph operators' ledger
+    contract).
     """
     cached = _TRADE_GRAPH.get(sf_dir)
     if cached is not None and all(os.path.isdir(p) for p in cached):
         return (spark.read.parquet(cached[0]), spark.read.parquet(cached[1]))
 
-    base = tempfile.mkdtemp(prefix="adw_trade_graph_")
+    base = _cache_dir(sf_dir)
     edges_path = os.path.join(base, "trade_edges")
     pairs_path = os.path.join(base, "cosupply_pairs")
-
-    op = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-        .persist()
-    )
-    try:
-        o = read_table(spark, sf_dir, "orders").select(
-            "o_orderkey", "o_custkey")
-        (
-            op.join(o, op["l_orderkey"] == o["o_orderkey"])
-            .select(
-                (F.col("o_custkey") * 2).alias("src"),
-                (F.col("l_suppkey") * 2 + 1).alias("dst"),
-            )
+    if not _complete(base):
+        # A leftover incomplete dir (crashed builder) blocks the publish
+        # rename — clear it. Best-effort concurrency: single-driver use is
+        # the contract; the stage+rename keeps PARALLEL sessions safe, not
+        # adversarial interleavings.
+        if os.path.isdir(base):
+            shutil.rmtree(base, ignore_errors=True)
+        stage = f"{base}.stage-{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        op = (
+            read_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_suppkey")
             .distinct()
-            .write.parquet(edges_path)
+            .persist()
         )
-        a = op.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s1"))
-        b = op.select(
-            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("s2"))
-        (
-            a.join(b, "ok")
-            .filter(F.col("s1") < F.col("s2"))
-            .groupBy("s1", "s2")
-            .agg(F.count(F.lit(1)).alias("w"))
-            .write.parquet(pairs_path)
-        )
-    finally:
-        op.unpersist()
+        try:
+            o = read_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey")
+            (
+                op.join(o, op["l_orderkey"] == o["o_orderkey"])
+                .select(
+                    (F.col("o_custkey") * 2).alias("src"),
+                    (F.col("l_suppkey") * 2 + 1).alias("dst"),
+                )
+                .distinct()
+                .write.parquet(os.path.join(stage, "trade_edges"))
+            )
+            a = op.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_suppkey").alias("s1"))
+            b = op.select(
+                F.col("l_orderkey").alias("ok"),
+                F.col("l_suppkey").alias("s2"))
+            (
+                a.join(b, "ok")
+                .filter(F.col("s1") < F.col("s2"))
+                .groupBy("s1", "s2")
+                .agg(F.count(F.lit(1)).alias("w"))
+                .write.parquet(os.path.join(stage, "cosupply_pairs"))
+            )
+        finally:
+            op.unpersist()
+        try:
+            os.rename(stage, base)
+        except OSError:
+            # Another builder published first; theirs is complete — use it.
+            shutil.rmtree(stage, ignore_errors=True)
+            if not _complete(base):
+                raise
     _TRADE_GRAPH[sf_dir] = (edges_path, pairs_path)
     return (spark.read.parquet(edges_path), spark.read.parquet(pairs_path))

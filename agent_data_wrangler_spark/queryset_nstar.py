@@ -373,9 +373,12 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame several times before the cache exists (as n12's two-sided band
     # join does).
     # Both pair frames are tiny (the funnel's OUTPUT) but referenced twice
-    # (count + anti-join). Persist AND materialize: lazy persists referenced
-    # several times inside one action recompute the pipeline first (measured
-    # 19s -> ~4s cold at sf0.1).
+    # (count + anti-join). mh arrives pre-checkpointed (the minhash engine
+    # checkpoints its output since r10); ex is lazy, so persist AND
+    # materialize it — lazy persists referenced several times inside one
+    # action recompute the pipeline first (measured 19s -> ~4s cold at
+    # sf0.1). The mh persist is a cheap in-memory copy of an ExistingRDD,
+    # kept so both frames get the same teardown path below.
     mh = dedup.near_dup_pairs_minhash(
         d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7,
         shingles_df=sh,
@@ -392,7 +395,7 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra_stats = extra.agg(F.count(F.lit(1)).alias("__extra"))
     ex_stats = ex.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
     docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    return (
+    out = (
         docs.crossJoin(ex_stats).crossJoin(mh_stats).crossJoin(extra_stats).select(
             "n_docs",
             "n_pairs_exact",
@@ -403,6 +406,16 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok"),
         )
     )
+    # 1-row verdict: eagerly checkpoint it and release all three build
+    # caches (shingles + both pair frames) before returning — zero cache
+    # entries leaked per invocation (r10 self-review; the tw1/pagerank
+    # teardown contract applied to the heaviest dedup query).
+    try:
+        return out.localCheckpoint()
+    finally:
+        sh.unpersist()
+        mh.unpersist()
+        ex.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -3738,9 +3751,15 @@ def ss1_prefix_jaccard_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     sh.count()
-    return dedup.near_dup_pairs_prefix(
-        d, "doc_id", "text", k=3, threshold=0.6, shingles_df=sh
-    )
+    # The prefix engine returns an eagerly-checkpointed pair set, so the
+    # shingle cache can be released immediately — zero entries leaked per
+    # invocation (r10 self-review).
+    try:
+        return dedup.near_dup_pairs_prefix(
+            d, "doc_id", "text", k=3, threshold=0.6, shingles_df=sh
+        )
+    finally:
+        sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -4279,9 +4298,15 @@ def lk1_split_leakage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         StorageLevel.MEMORY_AND_DISK
     )
     sh.count()
-    pairs = dedup.near_dup_pairs_prefix(
-        d, "doc_id", "text", k=3, threshold=0.5, shingles_df=sh
-    )
+    # The prefix engine checkpoints its output, so the (large) shingle
+    # cache is released the moment the pair set exists — at sf10 this
+    # frame is the heaviest thing lk1 would otherwise leak per call.
+    try:
+        pairs = dedup.near_dup_pairs_prefix(
+            d, "doc_id", "text", k=3, threshold=0.5, shingles_df=sh
+        )
+    finally:
+        sh.unpersist()
     sp = hash_split(
         d.select("doc_id"), "doc_id", _LK1_FRACTIONS, salt="split-v1"
     )

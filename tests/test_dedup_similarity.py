@@ -419,6 +419,25 @@ def test_blocked_editdist_max_block_size_guard(spark):
     assert (r0.n_blocks_refined, r0.n_blocks_skipped, r0.n_rows_skipped) == (0, 0, 0)
 
 
+def test_dedup_queries_release_every_persist(spark):
+    """r10 self-review: ss1/lk1/n5 persist shingle/pair build frames but
+    return small checkpointed results — every invocation must leave the
+    cache manager EMPTY (the tw1/pagerank teardown contract), or bench
+    min-of-2 and full-registry sweeps accumulate multi-hundred-MB entries
+    at sf10."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES as Q2
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("ss1_prefix_jaccard_documents",
+                 "lk1_split_leakage_documents",
+                 "n5_minhash_neardup_documents"):
+        spark.catalog.clearCache()
+        assert Q2[name](spark, sf).count() >= 0
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), \
+            f"{name} leaked cache entries"
+    spark.catalog.clearCache()
+
+
 def test_band_key_packing_is_exact(spark):
     """r09 scale item: band keys are packed 31-bit-pairs-per-BIGINT structs
     instead of strings. The packing must be INJECTIVE — two signatures

@@ -127,13 +127,16 @@ def test_scaling_report_ratios_and_flags(tmp_path):
 import pytest
 
 
+# No measured numbers in the footnote (scaling_report's own --footnote
+# rule): the block-structure deltas live in NOTES_r10 §5, round-stamped,
+# so a re-captured skew probe can never leave stale numbers in a
+# generated report.
 _SKEW_FOOTNOTE = (
     "Skew-mode generator probe (gen_sf.py --skewed-alphabet, Zipf-prior "
     "ciphers): SCALING_skew.md (generated from BENCH_probe_sf0.1.json vs "
     "BENCH_probe_sf1skew.json) carries the bl1 row at 10x data under "
-    "cross-replica hot-token collisions; block structure measured "
-    "max-block 8 vs 4, +3.7% candidate pairs — the 2-token prefix key "
-    "stays high-entropy on this corpus, no quadratic hazard; "
+    "cross-replica hot-token collisions; the measured block-structure "
+    "deltas are round-stamped in NOTES_r10 §5, and "
     "dedup.blocked_editdist_pairs(max_block_size=...) remains the guarded "
     "path for boilerplate-heavy corpora.")
 
