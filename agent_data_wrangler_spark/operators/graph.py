@@ -27,7 +27,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark import StorageLevel
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 
 def pagerank(
@@ -42,7 +42,7 @@ def pagerank(
     num_iters: int | None = None,
     tol: float | None = None,
     max_iter: int = 40,
-    broadcast_max_nodes: int = 10_000_000,
+    broadcast_max_nodes: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list → ``(node, r)`` with Σr = 1.
 
@@ -95,13 +95,18 @@ def pagerank(
 
     - ``n_nodes <= broadcast_max_nodes``: the rank frame is EXPLICITLY
       broadcast into the iteration join — zero edge bytes move, the
-      per-step cost is the map-side-combined groupBy(dst). The default
-      (10M) assumes COMPACT node ids (~24 B/node → ~240 MB broadcast,
-      BIGINT-encoded graphs like gr1's); a broadcast also collects the
-      rank frame to the driver each iteration, so callers with wide
-      string ids or tight driver memory / maxResultSize should pass a
-      proportionally smaller guard — the sorted-edge path below handles
+      per-step cost is the map-side-combined groupBy(dst). Broadcasting
+      collects the rank frame to the DRIVER each iteration, so the
+      default (``None``) derives the guard from the session's
+      ``spark.driver.memory`` / ``spark.driver.maxResultSize`` at ~64
+      driver-side bytes per (BIGINT, DOUBLE) rank row, capped at 10M
+      nodes (~240 MB executor-side broadcast): a default-1g driver gets
+      a ~2M-node guard instead of the flat 10M that could OOM it where
+      the old SMJ plan merely ran slower. The estimate assumes COMPACT
+      node ids — callers with wide string ids should pass a
+      proportionally smaller guard; the sorted-edge path below handles
       any size.
+    - an explicit integer overrides the derivation entirely.
     - above the guard: the edge frame is re-persisted hash-partitioned AND
       sorted on ``src``, so the per-iteration sort-merge join reuses the
       cached layout (no exchange, no sort on the |E| side) and only the
@@ -157,6 +162,41 @@ def pagerank(
         _unpersist_build_frames()
 
 
+def _size_conf_bytes(value: str) -> int:
+    """Spark size-string → bytes ("512m", "2g", "1t"; optional trailing
+    'b'). Unsuffixed values are read as MiB — the JVM-memory convention
+    Spark's own docs use for these confs."""
+    s = value.strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(float(s)) << 20
+
+
+def _derived_broadcast_guard(spark: SparkSession) -> int:
+    """Runtime default for ``pagerank(broadcast_max_nodes=...)``.
+
+    Broadcasting the rank frame collects it to the driver every
+    iteration, so the safe ceiling depends on the DRIVER, not the data:
+    budget = min(driver memory / 8, maxResultSize / 2), at ~64 driver-side
+    bytes per (BIGINT, DOUBLE) rank row (row object + broadcast-relation
+    overhead), capped at 10M nodes (~240 MB serialized broadcast). A
+    default-1g driver derives ~2M nodes; maxResultSize=0 (unlimited)
+    drops that constraint. (ADVICE r10: a flat 10M default could OOM a
+    small driver where the pre-r10 SMJ plan merely ran slower.)
+    """
+    conf = spark.conf
+    mem = _size_conf_bytes(conf.get("spark.driver.memory", "1g"))
+    budget = mem // 8
+    max_result = _size_conf_bytes(
+        conf.get("spark.driver.maxResultSize", "1g"))
+    if max_result > 0:
+        budget = min(budget, max_result // 2)
+    return min(10_000_000, max(budget // 64, 1))
+
+
 def _pagerank_body(
     edges_deg: DataFrame,
     persisted: list[DataFrame],
@@ -167,10 +207,13 @@ def _pagerank_body(
     num_iters: int | None,
     tol: float | None,
     max_iter: int,
-    broadcast_max_nodes: int,
+    broadcast_max_nodes: int | None,
 ) -> DataFrame:
     """Everything after the first persist — runs inside pagerank's
     try/finally so every raise or return unpersists the ledger."""
+    if broadcast_max_nodes is None:
+        broadcast_max_nodes = _derived_broadcast_guard(
+            edges_deg.sparkSession)
     # Node universe = src ∪ dst (a dst-only node is a dangling node: it
     # holds rank and must receive the base + dangling terms each round).
     nodes = (

@@ -53,25 +53,72 @@ def test_rollup_matches_direct_derivation(spark, sf_dir):
 
 
 def test_rollup_memoizes_and_cleans_up(spark, sf_dir):
-    """One build per (session, sf_dir): the second call reads the same
-    parquet artifact (identical input files, no rewrite), and the build's
-    temporary persist is released (the graph operators' ledger contract)."""
+    """One build per (session, source identity): the second call reads the
+    same parquet artifact (identical input files, no rewrite), and the
+    build's temporary persist is released (the graph operators' ledger
+    contract)."""
     spark.catalog.clearCache()
     e1, p1 = derived.trade_graph_tables(spark, str(sf_dir))
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
-    first_paths = derived._TRADE_GRAPH[str(sf_dir)]
+    first_paths = derived._TRADE_GRAPH[derived._cache_dir(str(sf_dir))]
     mtimes = {
         os.path.join(d, f): os.path.getmtime(os.path.join(d, f))
         for d in first_paths for f in os.listdir(d)
     }
     e2, p2 = derived.trade_graph_tables(spark, str(sf_dir))
-    assert derived._TRADE_GRAPH[str(sf_dir)] == first_paths
+    assert derived._TRADE_GRAPH[derived._cache_dir(str(sf_dir))] \
+        == first_paths
     assert set(e2.inputFiles()) == set(e1.inputFiles())
     assert set(p2.inputFiles()) == set(p1.inputFiles())
     for p, t in mtimes.items():
         assert os.path.getmtime(p) == t, (
             f"memoized call rewrote the artifact: {p}")
+
+
+def test_rollup_rebuilds_on_source_mutation(spark, sf_dir, tmp_path):
+    """A regenerated source (same directory, new file content/mtime) must
+    trigger a REBUILD, never a stale read — the cache key and the session
+    memo are both derived from per-file source identity, so in-place
+    re-generation mid-session (a gen_sf re-run) changes the key."""
+    import shutil as sh
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    for t in ("lineitem", "orders"):
+        sh.copy(os.path.join(str(sf_dir), f"{t}.parquet"),
+                src / f"{t}.parquet")
+    base1 = derived._cache_dir(str(src))
+    e1, _ = derived.trade_graph_tables(spark, str(src))
+    files1 = set(e1.inputFiles())
+
+    # In-place rewrite: same path, new mtime (content identical is fine —
+    # identity is (mtime, size), the conservative side).
+    os.utime(src / "lineitem.parquet", ns=(1, 1))
+    base2 = derived._cache_dir(str(src))
+    assert base2 != base1, "source mutation did not change the cache key"
+    e2, _ = derived.trade_graph_tables(spark, str(src))
+    assert set(e2.inputFiles()) != files1, (
+        "mutated source was served the stale rollup artifact")
+    assert base2 in derived._TRADE_GRAPH
+    for b in (base1, base2):
+        sh.rmtree(b, ignore_errors=True)
+
+
+def test_cache_root_is_per_user_and_private(sf_dir):
+    """The artifact root is uid-scoped and 0700 (ADVICE r10: a fixed
+    world-predictable /tmp path lets another local user pre-publish a
+    poisoned artifact that passes the _SUCCESS completeness check)."""
+    root = derived._cache_root()
+    assert str(os.getuid()) in os.path.basename(root)
+    assert (os.stat(root).st_mode & 0o777) == 0o700
+    assert derived._cache_dir(str(sf_dir)).startswith(root + os.sep)
+
+
+def test_cache_root_env_override(monkeypatch, tmp_path):
+    monkeypatch.setenv("ADW_CACHE_DIR", str(tmp_path / "cache"))
+    assert derived._cache_root() == str(tmp_path / "cache")
+    assert os.path.isdir(tmp_path / "cache")
 
 
 def test_graph_queries_scan_the_rollup(spark, sf_dir):

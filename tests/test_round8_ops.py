@@ -406,3 +406,43 @@ def test_pagerank_exposes_node_count_attribute(spark):
     assert fixed.count() == 3
     conv = pagerank(edges, damping=0.5, tol=1e-6, max_iter=40)
     assert conv.pagerank_n_nodes == 3.0
+
+
+def test_pagerank_broadcast_guard_derives_from_driver_memory():
+    """r10 ADVICE: the flat 10M-node default could OOM a default-1g driver
+    (each iteration COLLECTS the rank frame to the driver for broadcast)
+    where the old SMJ plan merely ran slower. The default now derives
+    from spark.driver.memory / maxResultSize: min(mem/8, maxResult/2) at
+    ~64 B per rank row, capped at 10M."""
+    from agent_data_wrangler_spark.operators.graph import (
+        _derived_broadcast_guard, _size_conf_bytes)
+
+    assert _size_conf_bytes("1g") == 1 << 30
+    assert _size_conf_bytes("512m") == 512 << 20
+    assert _size_conf_bytes("512mb") == 512 << 20
+    assert _size_conf_bytes("2t") == 2 << 40
+    assert _size_conf_bytes("64") == 64 << 20  # unsuffixed = MiB
+
+    class _Conf:
+        def __init__(self, vals):
+            self._v = vals
+
+        def get(self, k, default=None):
+            return self._v.get(k, default)
+
+    class _S:
+        def __init__(self, vals):
+            self.conf = _Conf(vals)
+
+    # Default 1g driver, default 1g maxResultSize: ~2M nodes, not 10M.
+    g = _derived_broadcast_guard(_S({}))
+    assert 1_000_000 <= g <= 3_000_000
+    # Big driver: maxResultSize/2 binds → 8M; never above the 10M cap.
+    assert _derived_broadcast_guard(
+        _S({"spark.driver.memory": "24g"})) == (512 << 20) // 64
+    assert _derived_broadcast_guard(
+        _S({"spark.driver.memory": "64g",
+            "spark.driver.maxResultSize": "0"})) == 10_000_000
+    # Tiny driver still returns a positive guard.
+    assert _derived_broadcast_guard(
+        _S({"spark.driver.memory": "64m"})) >= 1
