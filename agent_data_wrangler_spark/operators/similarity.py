@@ -321,7 +321,72 @@ def append_ivf_partitioned(df: DataFrame, vec_col: str, path: str) -> int:
     out = df.withColumn("__list", ivf_assign(vec_col, meta["centroids"]))
     n = out.count()
     out.write.mode("append").partitionBy("__list").parquet(path)
+    # Keep the freshness sidecar honest: merge the delta batch's per-list
+    # stats into the existing ones (xor checksums compose by xor, counts by
+    # addition), so audit_ivf_layout stays green across appends. Layouts
+    # written before the stats sidecar existed simply stay stat-less.
+    if "list_stats" in meta:
+        merged = dict(meta["list_stats"])
+        for lid, (dn, dxs) in _list_stats(out, meta["checksum_cols"]).items():
+            n0, xs0 = merged.get(lid, [0, 0])
+            merged[lid] = [n0 + dn, xs0 ^ dxs]
+        meta["list_stats"] = merged
+        _write_index_meta(path, **meta)
     return n
+
+
+def audit_ivf_layout(spark, path: str, source_df: DataFrame, id_col: str) -> dict:
+    """Freshness/consistency audit of a ``write_ivf_partitioned`` serving
+    layout against the source table it claims to index — the operational
+    gate the pruned ANN queries (n10/n11 shapes) silently assume: a probe
+    over a layout missing rows returns confidently-wrong top-k.
+
+    Three independent checks, each distributed (counts / anti-joins /
+    per-partition aggregates — no per-row driver work; the only collect is
+    the n_lists-bounded stats frame):
+
+    - coverage: ``n_missing`` = source rows absent from the layout (left
+      anti on ``id_col``), ``n_orphaned`` = layout rows absent from the
+      source (deleted-at-source rows still being served).
+    - sidecar integrity: per-list ``[count, xor-checksum]`` recomputed from
+      the layout's data files and compared against ``list_stats`` in
+      ``_ann_index_meta.json`` — catches partial writes, lost partition
+      directories, and hand-edited files even when the source comparison is
+      unavailable (at 100 TB the source may be a stream that moved on).
+    - counts: ``n_indexed`` vs ``n_source``.
+
+    Returns a plain dict (the audit is a driver-side decision artifact;
+    callers embed it in whatever reporting frame they need):
+    ``{n_source, n_indexed, n_missing, n_orphaned, stats_ok, fresh_ok}``.
+    ``stats_ok`` is None when the layout predates the stats sidecar.
+    """
+    meta = read_index_meta(path)
+    layout = spark.read.parquet(path)
+    n_source = source_df.count()
+    n_indexed = layout.count()
+    src_ids = source_df.select(id_col)
+    lay_ids = layout.select(id_col)
+    n_missing = src_ids.join(lay_ids, id_col, "left_anti").count()
+    n_orphaned = lay_ids.join(src_ids, id_col, "left_anti").count()
+    stats_ok: bool | None = None
+    if "list_stats" in meta:
+        recomputed = _list_stats(
+            layout.select(*meta["checksum_cols"], "__list"),
+            meta["checksum_cols"],
+        )
+        stats_ok = recomputed == {
+            k: [int(a), int(b)] for k, (a, b) in meta["list_stats"].items()
+        }
+    return {
+        "n_source": n_source,
+        "n_indexed": n_indexed,
+        "n_missing": n_missing,
+        "n_orphaned": n_orphaned,
+        "stats_ok": stats_ok,
+        "fresh_ok": (
+            n_missing == 0 and n_orphaned == 0 and stats_ok is not False
+        ),
+    }
 
 
 _INDEX_META_FILE = "_ann_index_meta.json"
@@ -667,12 +732,37 @@ def write_ivf_partitioned(
     centroids = ivf_fit_centroids(
         df, vec_col, n_lists=n_lists, seed=seed, sample_fraction=sample_fraction
     )
+    checksum_cols = list(df.columns)
     out = df.withColumn("__list", ivf_assign(vec_col, centroids))
     out.write.mode("error").partitionBy("__list").parquet(path)
     _write_index_meta(
-        path, kind="ivf", n_lists=len(centroids), seed=seed, centroids=centroids
+        path, kind="ivf", n_lists=len(centroids), seed=seed, centroids=centroids,
+        checksum_cols=checksum_cols,
+        list_stats=_list_stats(out, checksum_cols),
     )
     return centroids
+
+
+def _list_stats(assigned: DataFrame, checksum_cols: Sequence[str]) -> dict:
+    """Per-inverted-list ``{list_id: [row_count, xor_checksum]}`` over an
+    assigned frame (``__list`` column present).
+
+    The checksum is ``bit_xor(xxhash64(checksum_cols...))`` — order-free and
+    self-inverse, so (a) it is insensitive to row order within a partition
+    (parquet task ordering is not deterministic), and (b) a delta batch's
+    stats MERGE into existing ones by plain xor/addition, which is what
+    ``append_ivf_partitioned`` relies on. One extra aggregate pass at write
+    time; the collect is bounded by n_lists (~sqrt(n), 31.6k lists at n=1e9).
+    """
+    rows = (
+        assigned.groupBy("__list")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.bit_xor(F.xxhash64(*checksum_cols)).alias("__xs"),
+        )
+        .collect()
+    )
+    return {str(r["__list"]): [int(r["__n"]), int(r["__xs"])] for r in rows}
 
 
 def topk_cosine_ivf_pruned(

@@ -4431,3 +4431,203 @@ def _tw1_frame(
         ),
     )
     return per, lazy
+
+
+# ---------------------------------------------------------------------------
+# SD1 — semantic dedup (the SemDeDup shape — Abbas et al. 2023,
+# arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer, then
+# search for near-duplicates ONLY within each cluster (an equi self-join on
+# the cluster id — never the all-pairs cosine), keep-first survivorship
+# (a row is removed iff some within-cluster neighbour with a SMALLER id
+# scores >= the threshold). This is the embedding-space complement to the
+# lexical dedup tier (n5 MinHash / ss1 PPJoin): paraphrases and re-encodes
+# that share no shingles still collide in embedding space.
+#
+# Scale: the cluster id is a map-side expression (Arrow-batched matmul
+# against the broadcast centroid matrix above 16 lists), the self-join
+# shuffles on the cluster key, and with ~sqrt(n) lists the per-cluster pair
+# work stays ~n^1.5 worst-case and ~linear on real clustered corpora — the
+# published SemDeDup recipe at 100 TB. No driver loops; the two 1-row
+# aggregates broadcast-crossjoin (no CartesianProduct over data).
+#
+# Verdict oracle (the n8 planted pattern): the bench embeddings are
+# near-uniform — ZERO natural pairs at cos >= 0.95, measured — so the query
+# PLANTS 25 exact copies (vec_id + 1e6). Exact copies always share a
+# cluster, so SemDeDup's within-cluster restriction provably finds exactly
+# the global pair set, and DuckDB recomputes that global set from scratch
+# (full O(n^2) at oracle SF — 2k rows): hard n_total/n_removed/n_survivors
+# values plus planted_removed_ok, which doubles as the no-natural-pairs
+# assertion (a natural pair on EITHER side breaks it symmetrically).
+# ---------------------------------------------------------------------------
+_SD1_PLANT = 25
+_SD1_OFFSET = 1_000_000
+_SD1_TAU = 0.95
+
+
+@query(
+    "sd1_semantic_dedup_embeddings",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings ORDER BY vec_id LIMIT {_SD1_PLANT}
+    ), aug AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + {_SD1_OFFSET} AS vec_id, v FROM base
+    ), rem AS (
+      SELECT DISTINCT b.vec_id
+      FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v)
+                  / nullif(sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v)), 0.0), 6)
+            >= {_SD1_TAU}
+    ), c AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_removed,
+             CAST(count(*) FILTER (WHERE vec_id >= {_SD1_OFFSET}) AS BIGINT)
+               AS n_planted_removed
+      FROM rem
+    ), t AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM aug
+    )
+    SELECT t.n_total,
+           c.n_removed,
+           CAST(t.n_total - c.n_removed AS BIGINT) AS n_survivors,
+           (c.n_removed = {_SD1_PLANT}
+            AND c.n_planted_removed = {_SD1_PLANT}) AS planted_removed_ok
+    FROM t CROSS JOIN c
+    """,
+)
+def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from agent_data_wrangler_spark.functions.vectors import cosine_similarity
+
+    e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.orderBy("vec_id").limit(_SD1_PLANT)
+    planted = base.select(
+        (F.col("vec_id") + F.lit(_SD1_OFFSET)).alias("vec_id"), "embedding"
+    )
+    aug = e.unionByName(planted)
+    n = e.count() + _SD1_PLANT
+    centroids = similarity.ivf_fit_centroids(
+        aug, "embedding", n_lists=similarity.derive_ivf_params(n)[0]
+    )
+    # Persist the assigned frame: it feeds BOTH sides of the self-join and
+    # the total count; without the cache the (Arrow-batched) assignment
+    # matmul would run three times over the full table.
+    assigned = aug.withColumn(
+        "__list", similarity.ivf_assign("embedding", centroids)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = assigned.select(
+        "__list", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+    )
+    b = assigned.select(
+        "__list", F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+    )
+    removed = (
+        a.join(b, "__list")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+            >= F.lit(_SD1_TAU)
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    res = (
+        assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .crossJoin(
+            removed.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+                F.count(
+                    F.when(F.col("vec_id") >= F.lit(_SD1_OFFSET), 1)
+                ).cast("bigint").alias("__planted_removed"),
+            )
+        )
+        .select(
+            "n_total",
+            "n_removed",
+            (F.col("n_total") - F.col("n_removed")).cast("bigint").alias(
+                "n_survivors"
+            ),
+            (
+                (F.col("n_removed") == F.lit(_SD1_PLANT))
+                & (F.col("__planted_removed") == F.lit(_SD1_PLANT))
+            ).alias("planted_removed_ok"),
+        )
+    )
+    # tw1/r10-teardown pattern: materialize the 1-row result eagerly so the
+    # persisted assignment frame can be released BEFORE returning.
+    try:
+        return res.localCheckpoint()
+    finally:
+        assigned.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# IX1 — embedding-index freshness audit: the operational gate the pruned ANN
+# serving queries (n10/n11) silently assume. Audits the staged IVF layout
+# against its source table (coverage anti-joins both directions) AND against
+# its own ``_ann_index_meta.json`` per-list [count, xor-checksum] sidecar
+# (partial writes / lost partition dirs / hand-edits), then PROVES the audit
+# detects staleness by tampering a scratch COPY of the layout (drop one list
+# partition, keep the sidecar) and re-auditing — the n8 planted pattern
+# applied to operations instead of data. All checks are distributed
+# (counts, anti-joins, an n_lists-bounded stats aggregate); the tamper copy
+# is a test fixture the query removes before returning.
+#
+# Oracle: n_source/n_indexed are hard values DuckDB recomputes; the zero
+# coverage gaps and both verdict booleans are computed GENUINELY Spark-side
+# (healthy audit of a just-built layout must pass; the tampered copy must
+# fail) and asserted against the oracle's constants.
+# ---------------------------------------------------------------------------
+@query(
+    "ix1_index_freshness_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_source,
+           CAST(count(*) AS BIGINT) AS n_indexed,
+           CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_orphaned,
+           true AS healthy_ok,
+           true AS tamper_detected_ok
+    FROM embeddings
+    """,
+)
+def ix1_index_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path = _staged_ivf(spark, sf_dir)
+    healthy = similarity.audit_ivf_layout(spark, path, e, id_col="vec_id")
+    # Tamper fixture: copy the layout, drop one inverted-list partition but
+    # keep the sidecar claiming it exists — the "lost partition directory"
+    # failure mode. The audit must flag BOTH legs: source coverage
+    # (n_missing > 0) and sidecar integrity (stats_ok False).
+    tampered_dir = os.path.join(_scratch_dir("adw_ix1_"), "tampered")
+    shutil.copytree(path, tampered_dir)
+    victim = sorted(
+        d for d in os.listdir(tampered_dir) if d.startswith("__list=")
+    )[0]
+    shutil.rmtree(os.path.join(tampered_dir, victim))
+    try:
+        tampered = similarity.audit_ivf_layout(
+            spark, tampered_dir, e, id_col="vec_id"
+        )
+    finally:
+        shutil.rmtree(tampered_dir, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(healthy["n_source"]).cast("bigint").alias("n_source"),
+        F.lit(healthy["n_indexed"]).cast("bigint").alias("n_indexed"),
+        F.lit(healthy["n_missing"]).cast("bigint").alias("n_missing"),
+        F.lit(healthy["n_orphaned"]).cast("bigint").alias("n_orphaned"),
+        F.lit(
+            bool(healthy["fresh_ok"] and healthy["stats_ok"] is True)
+        ).alias("healthy_ok"),
+        F.lit(
+            bool(
+                tampered["n_missing"] > 0
+                and tampered["stats_ok"] is False
+                and not tampered["fresh_ok"]
+            )
+        ).alias("tamper_detected_ok"),
+    )
