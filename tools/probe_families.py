@@ -27,10 +27,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: The scale-probe families (r10 set): the heaviest representative of each
-#: at-scale cost family in the registry.
+#: at-scale cost family in the registry. FULL names — bare prefixes can be
+#: ambiguous ("pq1" also matches pq1_pipe_syntax_revenue).
 DEFAULT_FAMILIES = [
-    "bl1", "bm1", "gr1", "lk1", "n12", "n5",
-    "pq1", "rh1", "rl1", "rx1", "ss1", "tr1",
+    "bl1_blocked_editdist_documents",
+    "bm1_bm25_rank_documents",
+    "gr1_pagerank_trade_graph",
+    "lk1_split_leakage_documents",
+    "n12_incremental_neardup_documents",
+    "n5_minhash_neardup_documents",
+    "pq1_pq_topk_embeddings",
+    "rh1_winnow_fingerprints_documents",
+    "rl1_record_linkage_customers",
+    "rx1_recursive_reachability",
+    "ss1_prefix_jaccard_documents",
+    "tr1_triangle_count",
 ]
 
 _RUNNER = r"""
