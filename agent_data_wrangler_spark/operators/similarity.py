@@ -326,8 +326,18 @@ def append_ivf_partitioned(df: DataFrame, vec_col: str, path: str) -> int:
     # addition), so audit_ivf_layout stays green across appends. Layouts
     # written before the stats sidecar existed simply stay stat-less.
     if "list_stats" in meta:
+        # A schema-subset delta is legal parquet (missing columns read back
+        # as NULL under the merged schema), so the delta's checksum must be
+        # computed the way the audit will later RE-read those rows:
+        # null-fill the absent checksum columns. xxhash64 treats a NULL
+        # input as a no-op (the running hash passes through), so the fill
+        # type is irrelevant to the checksum value.
+        stats_in = out
+        for c in meta["checksum_cols"]:
+            if c not in stats_in.columns:
+                stats_in = stats_in.withColumn(c, F.lit(None).cast("string"))
         merged = dict(meta["list_stats"])
-        for lid, (dn, dxs) in _list_stats(out, meta["checksum_cols"]).items():
+        for lid, (dn, dxs) in _list_stats(stats_in, meta["checksum_cols"]).items():
             n0, xs0 = merged.get(lid, [0, 0])
             merged[lid] = [n0 + dn, xs0 ^ dxs]
         meta["list_stats"] = merged
@@ -361,7 +371,12 @@ def audit_ivf_layout(spark, path: str, source_df: DataFrame, id_col: str) -> dic
     ``stats_ok`` is None when the layout predates the stats sidecar.
     """
     meta = read_index_meta(path)
-    layout = spark.read.parquet(path)
+    # mergeSchema: appended delta batches may be schema subsets (legal
+    # parquet — absent columns read back as NULL), and the default
+    # single-footer schema inference could then pick a delta file and drop
+    # a checksum column. One footer per file at planning time is acceptable
+    # for a periodic operational audit (n_lists ~ sqrt(n) directories).
+    layout = spark.read.option("mergeSchema", "true").parquet(path)
     n_source = source_df.count()
     n_indexed = layout.count()
     src_ids = source_df.select(id_col)

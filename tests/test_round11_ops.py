@@ -65,6 +65,26 @@ def test_append_merges_list_stats(spark, layout):
     assert rep["stats_ok"] is True and rep["fresh_ok"] is True
 
 
+def test_append_schema_subset_delta_keeps_stats_consistent(spark, tmp_path):
+    """A delta batch missing a non-key column is legal parquet (the column
+    reads back as NULL under the merged schema); the appended stats must be
+    computed the way the audit later re-reads those rows, or every
+    subset-schema append would permanently poison the sidecar. Regression:
+    r11's first stats cut resolved meta checksum_cols against the RAW delta
+    frame and raised UNRESOLVED_COLUMN."""
+    path = str(tmp_path / "ivf_subset")
+    base = _vecs(spark, range(40)).withColumn("label", F.lit("b"))
+    similarity.write_ivf_partitioned(base, "embedding", path, n_lists=4)
+    delta = _vecs(spark, range(100, 110))  # no label column
+    assert similarity.append_ivf_partitioned(delta, "embedding", path) == 10
+    merged_src = base.unionByName(
+        delta.withColumn("label", F.lit(None).cast("string"))
+    )
+    rep = similarity.audit_ivf_layout(spark, path, merged_src, id_col="vec_id")
+    assert rep["n_indexed"] == 50
+    assert rep["stats_ok"] is True and rep["fresh_ok"] is True
+
+
 def test_audit_detects_lost_partition(spark, layout):
     path, df = layout
     victim = sorted(
