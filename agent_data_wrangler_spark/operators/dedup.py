@@ -1113,3 +1113,112 @@ def near_dup_pairs_prefix(
         return verified.localCheckpoint()
     finally:
         cand.unpersist()
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated n-gram SPAN detection — the substring-level
+    complement to the document-level dedup family (n1/n4/n5): find every
+    token position covered by an n-gram that also occurs in ``min_docs - 1``
+    other documents, and merge the hits into maximal contiguous spans per
+    document (the regions exact-substring dedup would cut — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", which uses
+    suffix arrays; the n-gram/rolling-hash formulation is the standard
+    distributed approximation: a repeat of length >= n is found exactly, as
+    the union of its overlapping n-gram hits).
+
+    Returns one row per document that has at least one repeated span:
+    ``(id_col, n_spans, repeated_tokens, total_tokens, repeat_frac)``.
+
+    Plan shape / 100 TB notes:
+    - positional n-grams are built from the bound-once token array (the
+      shingles() CSE lesson) and keyed by md5 — FIXED-WIDTH group/join keys
+      so the gram shuffle never moves raw text (the n5 packed-band-key
+      lesson); md5 (not xxhash64) keeps the key reproducible in ANSI-SQL
+      oracles.
+    - "appears in >= 2 distinct docs" is computed as min(id) != max(id) —
+      two cheap extremal aggregates instead of a count-distinct state.
+    - span merging is a per-document gaps-and-islands window (running max
+      of span-end over preceding hits); partitions are bounded by document
+      token count, so the window never sees more than one doc's hits.
+    - total shuffles: gram aggregate, hit semi-join back, per-doc window +
+      final per-doc aggregate (doc-keyed, combine-friendly).
+    - the positional-gram pipeline is deliberately DERIVED TWICE (once under
+      the repeated-gram aggregate, once as the hit probe side) instead of
+      persisted: the gram frame is corpus-sized (one row per token
+      position), so at 100 TB it cannot be cached, while the re-derivation
+      is a second scan-stage pass that AQE/whole-stage-codegen keep cheap.
+      The aggregate side reduces to the tiny repeated-gh frame before any
+      join, so only fixed-width keys ever move twice.
+    """
+    from pyspark.sql import Window
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    t = (
+        df.select(F.col(id_col).alias("__id"), tokens(F.lower(F.col(text_col))).alias("__toks"))
+        .select("__id", "__toks", F.size("__toks").alias("__nt"))
+        .filter(F.col("__nt") >= n)
+    )
+    g = t.select(
+        "__id",
+        "__nt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__nt") - n),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))).alias("gh"),
+                ),
+            )
+        ).alias("__g"),
+    ).select("__id", "__nt", F.col("__g.pos").alias("__pos"), F.col("__g.gh").alias("__gh"))
+    if min_docs > 2:
+        rep = (
+            g.groupBy("__gh")
+            .agg(F.count_distinct("__id").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__gh")
+        )
+    else:
+        # min(id) != max(id)  <=>  the gram occurs in >= 2 distinct docs —
+        # extremal aggregates are partial-combine-friendly, no distinct state.
+        rep = (
+            g.groupBy("__gh")
+            .agg(F.min("__id").alias("__lo"), F.max("__id").alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
+            .select("__gh")
+        )
+    hits = g.join(rep, "__gh").select("__id", "__nt", "__pos")
+    w_prev = Window.partitionBy("__id").orderBy("__pos").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.partitionBy("__id").orderBy("__pos").rowsBetween(Window.unboundedPreceding, 0)
+    brk = F.when(
+        F.col("__pos")
+        > F.coalesce(F.max(F.col("__pos") + F.lit(n - 1)).over(w_prev), F.lit(-1)) + 1,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn("__brk", brk).withColumn("__isl", F.sum("__brk").over(w_run))
+    spans = islands.groupBy("__id", "__isl").agg(
+        F.min("__pos").alias("__s"),
+        (F.max("__pos") + F.lit(n - 1)).alias("__e"),
+        F.first("__nt").alias("__doc_nt"),
+    )
+    out = (
+        spans.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum(F.col("__e") - F.col("__s") + 1).cast("bigint").alias("repeated_tokens"),
+            F.first("__doc_nt").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "repeat_frac",
+            F.round(F.col("repeated_tokens") / F.col("total_tokens"), 6),
+        )
+    )
+    return out.withColumnRenamed("__id", id_col)

@@ -4631,3 +4631,137 @@ def ix1_index_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tamper_detected_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RS1 — cross-document repeated n-gram SPANS (the substring-level dedup the
+# doc-level family n1/n4/n5 cannot see; Lee et al. 2022's exact-substring
+# cut, in its distributed n-gram/rolling-hash formulation). Output: per
+# document, the merged contiguous token spans covered by 5-grams that also
+# occur in another document. Scale notes live on the operator
+# (dedup.repeated_ngram_spans): fixed-width md5 gram keys, min!=max instead
+# of count-distinct, per-document island windows.
+# Oracle: DuckDB reproduces the identical positional-gram + gaps-and-islands
+# computation (md5 keys on BOTH engines, so even a hash collision — which
+# would merge two gram groups — cannot diverge the comparison).
+# ---------------------------------------------------------------------------
+@query(
+    "rs1_repeated_ngram_spans_documents",
+    oracle=rf"""
+    WITH tt AS (
+      SELECT doc_id, toks, len(toks) AS n_toks
+      FROM (SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents)
+      WHERE len(toks) >= 5
+    ), g AS (
+      SELECT doc_id, n_toks, i - 1 AS pos,
+             md5(array_to_string(toks[i:i+4], ' ')) AS gh
+      FROM (SELECT doc_id, n_toks, toks,
+                   unnest(generate_series(1, n_toks - 4)) AS i
+            FROM tt)
+    ), rep AS (
+      SELECT gh FROM g GROUP BY gh HAVING min(doc_id) <> max(doc_id)
+    ), h AS (
+      SELECT g.doc_id, g.n_toks, g.pos FROM g JOIN rep USING (gh)
+    ), brk AS (
+      SELECT doc_id, n_toks, pos,
+             CASE WHEN pos > coalesce(max(pos + 4) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS b
+      FROM h
+    ), isl AS (
+      SELECT doc_id, n_toks, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM brk
+    ), spans AS (
+      SELECT doc_id, island, min(pos) AS s, max(pos) + 4 AS e,
+             any_value(n_toks) AS doc_nt
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(e - s + 1) AS BIGINT) AS repeated_tokens,
+           CAST(any_value(doc_nt) AS BIGINT) AS total_tokens,
+           round(CAST(sum(e - s + 1) AS DOUBLE) / any_value(doc_nt), 6) AS repeat_frac
+    FROM spans GROUP BY doc_id
+    """,
+)
+def rs1_repeated_ngram_spans_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return dedup.repeated_ngram_spans(d, "doc_id", "text", n=5, min_docs=2)
+
+
+# ---------------------------------------------------------------------------
+# PX1 — bigram-LM cross-entropy quality scoring (the CCNet/KenLM perplexity
+# filter, Wenzek et al. 2020, with the reference LM reduced to an exact
+# in-corpus count model): fit add-k bigram counts on the md5-deterministic
+# 80% train split, score every >= 2-token document of the 20% eval split in
+# bits-per-bigram. Exact integer counts in, IEEE doubles out — the one
+# rounding (avg to 4) absorbs the engines' log2 last-ulp differences.
+# Scale notes on operators/lm.py: Zipf-collapsed partial aggregates for the
+# model, vocabulary-bounded join frames (AQE broadcasts the context side),
+# one doc-keyed aggregate out.
+# ---------------------------------------------------------------------------
+_PX1_SPLIT = {"train": 0.8, "eval": 0.2}
+_PX1_SALT = "px1-v1"
+
+
+def _px1_oracle() -> str:
+    from agent_data_wrangler_spark.operators.splits import split_boundaries_sql
+
+    case = split_boundaries_sql(_PX1_SPLIT, "doc_id", salt=_PX1_SALT)
+    return rf"""
+    WITH d AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks, {case} AS split FROM documents
+    ), bg AS (
+      SELECT doc_id, split, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, split, toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d WHERE len(toks) >= 2)
+    ), model AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM bg WHERE split = 'train' GROUP BY w1, w2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY w1
+    ), voc AS (
+      SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS tok FROM d WHERE split = 'train')
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(-log2((coalesce(c12, 0) + 0.5) / (coalesce(c1, 0) + 0.5 * v))), 4)
+             AS xent_bits
+    FROM bg
+    LEFT JOIN model USING (w1, w2)
+    LEFT JOIN ctx USING (w1)
+    CROSS JOIN voc
+    WHERE split = 'eval'
+    GROUP BY doc_id
+    """
+
+
+@query("px1_bigram_xent_documents", oracle=_px1_oracle())
+def px1_bigram_xent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from agent_data_wrangler_spark.operators import lm
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    split = hash_split(d, "doc_id", _PX1_SPLIT, salt=_PX1_SALT)
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "eval")
+    model, ctx, vocab = lm.bigram_lm(train, "doc_id", "text")
+    # tw1 lesson: the vocabulary-bounded model aggregate feeds TWO broadcast
+    # subtrees (the bigram join and, via ctx, the context join); unpersisted,
+    # Catalyst replans each from its own full train-scan tokenization pass.
+    # Persist the small frame, eagerly materialize the (eval-split-bounded)
+    # result, release before returning.
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    res = lm.score_bigram_xent(ev, model, ctx, vocab, "doc_id", "text")
+    try:
+        return res.localCheckpoint()
+    finally:
+        model.unpersist()
