@@ -127,50 +127,22 @@ def test_scaling_report_ratios_and_flags(tmp_path):
 import pytest
 
 
-# No measured numbers in the footnote (scaling_report's own --footnote
-# rule): the block-structure deltas live in NOTES_r10 §5, round-stamped,
-# so a re-captured skew probe can never leave stale numbers in a
-# generated report.
-_SKEW_FOOTNOTE = (
-    "Skew-mode generator probe (gen_sf.py --skewed-alphabet, Zipf-prior "
-    "ciphers): SCALING_skew.md (generated from BENCH_probe_sf0.1.json vs "
-    "BENCH_probe_sf1skew.json) carries the bl1 row at 10x data under "
-    "cross-replica hot-token collisions; the measured block-structure "
-    "deltas are round-stamped in NOTES_r10 §5, and "
-    "dedup.blocked_editdist_pairs(max_block_size=...) remains the guarded "
-    "path for boilerplate-heavy corpora.")
-
-
 @pytest.mark.parametrize(
-    "out_name,pair_specs,footnotes",
-    [
-        # The headline decade trio: the 12 heaviest families (10 legacy +
-        # lk1 + pq1_pq, r09 verdict item 4) measured with ONE code version
-        # and ONE generator version at all three SFs.
-        ("SCALING.md", [("sf0.1", "BENCH_probe_sf0.1.json"),
-                        ("sf1", "BENCH_probe_sf1.json"),
-                        ("sf10", "BENCH_sf10.json")], [_SKEW_FOOTNOTE]),
-        # The skewed-alphabet bl1 probe (r09 verdict item 7): same 10x
-        # volume, Zipf-prior ciphers.
-        ("SCALING_skew.md", [("sf0.1", "BENCH_probe_sf0.1.json"),
-                             ("sf1-skew", "BENCH_probe_sf1skew.json")],
-         None),
-        # The legacy full-registry pair (r08 code/generator, 210 queries).
-        ("SCALING_full_registry_sf1.md",
-         [("sf0.1", "BENCH_local_r08.json"), ("sf1", "BENCH_sf1.json")],
-         None),
-    ],
+    "out_name", sorted(scaling_report.COMMITTED_REPORTS)
 )
-def test_scaling_report_matches_committed_artifacts(
-        out_name, pair_specs, footnotes):
+def test_scaling_report_matches_committed_artifacts(out_name):
     """The SCALING files are generated — regenerating from the committed
     artifact pairs must reproduce them byte-for-byte (the no-prose-drift
-    guarantee, r08 verdict item 3)."""
+    guarantee, r08 verdict item 3). Specs and footnotes live ONLY in
+    scaling_report.COMMITTED_REPORTS (r11: a duplicated pair list in this
+    test went stale against a re-captured artifact); regenerate with
+    `python tools/scaling_report.py --regen`."""
     path = os.path.join(REPO, out_name)
     if not os.path.exists(path):
         pytest.skip(f"no committed {out_name}")
     with open(path, encoding="utf-8") as fh:
         committed = fh.read()
+    pair_specs, footnotes = scaling_report.COMMITTED_REPORTS[out_name]
     pairs = [(lbl, os.path.join(REPO, rel)) for lbl, rel in pair_specs]
     assert scaling_report.build_report(pairs, footnotes=footnotes) \
         == committed

@@ -26,9 +26,10 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-#: The scale-probe families (r10 set): the heaviest representative of each
-#: at-scale cost family in the registry. FULL names — bare prefixes can be
-#: ambiguous ("pq1" also matches pq1_pipe_syntax_revenue).
+#: The scale-probe families (r10 set + the r11 additions rs1/px1): the
+#: heaviest representative of each at-scale cost family in the registry.
+#: FULL names — bare prefixes can be ambiguous ("pq1" also matches
+#: pq1_pipe_syntax_revenue).
 DEFAULT_FAMILIES = [
     "bl1_blocked_editdist_documents",
     "bm1_bm25_rank_documents",
@@ -39,7 +40,9 @@ DEFAULT_FAMILIES = [
     "pq1_pq_topk_embeddings",
     "rh1_winnow_fingerprints_documents",
     "rl1_record_linkage_customers",
+    "rs1_repeated_ngram_spans_documents",
     "rx1_recursive_reachability",
+    "px1_bigram_xent_documents",
     "ss1_prefix_jaccard_documents",
     "tr1_triangle_count",
 ]
@@ -95,8 +98,9 @@ def probe_family(prefix: str, sf_dir: str, warm_dir: str, passes: int) -> tuple[
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", required=True)
-    ap.add_argument("--sf", type=float, required=True,
-                    help="scale factor recorded in the payload")
+    ap.add_argument("--sf", required=True,
+                    help="scale factor recorded in the payload — a number, "
+                    "or a label like '1skew' for non-numeric probe epochs")
     ap.add_argument("--families", default=",".join(DEFAULT_FAMILIES))
     ap.add_argument("--warm-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--passes", type=int, default=2)
@@ -108,11 +112,15 @@ def main() -> int:
         name, sec = probe_family(prefix, args.sf_dir, args.warm_dir, args.passes)
         queries[name] = round(sec, 3)
         print(f"{name}: {sec:.1f}s", flush=True)
+    try:
+        sf_val: float | str = float(args.sf)
+    except ValueError:
+        sf_val = args.sf
     payload = {
         "metric": "isolated_family_probe_min_of_%d" % args.passes,
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
-        "sf": args.sf,
+        "sf": sf_val,
         "protocol": "one fresh JVM per family; sf0.001 warmup; min of "
                     f"{args.passes} noop-sink passes; no concurrent load",
         "queries": queries,

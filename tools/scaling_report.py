@@ -92,10 +92,95 @@ def build_report(pairs: list[tuple[str, str]],
     return "\n".join(lines) + "\n"
 
 
+#: The committed, test-pinned report set: `--regen` rewrites every entry and
+#: tests/test_scale_tools.py asserts each repo file byte-matches its
+#: regeneration — specs and footnotes live HERE and only here, so the report,
+#: the test, and the regeneration command can never drift apart (the r11
+#: failure mode: a re-captured artifact left a sibling report and the test's
+#: private pair list stale).
+COMMITTED_REPORTS: dict[str, tuple[list[tuple[str, str]], list[str] | None]] = {
+    # The headline decade series: the 12 heaviest families at sf0.1/1/10
+    # under the r11 isolated per-family protocol, plus the sf30
+    # third-decade spot check of the two heaviest (lk1, n5 — r10 verdict
+    # item 8; the builder emits only families present in BOTH legs).
+    "SCALING.md": (
+        [("sf0.1", "BENCH_probe_sf0.1.json"),
+         ("sf1", "BENCH_probe_sf1.json"),
+         ("sf10", "BENCH_probe_sf10.json"),
+         ("sf30", "BENCH_probe_sf30.json")],
+        [
+            "Protocol change (r11, verdict item 1): every family now runs "
+            "in its OWN fresh JVM via tools/probe_families.py (sf0.001 "
+            "warmup, min-of-2, no concurrent load), retiring the +-25% "
+            "sweep-position noise of the r08-r10 in-sweep captures. All "
+            "four decade artifacts were captured on one code version (the "
+            "r11 HEAD that adds rs1/px1 to the 12-family r10 set) and one "
+            "data version (.scratch scale dirs regenerated from the r11 "
+            "driver sf0.1 by the seeded generator).",
+            "Pre-r11 artifacts BENCH_sf1.json / BENCH_sf10.json (in-sweep "
+            "protocol, r10-era scale data) are retained for history but "
+            "superseded by BENCH_probe_sf{1,10}.json; do not mix protocols "
+            "in one ratio.",
+            "gr1 (r10's ambiguous family): the isolated sf1->sf10 ratio "
+            "(this file's table) sits inside the plan's expected envelope — "
+            "the r10-committed in-sweep ratio was position noise, as "
+            "NOTES_r10 SS8b suspected.",
+            "The sf30 leg (r10 verdict item 8) is a documents-only "
+            "generation (gen_sf.py --tables documents --mult 300) probing "
+            "the two heaviest document families one decade-third further, "
+            "so 'at-most-linear' no longer rests on a single sf1->sf10 "
+            "ratio for them.",
+            "The skewed-alphabet bl1 probe lives in SCALING_skew.md — "
+            "recaptured in r11 under the isolated protocol on the r11 "
+            "corpus, so its ratio is one code/data/protocol epoch with "
+            "this file's artifacts.",
+        ],
+    ),
+    # The skewed-alphabet bl1 probe (r09 verdict item 7): same 10x volume,
+    # Zipf-prior ciphers (gen_sf.py --skewed-alphabet).
+    "SCALING_skew.md": (
+        [("sf0.1", "BENCH_probe_sf0.1.json"),
+         ("sf1-skew", "BENCH_probe_sf1skew.json")],
+        [
+            "Skew-mode generator probe (gen_sf.py --skewed-alphabet, "
+            "Zipf-prior ciphers): cross-replica hot-token collisions are "
+            "the stress mode for blocking-keyed operators; the measured "
+            "block-structure deltas are round-stamped in NOTES_r10 §5, and "
+            "dedup.blocked_editdist_pairs(max_block_size=...) remains the "
+            "guarded path for boilerplate-heavy corpora. Recaptured in r11 "
+            "(isolated protocol, r11 corpus) so the ratio shares one epoch "
+            "with SCALING.md.",
+        ],
+    ),
+    # The legacy full-registry pair (r08 code/generator, 210 queries).
+    "SCALING_full_registry_sf1.md": (
+        [("sf0.1", "BENCH_local_r08.json"), ("sf1", "BENCH_sf1.json")],
+        None,
+    ),
+}
+
+
+def regen_committed(repo: str) -> list[str]:
+    """Rewrite every committed report from its pinned spec; returns the
+    file names written."""
+    written = []
+    for out_name, (pair_specs, footnotes) in COMMITTED_REPORTS.items():
+        pairs = [(lbl, os.path.join(repo, rel)) for lbl, rel in pair_specs]
+        report = build_report(pairs, footnotes=footnotes)
+        with open(os.path.join(repo, out_name), "w", encoding="utf-8") as fh:
+            fh.write(report)
+        written.append(out_name)
+    return written
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--pair", action="append", required=True,
+        "--regen", action="store_true",
+        help="regenerate every COMMITTED_REPORTS entry in the repo root "
+        "and exit (ignores --pair/--out/--footnote)")
+    ap.add_argument(
+        "--pair", action="append", default=None,
         help="label=path, smallest SF first (repeatable)")
     ap.add_argument("--out", default=None, help="write here instead of stdout")
     ap.add_argument(
@@ -104,6 +189,13 @@ def main() -> None:
         "(repeatable); use for pointers to sibling generated reports, "
         "never for numbers (numbers belong in generated rows)")
     args = ap.parse_args()
+    if args.regen:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        for name in regen_committed(repo):
+            print(f"wrote {name}")
+        return
+    if not args.pair:
+        raise SystemExit("--pair is required unless --regen is given")
     pairs = []
     for spec in args.pair:
         lbl, _, path = spec.partition("=")
