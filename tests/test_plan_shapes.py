@@ -1248,3 +1248,49 @@ def test_aqe_splits_skewed_join_at_runtime(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_rs1_gram_exchanges_carry_md5_not_text(spark, sf_dir):
+    """rs1's repeated-gram aggregate and hit join shuffle on the fixed-width
+    md5 gram key; the raw text column must never enter an exchange (the n1
+    fingerprint lesson applied to positional grams). The per-doc island
+    window shuffles only (id, n_toks, pos)."""
+    plan = _plan(spark, "rs1_repeated_ngram_spans_documents", sf_dir)
+    exchange_lines = [
+        l for l in plan.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert exchange_lines, plan
+    assert all("text" not in l for l in exchange_lines)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_px1_model_persist_feeds_both_broadcast_consumers(spark, sf_dir):
+    """px1's WORKING plan (the registry query localCheckpoints, so PLANS.md
+    shows a flat scan): with the model frame persisted, its two consumers —
+    the (w1,w2) bigram join and the ctx aggregate — must both read the
+    InMemoryRelation instead of replanning separate train-scan tokenization
+    passes (the tw1 broadcast-subtree lesson)."""
+    from pyspark import StorageLevel
+
+    from agent_data_wrangler_spark.operators import lm
+    from agent_data_wrangler_spark.operators.splits import hash_split
+    from agent_data_wrangler_spark.queryset_nstar import _PX1_SALT, _PX1_SPLIT
+    from agent_data_wrangler_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    d = read_table(spark, sf_dir, "documents")
+    split = hash_split(d, "doc_id", _PX1_SPLIT, salt=_PX1_SALT)
+    train = split.filter(F.col("split") == "train")
+    ev = split.filter(F.col("split") == "eval")
+    model, ctx, vocab = lm.bigram_lm(train, "doc_id", "text")
+    model = model.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        res = lm.score_bigram_xent(ev, model, ctx, vocab, "doc_id", "text")
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        # the eval scan is the only remaining documents read feeding the
+        # bigram stream side (model + ctx come from the cache)
+        assert "CartesianProduct" not in plan
+    finally:
+        model.unpersist()

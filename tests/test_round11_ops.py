@@ -169,3 +169,29 @@ def test_settled_cache_stats_waits_out_async_unpersist(spark, sf_dir):
     df.unpersist(blocking=False)
     n, mem, disk = _settled_cache_stats(spark)
     assert (n, mem, disk) == (0, 0, 0)
+
+
+def test_identity_attribution_ignores_lingering_foreign_blocks(spark):
+    """tools/persist_audit.py identity sweep: a query is charged only RDD
+    ids added between its settled start and settled end — a pre-existing
+    (e.g. lingering localCheckpoint) block must not be re-charged, and its
+    later GC must not produce a negative row (the r11 regen artifacts)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from persist_audit import _settled_storage_infos
+
+    foreign = spark.range(5000).persist()
+    foreign.count()
+    before = _settled_storage_infos(spark)
+    assert len(before) == 1
+
+    mine = spark.range(200, 9000).persist()
+    mine.count()
+    after = _settled_storage_infos(spark)
+    added = {rid: b for rid, b in after.items() if rid not in before}
+    assert len(added) == 1          # only the new frame, never the foreign one
+    assert all(b >= 0 for b in added.values())
+
+    foreign.unpersist(blocking=True)
+    mine.unpersist(blocking=True)

@@ -9,12 +9,18 @@ PATTERN is: it runs every registry query at a scale factor, collects it
 left behind per query, then the cumulative total for a full sweep.
 
     python tools/persist_audit.py [--sf-dir /root/testdata/sf0.01]
-                                  [--out PERSIST_AUDIT.md] [--clear-between]
+                                  [--out PERSIST_AUDIT.md]
+                                  [--clear-between | --combined]
 
 Default mode ACCUMULATES across queries (the bench-sweep behavior being
-audited); --clear-between clears the cache after each query to attribute
-leaks precisely. The verdict threshold: if a full-sweep total exceeds
-~100 MB at bench SF, the bench harness gains an unpersist hook.
+audited); --clear-between clears the cache after each query; --combined
+publishes the r10-verdict shape (clear-between attribution table +
+accumulate residual totals in one report). Per-query attribution is by RDD
+IDENTITY (ids added between a query's settled start and settled end), so
+rows are non-negative by construction and immune to ContextCleaner GC and
+lingering-localCheckpoint re-charging. The verdict threshold: if a
+full-sweep total exceeds ~100 MB at bench SF, the bench harness gains an
+unpersist hook.
 """
 
 from __future__ import annotations
@@ -37,6 +43,29 @@ def _cache_stats(spark) -> tuple[int, int, int]:
         mem += info.memSize()
         disk += info.diskSize()
     return n, mem, disk
+
+
+def _storage_infos(spark) -> dict[int, int]:
+    """{rdd_id: total_bytes} for every RDD with cached blocks."""
+    return {
+        info.id(): info.memSize() + info.diskSize()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def _settled_storage_infos(spark, *, poll_s: float = 0.1,
+                           timeout_s: float = 3.0) -> dict[int, int]:
+    """Identity-level twin of _settled_cache_stats: the per-RDD storage map
+    after async unpersists settle (two consecutive identical reads)."""
+    prev = _storage_infos(spark)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        time.sleep(poll_s)
+        cur = _storage_infos(spark)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
 
 
 def _settled_cache_stats(spark, *, poll_s: float = 0.1,
@@ -68,6 +97,10 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
     ap.add_argument("--clear-between", action="store_true")
+    ap.add_argument(
+        "--combined", action="store_true",
+        help="publish the r10-verdict shape: clear-between per-query "
+        "attribution table + accumulate-sweep residual totals, one report")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -83,56 +116,94 @@ def main() -> int:
 
     import __spark_entry__ as entry
 
-    rows = []
-    prev = (0, 0, 0)
-    spark.catalog.clearCache()
-    for name, fn in entry.queries().items():
-        err = None
-        try:
-            fn(spark, args.sf_dir).collect()
-        except Exception as exc:  # audit must survive env-gated queries
-            err = f"ERR {type(exc).__name__}"
-        # Snapshot AFTER every query, including failed ones: a query that
-        # persisted frames before erroring must own that delta — skipping
-        # the re-baseline would charge its footprint to the NEXT query
-        # (misattribution in --clear-between's per-query mode, and a
-        # mislabeled row in accumulate mode). The settled read waits out
-        # async unpersists so no delta ever goes negative from a release
-        # that raced the snapshot.
-        cur = _settled_cache_stats(spark)
-        d_n = cur[0] - prev[0]
-        d_bytes = (cur[1] + cur[2]) - (prev[1] + prev[2])
-        if d_n or d_bytes or err:
-            rows.append((name, d_n, d_bytes, err or ""))
-        if args.clear_between:
-            spark.catalog.clearCache()
-            prev = (0, 0, 0)
-        else:
+    def sweep(clear_between: bool):
+        # Attribution is by RDD IDENTITY, not aggregate bytes: a query is
+        # charged exactly the cached RDDs that exist at its settled end and
+        # did NOT exist at its settled start. This is non-negative by
+        # construction AND immune to the two aggregate-delta artifacts the
+        # r10/r11 regens hit: (a) ContextCleaner GC of an EARLIER query's
+        # abandoned blocks landing as a negative delta mid-query, and
+        # (b) lingering localCheckpoint blocks (clearCache clears SQL
+        # relations, not checkpoint RDD blocks) being re-charged to every
+        # subsequent query after a clear-to-zero re-baseline.
+        rows = []
+        spark.catalog.clearCache()
+        prev = _settled_storage_infos(spark)
+        for name, fn in entry.queries().items():
+            err = None
+            try:
+                fn(spark, args.sf_dir).collect()
+            except Exception as exc:  # audit must survive env-gated queries
+                err = f"ERR {type(exc).__name__}"
+            cur = _settled_storage_infos(spark)
+            added = {rid: b for rid, b in cur.items() if rid not in prev}
+            if added or err:
+                rows.append((name, len(added), sum(added.values()), err or ""))
+            if clear_between:
+                spark.catalog.clearCache()
+                cur = _settled_storage_infos(spark)
             prev = cur
-    total = _settled_cache_stats(spark)
+        return rows, _settled_cache_stats(spark)
 
-    lines = [
+    def table(rows):
+        out = ["| query | leaked entries | leaked bytes | note |",
+               "|---|---|---|---|"]
+        for name, d_n, d_bytes, note in rows:
+            out.append(f"| {name} | {d_n} | {d_bytes} | {note} |")
+        if not rows:
+            out.append("| (none) | 0 | 0 |  |")
+        return out
+
+    header = [
         "# Persisted-frame teardown audit (generated by "
         "tools/persist_audit.py)",
         "",
-        f"sf_dir: {args.sf_dir} | mode: "
-        + ("clear-between (per-query attribution)"
-           if args.clear_between else "accumulate (bench-sweep behavior)"),
-        "",
-        "| query | leaked entries | leaked bytes | note |",
-        "|---|---|---|---|",
-    ]
-    for name, d_n, d_bytes, note in rows:
-        lines.append(
-            f"| {name} | {d_n if d_n is not None else '-'} | "
-            f"{d_bytes if d_bytes is not None else '-'} | {note} |")
-    lines += [
-        "",
-        f"Full-sweep residual: {total[0]} cached RDDs, "
-        f"{total[1]} bytes memory + {total[2]} bytes disk = "
-        f"{(total[1] + total[2]) / 1e6:.1f} MB total.",
+        f"sf_dir: {args.sf_dir}",
         "",
     ]
+    if args.combined:
+        # The r10-verdict item-5 shape: per-query attribution comes from the
+        # clear-between sweep (non-negative by construction — the cache is
+        # empty before every query, so ContextCleaner GC of an EARLIER
+        # query's abandoned references can never land as a negative delta
+        # on a later row); the accumulate sweep reproduces bench behavior
+        # but is reported as its residual TOTAL only, where cross-query GC
+        # attribution noise cannot mislead.
+        attr_rows, _ = sweep(clear_between=True)
+        _, acc_total = sweep(clear_between=False)
+        lines = header + [
+            "## Per-query attribution (clear-between sweep)",
+            "",
+        ] + table(attr_rows) + [
+            "",
+            "## Bench-behavior residual (accumulate sweep, totals only)",
+            "",
+            f"Full-sweep residual: {acc_total[0]} cached RDDs, "
+            f"{acc_total[1]} bytes memory + {acc_total[2]} bytes disk = "
+            f"{(acc_total[1] + acc_total[2]) / 1e6:.1f} MB total.",
+            "",
+            "Per-query rows are intentionally NOT reported for the "
+            "accumulate sweep: Spark's ContextCleaner drops cached/"
+            "localCheckpoint RDDs when their references are garbage-"
+            "collected, seconds-to-minutes after the owning query "
+            "finished, so accumulate-mode deltas land on whichever query "
+            "is running (the r10 negative-row artifact).",
+            "",
+        ]
+    else:
+        rows, total = sweep(clear_between=args.clear_between)
+        lines = header[:-1] + [
+            "mode: "
+            + ("clear-between (per-query attribution)"
+               if args.clear_between else "accumulate (bench-sweep behavior)"),
+            "",
+        ] + table(rows) + [
+            "",
+            f"Full-sweep residual: {total[0]} cached RDDs, "
+            f"{total[1]} bytes memory + {total[2]} bytes disk = "
+            f"{(total[1] + total[2]) / 1e6:.1f} MB total.",
+            "",
+        ]
     report = "\n".join(lines)
     if args.out:
         with open(args.out, "w", encoding="utf-8") as fh:

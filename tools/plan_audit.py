@@ -71,7 +71,13 @@ def main() -> None:
             "broadcast nested loops (1-row-broadcast crossJoins only) / "
             "cartesian products (banned — always 0). Counts include the "
             "repeated text of cached-plan children, so treat them as upper "
-            "bounds; the enforced pins live in tests/test_plan_shapes.py.\n\n"
+            "bounds; the enforced pins live in tests/test_plan_shapes.py. "
+            "Queries that eagerly materialize via localCheckpoint to "
+            "release persisted frames before returning (the tw1/r10 "
+            "teardown pattern — n5, lk1, sd1, px1, ...) show the FLAT "
+            "post-checkpoint scan here (all-zero rows); their working "
+            "plans are pinned by per-query tests in "
+            "tests/test_plan_shapes.py instead.\n\n"
             "| query | shuf | single | range | bcast | smj | gen | cache "
             "| topk | bnlj | cart |\n"
             "|---|---|---|---|---|---|---|---|---|---|---|\n"
