@@ -1161,6 +1161,11 @@ def repeated_ngram_spans(
 
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 2:
+        # cross-document repetition is only defined for >= 2 distinct docs;
+        # the min!=max fast path below implements exactly that, so a
+        # min_docs=1 request would silently mean 2 — reject it instead.
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     t = (
         df.select(F.col(id_col).alias("__id"), tokens(F.lower(F.col(text_col))).alias("__toks"))
         .select("__id", "__toks", F.size("__toks").alias("__nt"))

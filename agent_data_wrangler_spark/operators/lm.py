@@ -43,12 +43,13 @@ def bigram_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select("__id", F.col("__b.w1").alias("__w1"), F.col("__b.w2").alias("__w2"))
 
 
-def bigram_lm(train: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, Column]:
-    """Fit the count model on ``train``: returns ``(model, ctx, vocab_size)``
+def bigram_lm(train: DataFrame, id_col: str, text_col: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Fit the count model on ``train``: returns ``(model, ctx, vocab)``
     where ``model`` is ``(__w1, __w2, __c12)``, ``ctx`` is ``(__w1, __c1)``
     (bigram-context occurrence counts, i.e. sum of __c12 over __w2), and
-    ``vocab_size`` is a 1x1-aggregate Column usable via crossJoin (the
-    repo's 1-row-broadcast stat-frame pattern keeps it out of the driver).
+    ``vocab`` is a 1-row frame ``(__v)`` consumed via broadcast crossJoin
+    (the repo's 1-row-broadcast stat-frame pattern keeps it out of the
+    driver).
 
     Scale: both frames are plain hash aggregates over the exploded bigram
     stream (map-side partial combine does the heavy lifting — bigram
@@ -88,6 +89,11 @@ def score_bigram_xent(
     probability arithmetic is exact-integer-in / IEEE-double-out, so an
     ANSI-SQL oracle reproduces it bit-for-bit before the final rounding.
     """
+    if k <= 0:
+        # k=0 would send unseen bigrams through log2(0) -> NULL, which
+        # avg() then silently DROPS — the doc's score would quietly ignore
+        # exactly its most surprising bigrams. Smoothing must be positive.
+        raise ValueError(f"add-k smoothing requires k > 0, got {k}")
     bg = bigram_frame(eval_df, id_col, text_col)
     scored = (
         bg.join(model, ["__w1", "__w2"], "left")

@@ -158,17 +158,22 @@ def test_audit_without_stats_sidecar(spark, layout):
 def test_settled_cache_stats_waits_out_async_unpersist(spark, sf_dir):
     """tools/persist_audit.py settle poll: a non-blocking unpersist right
     before the snapshot must not leave phantom entries (the r10-verdict
-    negative-row misattribution)."""
+    negative-row misattribution). Asserted by IDENTITY, not absolute
+    emptiness — in a full-suite run the shared session carries other
+    tests' lingering localCheckpoint blocks."""
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from persist_audit import _settled_cache_stats
+    from persist_audit import _settled_storage_infos
 
+    base = _settled_storage_infos(spark)
     df = spark.range(10000).persist()
     df.count()
+    new_ids = set(_settled_storage_infos(spark)) - set(base)
+    assert len(new_ids) == 1
     df.unpersist(blocking=False)
-    n, mem, disk = _settled_cache_stats(spark)
-    assert (n, mem, disk) == (0, 0, 0)
+    settled = _settled_storage_infos(spark)
+    assert not (new_ids & set(settled))
 
 
 def test_identity_attribution_ignores_lingering_foreign_blocks(spark):
@@ -181,16 +186,19 @@ def test_identity_attribution_ignores_lingering_foreign_blocks(spark):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from persist_audit import _settled_storage_infos
 
+    base = _settled_storage_infos(spark)
     foreign = spark.range(5000).persist()
     foreign.count()
     before = _settled_storage_infos(spark)
-    assert len(before) == 1
+    foreign_ids = set(before) - set(base)
+    assert len(foreign_ids) == 1
 
     mine = spark.range(200, 9000).persist()
     mine.count()
     after = _settled_storage_infos(spark)
     added = {rid: b for rid, b in after.items() if rid not in before}
-    assert len(added) == 1          # only the new frame, never the foreign one
+    # exactly one new frame; the pre-existing (foreign) block never charged
+    assert len(added) == 1 and not (set(added) & foreign_ids)
     assert all(b >= 0 for b in added.values())
 
     foreign.unpersist(blocking=True)

@@ -109,6 +109,18 @@ def test_rejects_bad_n(spark):
     df = _docs(spark, [(1, "a b c")])
     with pytest.raises(ValueError):
         repeated_ngram_spans(df, "doc_id", "text", n=0)
+    with pytest.raises(ValueError):
+        # min_docs=1 would silently mean 2 under the min!=max fast path
+        repeated_ngram_spans(df, "doc_id", "text", n=2, min_docs=1)
+
+
+def test_rejects_zero_smoothing(spark):
+    train = _docs(spark, [(1, "a b c")])
+    model, ctx, vocab = lm.bigram_lm(train, "doc_id", "text")
+    ev = _docs(spark, [(10, "a b")])
+    with pytest.raises(ValueError):
+        # k=0 sends unseen bigrams through log2(0)->NULL which avg() drops
+        lm.score_bigram_xent(ev, model, ctx, vocab, "doc_id", "text", k=0.0)
 
 
 # ---------------------------------------------------------------------------
