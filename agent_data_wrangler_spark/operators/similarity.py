@@ -242,6 +242,7 @@ def write_lsh_bucketed(
     _write_index_meta(
         path, kind="lsh",
         num_planes=num_planes, shift=shift, seed=seed, dim=dim,
+        schema_json=out.schema.json(),
     )
     return num_planes, shift
 
@@ -371,12 +372,10 @@ def audit_ivf_layout(spark, path: str, source_df: DataFrame, id_col: str) -> dic
     ``stats_ok`` is None when the layout predates the stats sidecar.
     """
     meta = read_index_meta(path)
-    # mergeSchema: appended delta batches may be schema subsets (legal
-    # parquet — absent columns read back as NULL), and the default
-    # single-footer schema inference could then pick a delta file and drop
-    # a checksum column. One footer per file at planning time is acceptable
-    # for a periodic operational audit (n_lists ~ sqrt(n) directories).
-    layout = spark.read.option("mergeSchema", "true").parquet(path)
+    # Schema-stable read (_read_layout): appended delta batches may be
+    # schema subsets, and single-footer inference could then drop a
+    # checksum column from the audit's view.
+    layout = _read_layout(spark, path, meta)
     n_source = source_df.count()
     n_indexed = layout.count()
     src_ids = source_df.select(id_col)
@@ -432,6 +431,31 @@ def read_index_meta(path: str) -> dict:
         return json.load(fh)
 
 
+def _read_layout(spark, path: str, meta: dict) -> DataFrame:
+    """Schema-stable layout read.
+
+    Appended delta batches may be SCHEMA SUBSETS of the original layout
+    (legal parquet — absent columns read back as NULL), and Spark's default
+    single-footer schema inference can then nondeterministically pick a
+    delta file and drop a column from the view (a probe asking for that
+    payload column raises, file-listing-order dependent). Readers therefore
+    use the WRITE-TIME schema recorded in the sidecar — zero footer
+    sniffing, deterministic at any file count — falling back to
+    ``mergeSchema`` (one footer per file) only for layouts written before
+    ``schema_json`` existed. Columns a delta may carry BEYOND the recorded
+    schema are not served (append does not widen the sidecar schema — a
+    widening is a layout rewrite, not an append).
+    """
+    import json
+
+    from pyspark.sql.types import StructType
+
+    if meta.get("schema_json"):
+        schema = StructType.fromJson(json.loads(meta["schema_json"]))
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def topk_cosine_lsh_pruned(
     spark,
     path: str,
@@ -478,7 +502,7 @@ def topk_cosine_lsh_pruned(
     probes = probe_buckets(query_vec, planes, multiprobe)
     parts = sorted({p >> shift for p in probes})
     probed = (
-        spark.read.parquet(path)
+        _read_layout(spark, path, meta)
         .filter(F.col("__bpart").isin(parts) & F.col("__bucket").isin(probes))
         .drop("__bucket", "__bpart")
     )
@@ -754,6 +778,7 @@ def write_ivf_partitioned(
         path, kind="ivf", n_lists=len(centroids), seed=seed, centroids=centroids,
         checksum_cols=checksum_cols,
         list_stats=_list_stats(out, checksum_cols),
+        schema_json=out.schema.json(),
     )
     return centroids
 
@@ -812,8 +837,12 @@ def topk_cosine_ivf_pruned(
         # layout may be appended to).
         nprobe = derive_ivf_params(len(centroids) ** 2)[1]
     probe_ids = [i for _, i in sorted(sims, reverse=True)[: max(1, nprobe)]]
+    try:
+        layout_meta = read_index_meta(path)
+    except Exception:  # explicit-centroid callers may probe sidecar-less dirs
+        layout_meta = {}
     probed = (
-        spark.read.parquet(path)
+        _read_layout(spark, path, layout_meta)
         .filter(F.col("__list").isin(probe_ids))
         .drop("__list")
     )

@@ -83,6 +83,18 @@ def test_append_schema_subset_delta_keeps_stats_consistent(spark, tmp_path):
     rep = similarity.audit_ivf_layout(spark, path, merged_src, id_col="vec_id")
     assert rep["n_indexed"] == 50
     assert rep["stats_ok"] is True and rep["fresh_ok"] is True
+    # The SERVING path must also survive the subset append: the probe reads
+    # with the sidecar's write-time schema, so asking for the column the
+    # delta lacks works deterministically (NULL for delta rows) regardless
+    # of which file single-footer inference would have picked.
+    qv = [float((0 * 7 + j * 3) % 11) / 11.0 for j in range(8)]
+    probed = similarity.topk_cosine_ivf_pruned(
+        spark, path, "embedding", qv, k=50,
+        nprobe=4, payload_cols=["vec_id", "label"],
+    )
+    got = {r["vec_id"]: r["label"] for r in probed.collect()}
+    assert any(v >= 100 and got[v] is None for v in got)   # delta rows served
+    assert any(v < 40 and got[v] == "b" for v in got)      # base rows keep label
 
 
 def test_audit_detects_lost_partition(spark, layout):

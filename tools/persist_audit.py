@@ -129,6 +129,7 @@ def main() -> int:
         rows = []
         spark.catalog.clearCache()
         prev = _settled_storage_infos(spark)
+        start_base = dict(prev)
         for name, fn in entry.queries().items():
             err = None
             try:
@@ -143,7 +144,13 @@ def main() -> int:
                 spark.catalog.clearCache()
                 cur = _settled_storage_infos(spark)
             prev = cur
-        return rows, _settled_cache_stats(spark)
+        # Residual is identity-relative to THIS sweep's start: blocks that
+        # predate the sweep (e.g. a prior --combined sweep's lingering
+        # localCheckpoint RDDs in the same JVM, not yet ContextCleaner-GC'd)
+        # must not inflate what ONE sweep is measured to leave behind.
+        end = _settled_storage_infos(spark)
+        residual = {rid: b for rid, b in end.items() if rid not in start_base}
+        return rows, (len(residual), sum(residual.values()))
 
     def table(rows):
         out = ["| query | leaked entries | leaked bytes | note |",
@@ -179,8 +186,9 @@ def main() -> int:
             "## Bench-behavior residual (accumulate sweep, totals only)",
             "",
             f"Full-sweep residual: {acc_total[0]} cached RDDs, "
-            f"{acc_total[1]} bytes memory + {acc_total[2]} bytes disk = "
-            f"{(acc_total[1] + acc_total[2]) / 1e6:.1f} MB total.",
+            f"{acc_total[1]} bytes = {acc_total[1] / 1e6:.1f} MB total "
+            "(identity-relative to the sweep's own start, so blocks "
+            "lingering from the preceding attribution sweep are excluded).",
             "",
             "Per-query rows are intentionally NOT reported for the "
             "accumulate sweep: Spark's ContextCleaner drops cached/"
@@ -200,8 +208,8 @@ def main() -> int:
         ] + table(rows) + [
             "",
             f"Full-sweep residual: {total[0]} cached RDDs, "
-            f"{total[1]} bytes memory + {total[2]} bytes disk = "
-            f"{(total[1] + total[2]) / 1e6:.1f} MB total.",
+            f"{total[1]} bytes = {total[1] / 1e6:.1f} MB total "
+            "(identity-relative to the sweep's start).",
             "",
         ]
     report = "\n".join(lines)

@@ -111,8 +111,10 @@ COMMITTED_REPORTS: dict[str, tuple[list[tuple[str, str]], list[str] | None]] = {
         [
             "Protocol change (r11, verdict item 1): every family now runs "
             "in its OWN fresh JVM via tools/probe_families.py (sf0.001 "
-            "warmup, min-of-2, no concurrent load), retiring the +-25% "
-            "sweep-position noise of the r08-r10 in-sweep captures. All "
+            "warmup, min-of-2, no concurrent load), retiring the "
+            "sweep-position noise of the r08-r10 in-sweep captures (the "
+            "measured noise magnitude is round-stamped in NOTES_r10 "
+            "SS8b/NOTES_r11 SS5). All "
             "four decade artifacts were captured on one code version (the "
             "r11 HEAD that adds rs1/px1 to the 12-family r10 set) and one "
             "data version (.scratch scale dirs regenerated from the r11 "
