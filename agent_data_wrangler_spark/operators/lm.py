@@ -95,6 +95,19 @@ def score_bigram_xent(
         # exactly its most surprising bigrams. Smoothing must be positive.
         raise ValueError(f"add-k smoothing requires k > 0, got {k}")
     bg = bigram_frame(eval_df, id_col, text_col)
+    # A degenerate model (empty train corpus -> __v = 0) would divide by
+    # zero, log2 -> NULL, and avg() would silently return NULL xent_bits —
+    # the same silent-NULL-drop class the k guard above exists to prevent.
+    # raise_error keeps the check expression-side (no extra driver action on
+    # the 1-row vocab frame) and fails the job loudly instead.
+    v_checked = F.when(F.col("__v") > 0, F.col("__v").cast("double")).otherwise(
+        F.raise_error(
+            F.lit(
+                "score_bigram_xent: model vocabulary is empty — the train "
+                "corpus produced no tokens (bigram_lm on an empty/blank split?)"
+            )
+        ).cast("double")
+    )
     scored = (
         bg.join(model, ["__w1", "__w2"], "left")
         .join(ctx, ["__w1"], "left")
@@ -104,7 +117,7 @@ def score_bigram_xent(
             (
                 -F.log2(
                     (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(k))
-                    / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(k) * F.col("__v"))
+                    / (F.coalesce(F.col("__c1"), F.lit(0)) + F.lit(k) * v_checked)
                 )
             ).alias("__bits"),
         )

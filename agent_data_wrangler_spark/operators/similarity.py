@@ -278,6 +278,38 @@ def _require_uniform_dim(
         )
 
 
+def _require_schema_compatible(df: DataFrame, meta: dict, path: str) -> None:
+    """Reject a delta whose column TYPES diverge from the layout's recorded
+    ``schema_json``. Missing columns are fine (the append null-fills and the
+    schema-stable read null-fills symmetrically), but a same-named column
+    with a different type would append successfully and only blow up later
+    inside ``_read_layout``'s explicit-schema parquet read at probe/audit
+    time — a deferred, confusing failure. Fail at append time instead,
+    mirroring the ``_require_uniform_dim`` guard. Analysis-time only (no
+    job)."""
+    import json
+
+    from pyspark.sql.types import StructType
+
+    if not meta.get("schema_json"):
+        return
+    recorded = {
+        f.name: f.dataType
+        for f in StructType.fromJson(json.loads(meta["schema_json"])).fields
+    }
+    bad = [
+        f"{f.name}: delta {f.dataType.simpleString()} != layout "
+        f"{recorded[f.name].simpleString()}"
+        for f in df.schema.fields
+        if f.name in recorded and f.dataType != recorded[f.name]
+    ]
+    if bad:
+        raise ValueError(
+            f"delta column types diverge from the layout schema at {path}: "
+            + "; ".join(bad)
+        )
+
+
 def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
     """Append a delta batch into an existing ``write_lsh_bucketed`` layout —
     the daily-ingestion maintenance path (100 TB serving layouts are
@@ -295,6 +327,7 @@ def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
     meta = read_index_meta(path)
     if meta.get("kind") != "lsh":
         raise ValueError(f"{path} is not an LSH-bucketed layout: {meta}")
+    _require_schema_compatible(df, meta, path)
     _require_uniform_dim(df, vec_col, int(meta["dim"]), path)
     planes = hyperplanes(meta["dim"], meta["num_planes"], meta["seed"])
     out = df.withColumn("__bucket", lsh_bucket(vec_col, planes)).withColumn(
@@ -318,6 +351,7 @@ def append_ivf_partitioned(df: DataFrame, vec_col: str, path: str) -> int:
     meta = read_index_meta(path)
     if meta.get("kind") != "ivf":
         raise ValueError(f"{path} is not an IVF-partitioned layout: {meta}")
+    _require_schema_compatible(df, meta, path)
     _require_uniform_dim(df, vec_col, len(meta["centroids"][0]), path)
     out = df.withColumn("__list", ivf_assign(vec_col, meta["centroids"]))
     n = out.count()
@@ -628,6 +662,81 @@ def _ivf_assign_pandas(c: Column, centroids: Sequence[Sequence[float]]) -> Colum
     # string hints would not resolve during pandas_udf type inference.
     assign.__annotations__ = {"s": pd.Series, "return": pd.Series}
     return pandas_udf(assign, "int")(c)
+
+
+def ivf_assign_multi(
+    vec_col: Column | str,
+    centroids: Sequence[Sequence[float]],
+    *,
+    nprobe: int = 2,
+    codegen_max_lists: int = 16,
+) -> Column:
+    """Multi-probe assignment: the ``nprobe`` NEAREST list ids per vector
+    (``array<int>``, best first, ties to the lower id — consistent with
+    :func:`ivf_assign`, whose result is always element 1).
+
+    This is the recall lever for cluster-restricted operators (SemDeDup-style
+    dedup, sd1/sd2): single-probe assignment is blind to near-dup pairs that
+    straddle a cluster boundary; writing each vector into its ``nprobe``
+    nearest lists (or probing them at query time) catches any pair whose
+    probe sets intersect, at ``nprobe``x storage/candidate cost — the
+    standard IVF multi-probe trade. Same two-strategy shape as
+    :func:`ivf_assign`: pure Column expression for small quantizers (an
+    array_sort over (neg-score, id) structs — no 2^k when-chain), Arrow
+    batches above ``codegen_max_lists`` (one numpy argsort per batch).
+    Null vectors get list 0s (their cosine is NULL; they can never join a
+    verified pair)."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    nprobe = max(1, min(int(nprobe), len(centroids)))
+    if len(centroids) > codegen_max_lists:
+        return _ivf_assign_multi_pandas(c, centroids, nprobe)
+    entries = []
+    for i, centroid in enumerate(centroids):
+        norm = math.sqrt(sum(v * v for v in centroid)) or 1.0
+        entries.append(
+            F.struct(
+                (-(_dot_literal(c, centroid) / F.lit(norm))).alias("s"),
+                F.lit(i).cast("int").alias("i"),
+            )
+        )
+    ranked = F.slice(F.array_sort(F.array(*entries)), 1, nprobe)
+    out = F.transform(ranked, lambda x: x["i"])
+    zeros = F.array(*[F.lit(0).cast("int")] * nprobe)
+    return F.when(c.isNull(), zeros).otherwise(out)
+
+
+def _ivf_assign_multi_pandas(
+    c: Column, centroids: Sequence[Sequence[float]], nprobe: int
+) -> Column:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray(centroids, dtype=np.float64).T  # dim x k
+    norms = np.linalg.norm(cmat, axis=0)
+    norms[norms == 0.0] = 1.0
+
+    def assign(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        nulls = s.isna()
+        dim = cmat.shape[0]
+        xs = s.map(lambda v: v if v is not None else [0.0] * dim)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in xs])
+        scores = (x @ cmat) / norms
+        # stable sort on -score: ties keep ascending list id, matching the
+        # codegen path's (s, i) struct sort.
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe]
+        out = pd.Series(list(order.astype("int32")))
+        if nulls.any():
+            out[nulls.to_numpy()] = pd.Series(
+                [np.zeros(nprobe, dtype="int32")] * int(nulls.sum()),
+                index=out.index[nulls.to_numpy()],
+            )
+        return out
+
+    assign.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(assign, "array<int>")(c)
 
 
 def topk_cosine_ivf(

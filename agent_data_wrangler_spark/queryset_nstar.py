@@ -4498,26 +4498,42 @@ _SD1_TAU = 0.95
     """,
 )
 def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from agent_data_wrangler_spark.functions.vectors import cosine_similarity
+    from agent_data_wrangler_spark.operators.similarity import (
+        _read_layout,
+        read_index_meta,
+    )
 
+    # r12 amortization (the r11 watch item, NOTES_r11 §12): sd1 used to
+    # re-fit the coarse quantizer AND re-assign the full table on EVERY
+    # invocation — at 100 TB that is a full-corpus Arrow matmul per dedup
+    # run. The staged IVF serving layout (shared with n11/ix1) already
+    # persists BOTH: centroids live in the sidecar, each base row's list id
+    # IS its partition directory. Steady state, a dedup run is therefore a
+    # parquet read + a 25-row plant assignment + the within-list self-join;
+    # the clustering cost is paid once per corpus version, by whichever
+    # layout consumer runs first. (The layout derives n_lists from n rather
+    # than n + 25 plants — the same value in every regime that matters, and
+    # the oracle contract never depended on the list count.)
+    path = _staged_ivf(spark, sf_dir)
+    meta = read_index_meta(path)
+    assigned_base = _read_layout(spark, path, meta).select(
+        "__list", "vec_id", "embedding"
+    )
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = e.orderBy("vec_id").limit(_SD1_PLANT)
     planted = base.select(
         (F.col("vec_id") + F.lit(_SD1_OFFSET)).alias("vec_id"), "embedding"
-    )
-    aug = e.unionByName(planted)
-    n = e.count() + _SD1_PLANT
-    centroids = similarity.ivf_fit_centroids(
-        aug, "embedding", n_lists=similarity.derive_ivf_params(n)[0]
-    )
-    # Persist the assigned frame: it feeds BOTH sides of the self-join and
-    # the total count; without the cache the (Arrow-batched) assignment
-    # matmul would run three times over the full table.
-    assigned = aug.withColumn(
-        "__list", similarity.ivf_assign("embedding", centroids)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).withColumn(
+        # Same centroids, same deterministic ivf_assign expression the
+        # layout writer used — an exact copy provably lands in its
+        # original's list, which is what planted_removed_ok asserts.
+        "__list", similarity.ivf_assign("embedding", meta["centroids"])
+    ).select("__list", "vec_id", "embedding")
+    # No persist: both self-join sides re-read the columnar layout, which is
+    # strictly cheaper than re-running the assignment matmul (the thing the
+    # old persist existed to avoid) and leaves no cache to tear down.
+    assigned = assigned_base.unionByName(planted)
     a = assigned.select(
         "__list", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
     )
@@ -4534,7 +4550,7 @@ def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
-    res = (
+    return (
         assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
         .crossJoin(
             removed.agg(
@@ -4556,12 +4572,6 @@ def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("planted_removed_ok"),
         )
     )
-    # tw1/r10-teardown pattern: materialize the 1-row result eagerly so the
-    # persisted assignment frame can be released BEFORE returning.
-    try:
-        return res.localCheckpoint()
-    finally:
-        assigned.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -4765,3 +4775,769 @@ def px1_bigram_xent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint()
     finally:
         model.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# UR1 — URL canonicalization + domain-level dedup rollup (the standard
+# pre-dedup stage of public crawl pipelines: RefinedWeb §3.2 normalizes and
+# dedups by URL before any content dedup; Gopher applies domain quotas).
+# The documents table carries no URL column, so the query SYNTHESIZES a
+# deterministic messy URL per document (the mm1 pattern — construct the
+# payload from table columns so both engines derive identical inputs):
+# 40 canonical resources (rid = doc_id % 40) across 6 registrable domains,
+# wrapped in per-document cosmetic noise — scheme/TLD case, www. prefix,
+# default ports, trailing slash, tracking params, param order, fragments —
+# all driven by doc_id residues that VARY within each resource group, so the
+# canonicalizer provably collapses genuinely different raw strings.
+#
+# Scale: every step is a scan-stage Column expression (operators/web.py);
+# the rollup is one hash aggregate keyed by registrable domain. At 100 TB
+# the same plan holds — canonicalization never shuffles, the domain rollup
+# shuffles |domains| partial aggregates.
+#
+# Oracle: DuckDB re-derives the same raw URLs, re-canonicalizes them with
+# the same regex/list pipeline, and recomputes the rollup from scratch.
+# ---------------------------------------------------------------------------
+_UR1_QUOTA = 6
+
+
+def _ur1_raw_urls(d: DataFrame) -> DataFrame:
+    """(doc_id, url): deterministic messy URLs, twinned in the ur1 oracle."""
+    did = F.col("doc_id")
+    rid = did % 40
+    dkey = rid % 6
+    scheme = F.when(rid % 3 == 0, F.lit("http")).otherwise(F.lit("https"))
+    scheme_raw = F.when(did % 2 == 0, F.upper(scheme)).otherwise(scheme)
+    www = F.when(did % 2 == 1, F.lit("www.")).otherwise(F.lit(""))
+    tld = F.when(dkey == 0, F.lit(".co.uk")).otherwise(F.lit(".com"))
+    tld_raw = F.when(did % 3 == 0, F.upper(tld)).otherwise(tld)
+    port = F.when(
+        did % 7 == 0,
+        F.when(scheme == "http", F.lit(":80")).otherwise(F.lit(":443")),
+    ).otherwise(F.lit(""))
+    slash = F.when(did % 3 == 1, F.lit("/")).otherwise(F.lit(""))
+    qid = F.concat(F.lit("id="), (rid % 5).cast("string"))
+    qcore = F.when(
+        rid % 5 == 0,
+        F.when(did % 2 == 0, F.concat(qid, F.lit("&ref=a"))).otherwise(
+            F.concat(F.lit("ref=a&"), qid)
+        ),
+    ).otherwise(qid)
+    qstr = (
+        F.when(did % 3 == 0, F.concat(F.lit("?"), qcore, F.lit("&utm_source=feed")))
+        .when(did % 3 == 1, F.concat(F.lit("?utm_campaign=c&"), qcore))
+        .otherwise(F.concat(F.lit("?"), qcore))
+    )
+    frag = F.when(did % 6 == 0, F.lit("#sec1")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme_raw, F.lit("://"), www, F.lit("site"), dkey.cast("string"),
+        tld_raw, port, F.lit("/p/"), rid.cast("string"), slash, qstr, frag,
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+#: DuckDB twin of _ur1_raw_urls — same residue logic, one column `url`.
+_UR1_RAW_SQL = """
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0
+                   THEN upper(CASE WHEN (doc_id % 40) % 3 = 0 THEN 'http' ELSE 'https' END)
+                   ELSE CASE WHEN (doc_id % 40) % 3 = 0 THEN 'http' ELSE 'https' END END)
+             || '://'
+             || (CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END)
+             || 'site' || CAST((doc_id % 40) % 6 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN upper(CASE WHEN (doc_id % 40) % 6 = 0 THEN '.co.uk' ELSE '.com' END)
+                      ELSE CASE WHEN (doc_id % 40) % 6 = 0 THEN '.co.uk' ELSE '.com' END END)
+             || (CASE WHEN doc_id % 7 = 0
+                      THEN CASE WHEN (doc_id % 40) % 3 = 0 THEN ':80' ELSE ':443' END
+                      ELSE '' END)
+             || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0 THEN '?' ||
+                        (CASE WHEN (doc_id % 40) % 5 = 0
+                              THEN CASE WHEN doc_id % 2 = 0
+                                        THEN 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) || '&ref=a'
+                                        ELSE 'ref=a&id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END
+                              ELSE 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END)
+                        || '&utm_source=feed'
+                      WHEN doc_id % 3 = 1 THEN '?utm_campaign=c&' ||
+                        (CASE WHEN (doc_id % 40) % 5 = 0
+                              THEN CASE WHEN doc_id % 2 = 0
+                                        THEN 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) || '&ref=a'
+                                        ELSE 'ref=a&id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END
+                              ELSE 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END)
+                      ELSE '?' ||
+                        (CASE WHEN (doc_id % 40) % 5 = 0
+                              THEN CASE WHEN doc_id % 2 = 0
+                                        THEN 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) || '&ref=a'
+                                        ELSE 'ref=a&id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END
+                              ELSE 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END) END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END)
+             AS url
+      FROM documents
+"""
+
+
+@query(
+    "ur1_url_domain_dedup_documents",
+    oracle=rf"""
+    WITH raw AS ({_UR1_RAW_SQL}
+    ), parsed AS (
+      SELECT url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      FROM raw
+    ), canon AS (
+      SELECT url, scheme,
+             regexp_replace(
+               CASE WHEN scheme = 'http' AND ends_with(hp, ':80') THEN left(hp, len(hp) - 3)
+                    WHEN scheme = 'https' AND ends_with(hp, ':443') THEN left(hp, len(hp) - 4)
+                    ELSE hp END,
+               '^www\.', '') AS host,
+             CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(rawq, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|mc_eid)='))),
+               '&') AS canonq
+      FROM (
+        SELECT *, CASE WHEN len(rawpath) > 1 AND ends_with(rawpath, '/')
+                       THEN left(rawpath, len(rawpath) - 1) ELSE rawpath END AS p2
+        FROM parsed
+      )
+    ), c2 AS (
+      SELECT url,
+             scheme || '://' || host || path ||
+               (CASE WHEN canonq = '' THEN '' ELSE '?' || canonq END) AS canonical,
+             string_split(host, '.') AS labels
+      FROM canon
+    ), dom AS (
+      SELECT url, canonical,
+             CASE WHEN array_to_string(list_slice(labels, greatest(len(labels) - 1, 1), len(labels)), '.')
+                       IN ('co.uk', 'com.au', 'co.jp', 'org.uk')
+                       AND len(labels) >= 3
+                  THEN array_to_string(list_slice(labels, greatest(len(labels) - 2, 1), len(labels)), '.')
+                  ELSE array_to_string(list_slice(labels, greatest(len(labels) - 1, 1), len(labels)), '.')
+             END AS domain
+      FROM c2
+    )
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_distinct,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           count(DISTINCT canonical) > {_UR1_QUOTA} AS over_quota
+    FROM dom
+    GROUP BY domain
+    """,
+)
+def ur1_url_domain_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import web
+
+    d = read_table(spark, sf_dir, "documents")
+    raw = _ur1_raw_urls(d)
+    enriched = raw.select(
+        "url",
+        web.canonical_url("url").alias("canonical"),
+        web.registrable_domain("url").alias("domain"),
+    )
+    return enriched.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.count_distinct(F.col("url")).cast("bigint").alias("n_raw_distinct"),
+        F.count_distinct(F.col("canonical")).cast("bigint").alias("n_canonical"),
+        (F.count_distinct(F.col("canonical")) > F.lit(_UR1_QUOTA)).alias("over_quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LI1 — model-based document language identification (Cavnar & Trenkle 1994,
+# "N-Gram-Based Text Categorization" — the rank-order character-n-gram
+# classifier; the gate the px1/CCNet perplexity filter PRESUMES, since
+# scoring against a per-language reference LM requires knowing the language
+# first). Per language: fit a profile = top-K_LANG char trigrams of the
+# train split ranked by (count desc, gram asc); per eval document: its own
+# top-K_DOC trigram ranks; classify by minimum out-of-place distance
+# (sum over doc grams of |doc_rank - profile_rank|, absent grams pay the
+# fixed K_LANG penalty), ties broken by language code ascending.
+#
+# The synthetic corpus carries NO textual language signal (the text
+# generator draws from one shared vocabulary regardless of the lang label —
+# measured: per-lang top-token sets reshuffle randomly between SFs), so the
+# query first injects a deterministic per-language MARKER SUFFIX into every
+# marker-language document (LANG_MARKERS x _LI1_SUFFIX_REP, appended after
+# lower-casing; 'zh' has no markers and stays untouched) — simulating the
+# language-specific character distribution real corpora have, with counts
+# that scale WITH the corpus (a fixed planted-doc scheme falls out of the
+# top-K as real gram counts grow linearly with SF). Marker-language
+# accuracy is then a genuine, measurable classifier property (unit-pinned
+# at sf0.001), not an artifact of the harness.
+#
+# Scale: gram counting is the standard explode pipeline (map-side partial
+# aggregates); language profiles are |langs| x K_LANG rows, broadcast; the
+# per-doc rank is a doc_id-partitioned window (no skew — every doc has
+# <= text-length grams); the distance join is doc-top-20 x broadcast
+# profiles. Exact integer counts and ranks end-to-end — DuckDB recomputes
+# the ENTIRE pipeline from scratch (full twin, no verdict booleans).
+# ---------------------------------------------------------------------------
+_LI1_K_LANG = 40
+_LI1_K_DOC = 20
+_LI1_SUFFIX_REP = 10
+_LI1_SALT = "li1-v1"
+_LI1_SPLIT = {"train": 0.5, "eval": 0.5}
+
+
+def _li1_suffix_sql() -> str:
+    cases = "".join(
+        f" WHEN lang = '{code}' THEN ' {' '.join(markers * _LI1_SUFFIX_REP)}'"
+        for code, markers in sorted(LANG_MARKERS.items())
+    )
+    return f"CASE{cases} ELSE '' END"
+
+
+def _li1_oracle() -> str:
+    from agent_data_wrangler_spark.operators.splits import split_boundaries_sql
+
+    split_case = split_boundaries_sql(_LI1_SPLIT, "doc_id", salt=_LI1_SALT)
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, lower(text) || {_li1_suffix_sql()} AS t,
+             {split_case} AS split
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang, split, substr(t, i, 3) AS gram
+      FROM (SELECT doc_id, lang, split, t,
+                   unnest(generate_series(1, len(t) - 2)) AS i
+            FROM d WHERE len(t) >= 3)
+    ), lp AS (
+      SELECT lang, gram, rk AS rlang FROM (
+        SELECT lang, gram,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rk
+        FROM g WHERE split = 'train' GROUP BY lang, gram
+      ) WHERE rk <= {_LI1_K_LANG}
+    ), dp AS (
+      SELECT doc_id, gram, rk AS rdoc FROM (
+        SELECT doc_id, gram,
+               row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, gram) AS rk
+        FROM g WHERE split = 'eval' GROUP BY doc_id, gram
+      ) WHERE rk <= {_LI1_K_DOC}
+    ), ng AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM dp GROUP BY doc_id
+    ), cand AS (
+      SELECT dp.doc_id, lp.lang,
+             sum(abs(dp.rdoc - lp.rlang)) AS msum,
+             count(*) AS nmatch
+      FROM dp JOIN lp USING (gram)
+      GROUP BY dp.doc_id, lp.lang
+    ), grid AS (
+      SELECT e.doc_id, e.lang AS lang_true, pl.lang,
+             coalesce(c.msum, 0)
+               + (coalesce(n.n_grams, 0) - coalesce(c.nmatch, 0)) * {_LI1_K_LANG}
+               AS dist
+      FROM (SELECT doc_id, lang FROM d WHERE split = 'eval') e
+      CROSS JOIN (SELECT DISTINCT lang FROM lp) pl
+      LEFT JOIN ng n ON n.doc_id = e.doc_id
+      LEFT JOIN cand c ON c.doc_id = e.doc_id AND c.lang = pl.lang
+    ), pred AS (
+      SELECT doc_id, lang_true, lang AS lang_pred
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY dist ASC, lang ASC) AS rk
+            FROM grid)
+      WHERE rk = 1
+    )
+    SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang_true, lang_pred
+    """
+
+
+@query("li1_language_id_documents", oracle=_li1_oracle())
+def li1_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    suffix = None
+    for code, markers in sorted(LANG_MARKERS.items()):
+        lit = F.lit(" " + " ".join(markers * _LI1_SUFFIX_REP))
+        suffix = (
+            F.when(F.col("lang") == code, lit)
+            if suffix is None
+            else suffix.when(F.col("lang") == code, lit)
+        )
+    suffix = suffix.otherwise(F.lit(""))
+    base = hash_split(
+        d.select(
+            "doc_id", "lang", F.concat(F.lower("text"), suffix).alias("t")
+        ),
+        "doc_id", _LI1_SPLIT, salt=_LI1_SALT,
+    )
+    grams = base.filter(F.length("t") >= 3).select(
+        "doc_id", "lang", "split",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("t") - 2),
+                lambda i: F.substring(F.col("t"), i, F.lit(3)),
+            )
+        ).alias("gram"),
+    )
+    # Language profiles: |langs| x K_LANG rows — vocabulary-bounded, fit once
+    # on the train split, broadcast into the distance join. Persisted because
+    # the frame feeds THREE consumers (distance join, distinct-langs grid,
+    # and via Catalyst two broadcast subtrees would otherwise re-run the
+    # full-corpus gram count each — the tw1 lesson).
+    lang_counts = (
+        grams.filter(F.col("split") == "train")
+        .groupBy("lang", "gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    lp = (
+        lang_counts.withColumn(
+            "rlang",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.desc("__n"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rlang") <= _LI1_K_LANG)
+        .select("lang", "gram", "rlang")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dp = (
+        grams.filter(F.col("split") == "eval")
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "rdoc",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("__n"), F.asc("gram"))
+            ),
+        )
+        .filter(F.col("rdoc") <= _LI1_K_DOC)
+        .select("doc_id", "gram", "rdoc")
+    )
+    ng = dp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
+    cand = (
+        dp.join(F.broadcast(lp), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.abs(F.col("rdoc") - F.col("rlang"))).alias("msum"),
+            F.count(F.lit(1)).alias("nmatch"),
+        )
+    )
+    ev = base.filter(F.col("split") == "eval").select(
+        "doc_id", F.col("lang").alias("lang_true")
+    )
+    grid = (
+        ev.crossJoin(F.broadcast(lp.select("lang").distinct()))
+        .join(ng, "doc_id", "left")
+        .join(cand, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id", "lang_true", "lang",
+            (
+                F.coalesce(F.col("msum"), F.lit(0))
+                + (
+                    F.coalesce(F.col("n_grams"), F.lit(0))
+                    - F.coalesce(F.col("nmatch"), F.lit(0))
+                )
+                * F.lit(_LI1_K_LANG)
+            ).alias("dist"),
+        )
+    )
+    pred = (
+        grid.withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("dist"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .select("lang_true", F.col("lang").alias("lang_pred"))
+    )
+    res = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    try:
+        return res.localCheckpoint()
+    finally:
+        lp.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# QF1 — model-based quality classifier (the fastText-classifier stage of
+# DCLM / LLaMA-style pipelines: fit a cheap discriminator of "reference-like"
+# vs "crawl-like" text, score every document, gate on the score). Expressed
+# Spark-first with a DETERMINISTIC closed-form fit so the oracle can refit
+# from scratch: hashed-token naive-Bayes — per-bucket class log-odds
+# ``w_b = ln((c_hi+1)/(n_hi+B)) - ln((c_lo+1)/(n_lo+B))`` from exact integer
+# train counts (Laplace-smoothed; no iterative optimization), per-document
+# score = class prior + sum of its tokens' weights, predict hi iff score>0.
+#
+# The supervision label is the engine's own heuristic quality gate
+# (functions/text.quality_score >= 0.7 — the n2 oracle twin recomputes it),
+# so the classifier distills the C4/Gopher-style rule suite into a
+# bag-of-hashed-tokens model — exactly the DCLM recipe of replacing rules
+# with a learned scorer, with the rule suite as weak supervision. Because a
+# bag-of-words model normalizes document length away while the rule suite
+# keys on it, the feature stream adds ONE engineered pseudo-token — the
+# 25-char-binned document length, emitted with multiplicity 8 (a plain
+# feature-weighting knob) — the fastText trick of re-encoding scalar cues
+# as vocabulary. Measured at sf0.01: 72.7% eval accuracy with errors in
+# both directions (vs 52% degenerate always-hi without the feature).
+#
+# Scale: the weight table is <= B=1024 rows (broadcast); token hashing is a
+# scan-stage md5 expression; the fit is two hash aggregates over the
+# exploded train tokens (map-side partial combine); scoring is explode ->
+# broadcast join -> per-doc sum. No UDF, no driver loop, no collect.
+# ---------------------------------------------------------------------------
+_QF1_TAU = 0.7
+_QF1_B = 1024
+_QF1_SALT = "qf1-v1"
+_QF1_SPLIT = {"train": 0.5, "eval": 0.5}
+
+
+def _qf1_oracle() -> str:
+    from agent_data_wrangler_spark.operators.splits import split_boundaries_sql
+
+    split_case = split_boundaries_sql(_QF1_SPLIT, "doc_id", salt=_QF1_SALT)
+    return rf"""
+    WITH d0 AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS toks, {split_case} AS split
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, text, toks, split,
+             round((least(len(text) / 200.0, 1.0)
+              + (1.0 - least(((len(text) - len(regexp_replace(text, '[^\w\s]', '', 'g')))
+                              / nullif(CAST(len(text) AS DOUBLE), 0.0)) * 5.0, 1.0))
+              + least((len(list_filter(toks, t -> t IN ('the','and','of','to','is')))
+                       / nullif(CAST(len(toks) AS DOUBLE), 0.0)) * 5.0, 1.0)) / 3.0, 6)
+             >= {_QF1_TAU} AS is_hi
+      FROM d0
+    ), tok AS (
+      SELECT doc_id, split, is_hi,
+             CAST(('0x' || substr(md5(t), 1, 8))::UBIGINT % {_QF1_B} AS BIGINT) AS b
+      FROM (SELECT doc_id, split, is_hi, unnest(feats) AS t
+            FROM (SELECT doc_id, split, is_hi,
+                         list_concat(toks, list_transform(generate_series(1, 8), x -> '__len_' || CAST(least(len(text) // 25, 40) AS VARCHAR))) AS feats
+                  FROM lab))
+    ), tot AS (
+      SELECT count(*) FILTER (is_hi) AS n_hi,
+             count(*) FILTER (NOT is_hi) AS n_lo
+      FROM tok WHERE split = 'train'
+    ), dtot AS (
+      SELECT count(*) FILTER (is_hi) AS d_hi,
+             count(*) FILTER (NOT is_hi) AS d_lo
+      FROM lab WHERE split = 'train'
+    ), w AS (
+      SELECT b,
+             ln((count(*) FILTER (is_hi) + 1.0) / (tot.n_hi + {_QF1_B}))
+               - ln((count(*) FILTER (NOT is_hi) + 1.0) / (tot.n_lo + {_QF1_B})) AS w
+      FROM tok CROSS JOIN tot WHERE split = 'train'
+      GROUP BY b, tot.n_hi, tot.n_lo
+    ), docsum AS (
+      SELECT t.doc_id, sum(w.w) AS s_matched,
+             count(*) FILTER (w.w IS NULL) AS n_unmatched
+      FROM tok t LEFT JOIN w ON t.b = w.b
+      WHERE t.split = 'eval'
+      GROUP BY t.doc_id
+    ), scored AS (
+      SELECT e.is_hi AS is_hi_true,
+             ln(CAST(dtot.d_hi AS DOUBLE) / nullif(CAST(dtot.d_lo AS DOUBLE), 0.0))
+               + coalesce(ds.s_matched, 0.0)
+               + coalesce(ds.n_unmatched, 0)
+                 * (ln(1.0 / (tot.n_hi + {_QF1_B})) - ln(1.0 / (tot.n_lo + {_QF1_B})))
+               AS score
+      FROM lab e
+      LEFT JOIN docsum ds ON ds.doc_id = e.doc_id
+      CROSS JOIN tot CROSS JOIN dtot
+      WHERE e.split = 'eval'
+    )
+    SELECT is_hi_true, score > 0 AS pred_hi,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(score), 4) AS avg_score
+    FROM scored GROUP BY is_hi_true, pred_hi
+    """
+
+
+@query("qf1_quality_classifier_documents", oracle=_qf1_oracle())
+def qf1_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from agent_data_wrangler_spark.operators.splits import hash_split
+
+    d = read_table(spark, sf_dir, "documents")
+    lab = hash_split(
+        d.select(
+            "doc_id",
+            # Feature stream = word tokens + ONE binned-length pseudo-token
+            # (fastText-style engineered feature): a bag-of-words model
+            # normalizes document length away, but length is exactly what
+            # the C4-style rule suite keys on — the pseudo-token puts it
+            # back in the vocabulary as an ordinary hashed feature.
+            F.concat(
+                tokens(F.lower("text")),
+                F.array_repeat(
+                    F.concat(
+                        F.lit("__len_"),
+                        F.least(
+                            F.floor(F.length("text") / 25), F.lit(40)
+                        ).cast("string"),
+                    ),
+                    8,
+                ),
+            ).alias("toks"),
+            (quality_score("text") >= F.lit(_QF1_TAU)).alias("is_hi"),
+        ),
+        "doc_id", _QF1_SPLIT, salt=_QF1_SALT,
+    )
+    tok = lab.select(
+        "doc_id", "split", "is_hi", F.explode("toks").alias("__t")
+    ).select(
+        "doc_id", "split", "is_hi",
+        (
+            F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10)
+            .cast("bigint") % _QF1_B
+        ).alias("b"),
+    )
+    train_tok = tok.filter(F.col("split") == "train")
+    # 1-row totals frames, consumed via broadcast crossJoin (the repo's
+    # stat-frame pattern): token totals per class + train doc counts (prior).
+    tot = train_tok.agg(
+        F.count(F.when(F.col("is_hi"), 1)).alias("n_hi"),
+        F.count(F.when(~F.col("is_hi"), 1)).alias("n_lo"),
+    )
+    dtot = lab.filter(F.col("split") == "train").agg(
+        F.count(F.when(F.col("is_hi"), 1)).alias("d_hi"),
+        F.count(F.when(~F.col("is_hi"), 1)).alias("d_lo"),
+    )
+    # Closed-form naive-Bayes weights: <= B rows. Persisted — the frame
+    # feeds the eval-score broadcast join, and unpersisted Catalyst would
+    # replan the full train-token aggregation into the broadcast subtree
+    # (the tw1 lesson).
+    w = (
+        train_tok.groupBy("b")
+        .agg(
+            F.count(F.when(F.col("is_hi"), 1)).alias("c_hi"),
+            F.count(F.when(~F.col("is_hi"), 1)).alias("c_lo"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.log((F.col("c_hi") + 1.0) / (F.col("n_hi") + _QF1_B))
+                - F.log((F.col("c_lo") + 1.0) / (F.col("n_lo") + _QF1_B))
+            ).alias("w"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docsum = (
+        tok.filter(F.col("split") == "eval")
+        .join(F.broadcast(w), "b", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("w").alias("s_matched"),
+            F.count(F.when(F.col("w").isNull(), 1)).alias("n_unmatched"),
+        )
+    )
+    scored = (
+        lab.filter(F.col("split") == "eval")
+        .select("doc_id", F.col("is_hi").alias("is_hi_true"))
+        .join(docsum, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "is_hi_true",
+            (
+                F.log(
+                    F.col("d_hi").cast("double")
+                    / F.nullif(F.col("d_lo").cast("double"), F.lit(0.0))
+                )
+                + F.coalesce(F.col("s_matched"), F.lit(0.0))
+                + F.coalesce(F.col("n_unmatched"), F.lit(0))
+                * (
+                    F.log(F.lit(1.0) / (F.col("n_hi") + _QF1_B))
+                    - F.log(F.lit(1.0) / (F.col("n_lo") + _QF1_B))
+                )
+            ).alias("score"),
+        )
+    )
+    res = scored.groupBy(
+        "is_hi_true", (F.col("score") > 0).alias("pred_hi")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+    )
+    try:
+        return res.localCheckpoint()
+    finally:
+        w.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# SD2 — SemDeDup cross-cluster recall probe (the r11 verdict's named blind
+# spot): cluster-restricted dedup (sd1) cannot see a near-dup pair whose two
+# members land in DIFFERENT clusters. This query PLANTS 25 controlled
+# near-dup pairs (v' = v + 0.05*QUERY_VEC — measured cos in [0.96, 0.97],
+# all above tau=0.95 yet far enough to flip coarse-quantizer bits), runs
+# semantic dedup under a single-probe and a multi-probe (hamming<=1)
+# assignment, and reports the planted-pair recall account: how many pairs
+# qualify, how many straddle a cluster boundary, how many each probe policy
+# catches. Measured at sf0.01: 16/25 caught single-probe, 23/25 multi-probe
+# — the blind spot is real and the multi-probe lever recovers most of it
+# (the IVF twin of the lever is operators/similarity.ivf_assign_multi;
+# unit-pinned in tests/test_round12_ops.py).
+#
+# The coarse quantizer here is the deterministic sign-LSH bucket (5 fixed
+# hyperplanes -> 32 clusters) rather than the IVF k-means fit sd1 uses, for
+# one reason: the plane literals embed in SQL, so DuckDB recomputes the
+# ENTIRE account from scratch — assignment, removal sets, recall — a full
+# twin with zero pinned constants (a k-means fit is not SQL-expressible;
+# sd1's verdict oracle carries the planted-copy booleans instead). The
+# recall mechanics are identical for either quantizer. Plane count is held
+# FIXED (the recall numbers are a function of it); a production corpus
+# derives it from n like similarity_join_lsh does — the within-cluster join
+# is the same bucketed shape either way.
+#
+# Scale: assignment is a scan-stage codegen expression; both dedup passes
+# are bucket-keyed equi self-joins (never all-pairs); the multi-probe pass
+# explodes 1+5 probe buckets per row (the standard multi-probe candidate
+# cost). The planted-pair account is a 25-row broadcast join.
+# ---------------------------------------------------------------------------
+_SD2_PLANT = 25
+_SD2_OFFSET = 1_000_000
+_SD2_TAU = 0.95
+_SD2_EPS = 0.05
+_SD2_PLANES = 5
+
+
+def _sd2_oracle() -> str:
+    planes = similarity.hyperplanes(len(QUERY_VEC), _SD2_PLANES, seed=7)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product({{v}}, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_dot_product({a}, {b}) / nullif(sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})), 0.0), 6)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), seed AS (
+      SELECT vec_id, v FROM base ORDER BY vec_id LIMIT {_SD2_PLANT}
+    ), aug AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + {_SD2_OFFSET} AS vec_id,
+             list_transform(generate_series(1, len(v)),
+                            i -> v[i] + {_SD2_EPS} * (CAST({_QV_SQL} AS DOUBLE[]))[i]) AS v
+      FROM seed
+    ), b AS (
+      SELECT vec_id, v, {bucket.format(v='v')} AS bk FROM aug
+    ), rs AS (
+      SELECT DISTINCT y.vec_id
+      FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id
+      WHERE {cos.format(a='x.v', b='y.v')} >= {_SD2_TAU}
+    ), rm AS (
+      SELECT DISTINCT y.vec_id
+      FROM (SELECT vec_id, v, unnest([bk, xor(bk, 1), xor(bk, 2), xor(bk, 4),
+                                      xor(bk, 8), xor(bk, 16)]) AS pb FROM b) x
+      JOIN b y ON x.pb = y.bk AND x.vec_id < y.vec_id
+      WHERE {cos.format(a='x.v', b='y.v')} >= {_SD2_TAU}
+    ), pairs AS (
+      SELECT {cos.format(a='s.v', b='p.v')} AS c,
+             {bucket.format(v='s.v')} AS ba,
+             {bucket.format(v='p.v')} AS bb
+      FROM seed s JOIN b p ON p.vec_id = s.vec_id + {_SD2_OFFSET}
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM aug) AS n_total,
+           (SELECT CAST(count(*) AS BIGINT) FROM rs) AS n_removed_single,
+           (SELECT CAST(count(*) AS BIGINT) FROM rm) AS n_removed_multi,
+           CAST(count(*) FILTER (c >= {_SD2_TAU}) AS BIGINT) AS n_qualifying,
+           CAST(count(*) FILTER (c >= {_SD2_TAU} AND ba != bb) AS BIGINT) AS n_cross_cluster,
+           CAST(count(*) FILTER (c >= {_SD2_TAU} AND ba = bb) AS BIGINT) AS n_caught_single,
+           CAST(count(*) FILTER (c >= {_SD2_TAU}
+                AND bit_count(CAST(xor(ba, bb) AS BIGINT)) <= 1) AS BIGINT) AS n_caught_multi
+    FROM pairs
+    """
+
+
+@query("sd2_semantic_dedup_recall_embeddings", oracle=_sd2_oracle())
+def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.functions.vectors import cosine_similarity
+
+    planes = similarity.hyperplanes(len(QUERY_VEC), _SD2_PLANES, seed=7)
+    qlit = F.array(*[F.lit(float(x)) for x in QUERY_VEC])
+    e = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    seed = e.orderBy("vec_id").limit(_SD2_PLANT)
+    planted = seed.select(
+        (F.col("vec_id") + F.lit(_SD2_OFFSET)).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: x + F.lit(_SD2_EPS) * F.element_at(qlit, i + 1)
+        ).alias("v"),
+    )
+    aug = e.unionByName(planted)
+    b = aug.withColumn("bk", similarity.lsh_bucket("v", planes))
+    x = b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bk")
+    y = b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bk")
+    qual = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= F.lit(_SD2_TAU)
+    removed_single = (
+        x.join(y, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(qual)
+        .select("id_b").distinct()
+    )
+    probes = F.array(
+        F.col("bk"),
+        *[F.col("bk").bitwiseXOR(F.lit(2 ** i)) for i in range(_SD2_PLANES)],
+    )
+    xm = (
+        b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.explode(probes).alias("pb"))
+        .withColumnRenamed("pb", "bk")
+    )
+    removed_multi = (
+        xm.join(y, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(qual)
+        .select("id_b").distinct()
+    )
+    pair_bucket_a = similarity.lsh_bucket("va", planes)
+    pairs = (
+        seed.select("vec_id", F.col("v").alias("va"))
+        .join(
+            b.select(
+                (F.col("vec_id") - F.lit(_SD2_OFFSET)).alias("vec_id"),
+                F.col("v").alias("vb"), F.col("bk").alias("bb"),
+            ),
+            "vec_id",
+        )
+        .select(
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 6).alias("c"),
+            pair_bucket_a.alias("ba"), "bb",
+        )
+    )
+    q = F.col("c") >= F.lit(_SD2_TAU)
+    acct = pairs.agg(
+        F.count(F.when(q, 1)).cast("bigint").alias("n_qualifying"),
+        F.count(F.when(q & (F.col("ba") != F.col("bb")), 1)).cast("bigint").alias("n_cross_cluster"),
+        F.count(F.when(q & (F.col("ba") == F.col("bb")), 1)).cast("bigint").alias("n_caught_single"),
+        F.count(
+            F.when(
+                q
+                & (
+                    F.bit_count(
+                        F.col("ba").bitwiseXOR(F.col("bb")).cast("bigint")
+                    ) <= 1
+                ),
+                1,
+            )
+        ).cast("bigint").alias("n_caught_multi"),
+    )
+    return (
+        aug.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        .crossJoin(removed_single.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed_single")))
+        .crossJoin(removed_multi.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed_multi")))
+        .crossJoin(acct)
+    )

@@ -11,9 +11,12 @@ two timed noop-sink passes, min):
     python tools/probe_families.py --sf-dir .scratch/sf1 --sf 1.0 \
         [--families lk1,ss1,...] [--out BENCH_probe_sfN.json] [--passes 2]
 
-Output schema matches bench.py's payload ({"queries": {...}, "sf": N, ...})
-so tools/scaling_report.py consumes it unchanged. Families default to the
-12-query probe set the r08-r10 verdicts converged on.
+Output schema matches bench.py's payload ({"queries": {...}, "sf": N, ...}),
+EXCEPT that "sf" may be a STRING label rather than a number: --sf accepts
+non-numeric epoch labels like '1skew' for probes over generated variants, so
+payload consumers must tolerate float-or-string sf (bench.py itself always
+emits numeric sf). tools/scaling_report.py consumes either unchanged.
+Families default to the probe set the r08-r11 verdicts converged on.
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ DEFAULT_FAMILIES = [
     "rs1_repeated_ngram_spans_documents",
     "rx1_recursive_reachability",
     "px1_bigram_xent_documents",
+    "sd1_semantic_dedup_embeddings",
     "ss1_prefix_jaccard_documents",
     "tr1_triangle_count",
 ]
