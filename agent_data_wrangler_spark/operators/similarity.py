@@ -90,6 +90,35 @@ def derive_ivf_params(
     return n_lists, min(nprobe, n_lists)
 
 
+def derive_semdedup_params(
+    n: int, *, target_cluster: int = 64, max_lists: int = 4096
+) -> int:
+    """List count for CLUSTER-RESTRICTED DEDUP (SemDeDup, sd1): target a
+    FIXED cluster size, not the serving layout's ``sqrt(n)``.
+
+    The two sizings optimize different things. A serving layout wants
+    ``sqrt(n)`` lists (balance probe count vs list scan); a dedup pass pays
+    ``rows_per_cluster`` comparisons PER ROW, so sqrt(n) sizing makes the
+    within-cluster self-join ``n^1.5`` total — measured superlinear
+    (18.8x at 10x data) on the near-uniform bench embeddings, where nothing
+    collapses clusters below their balanced size. ``n / target_cluster``
+    lists make the join ``n * target_cluster`` — linear.
+
+    ``max_lists`` is the single-level quantizer's honest bound: the Lloyd
+    fit runs on a bounded driver sample, which cannot produce more distinct
+    centroids than sample rows (callers must raise ``max_fit_rows`` to match
+    — _staged_ivf_dedup passes 8192). Beyond ``max_lists * target_cluster``
+    rows (~262k at the defaults) cluster sizes grow again — at sf10 (500k) the
+    cap is measured FASTER than matching lists exactly (58 s vs 65 s: list-file
+    fan-out overhead beats the saved comparisons); the engine's scale
+    path there is the fit-free hyperplane-LSH bucketing
+    (:func:`similarity_join_lsh` / the sd2 quantizer), whose bucket count
+    grows with n by construction.
+    """
+    n = max(n, 1)
+    return max(4, min(max_lists, round(n / target_cluster)))
+
+
 def _dot_literal(vec_col: Column, plane: Sequence[float]) -> Column:
     """vec · literal-plane. The literal array is a foldable expression —
     Catalyst constant-folds it once; the zip_with+aggregate fold stays in
@@ -238,7 +267,12 @@ def write_lsh_bucketed(
     out = df.withColumn("__bucket", lsh_bucket(vec_col, planes)).withColumn(
         "__bpart", F.shiftright(F.col("__bucket"), shift)
     )
-    out.write.mode("error").partitionBy("__bpart").parquet(path)
+    # Repartition ON the partition key before the partitioned write: without
+    # it every write task emits one file per partition directory it touches
+    # (tasks x dirs files — measured 130k+ files on a 4096-dir layout, and a
+    # full-layout scan then pays ~27 s of per-file open overhead). With it,
+    # each directory's rows live in one task -> one file per directory.
+    out.repartition("__bpart").write.mode("error").partitionBy("__bpart").parquet(path)
     _write_index_meta(
         path, kind="lsh",
         num_planes=num_planes, shift=shift, seed=seed, dim=dim,
@@ -334,7 +368,8 @@ def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
         "__bpart", F.shiftright(F.col("__bucket"), meta["shift"])
     )
     n = out.count()
-    out.write.mode("append").partitionBy("__bpart").parquet(path)
+    # one file per touched directory per append batch (see write_lsh_bucketed)
+    out.repartition("__bpart").write.mode("append").partitionBy("__bpart").parquet(path)
     return n
 
 
@@ -355,7 +390,8 @@ def append_ivf_partitioned(df: DataFrame, vec_col: str, path: str) -> int:
     _require_uniform_dim(df, vec_col, len(meta["centroids"][0]), path)
     out = df.withColumn("__list", ivf_assign(vec_col, meta["centroids"]))
     n = out.count()
-    out.write.mode("append").partitionBy("__list").parquet(path)
+    # one file per touched list per append batch (see write_lsh_bucketed)
+    out.repartition("__list").write.mode("append").partitionBy("__list").parquet(path)
     # Keep the freshness sidecar honest: merge the delta batch's per-list
     # stats into the existing ones (xor checksums compose by xor, counts by
     # addition), so audit_ivf_layout stays green across appends. Layouts
@@ -584,7 +620,13 @@ def ivf_fit_centroids(
     k = min(n_lists, n)
     centroids = x[order[np.linspace(0, n - 1, k).astype(int)]].copy()
     for _ in range(max_iter):
-        d2 = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # argmin over |x-c|^2 == argmin over (|c|^2 - 2 x.c): one
+        # (n_sample x k) matmul instead of the full (n_sample x k x dim)
+        # difference tensor — the tensor form is ~1.5 GB/iteration at the
+        # sqrt(n) serving sizing (k=707 at n=500k) and prohibitive at the
+        # dedup sizing (k=4096); the matmul form is ~100 MB and numerically
+        # the same argmin up to float association on exact ties.
+        d2 = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (x @ centroids.T)
         assign = d2.argmin(axis=1)
         moved = False
         for j in range(k):
@@ -866,6 +908,7 @@ def write_ivf_partitioned(
     n_lists: int | None = None,
     seed: int = 7,
     sample_fraction: float | None = None,
+    max_fit_rows: int = 4096,
 ) -> list[list[float]]:
     """Write the IVF SERVING layout: the table partitioned by inverted-list
     id, with the fitted centroids in the sidecar metadata — the layout is
@@ -878,10 +921,17 @@ def write_ivf_partitioned(
     if n_lists is None:
         n_lists = derive_ivf_params(df.count())[0]
     centroids = ivf_fit_centroids(
-        df, vec_col, n_lists=n_lists, seed=seed, sample_fraction=sample_fraction
+        df, vec_col, n_lists=n_lists, seed=seed,
+        sample_fraction=sample_fraction, max_fit_rows=max_fit_rows,
     )
     checksum_cols = list(df.columns)
     out = df.withColumn("__list", ivf_assign(vec_col, centroids))
+    # Repartition ON the list id before the partitioned write — without it
+    # the build emits (write tasks x n_lists) files and every later
+    # full-layout scan pays per-file open overhead for each (measured 130k+
+    # files / ~27 s per scan on the 4096-list dedup layout; one file per
+    # list cuts the same scan to ~2 s).
+    out = out.repartition("__list")
     out.write.mode("error").partitionBy("__list").parquet(path)
     _write_index_meta(
         path, kind="ivf", n_lists=len(centroids), seed=seed, centroids=centroids,

@@ -1362,45 +1362,85 @@ _P5A_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
     """,
 )
 def p5a_describe_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     li = read_table(spark, sf_dir, "lineitem")
-    approx = profile.describe_numeric(li, _P5A_COLS, approx=True)
-    # Exact rank envelope: values at ranks p±1.5% via one exact percentile
-    # aggregate (sf-test-sized here; at 100 TB a user verifying a sketch
-    # would sample — the query's point is the driver-checkable invariant).
-    env_aggs = []
+    # Persisted: the 3-row describe frame feeds TWO consumers (the sketch
+    # pivot below and the final join) — unpersisted, Catalyst replans the
+    # full sketch scan into each (the tw1 lesson).
+    approx = profile.describe_numeric(li, _P5A_COLS, approx=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # Exact rank envelope by COUNTING, not by exact percentile (r12): the
+    # previous form inverted ranks with one exact-percentile aggregate,
+    # which buffers every column value per partition — the very OOM shape
+    # p5a exists to avoid, and (measured, NOTES_r12) an allocation/GC-bound
+    # stage whose ±0.6 s run-to-run spread made p5a the noisiest family in
+    # the sweep table two rounds running. Counting rows below each sketch
+    # value checks the SAME ±1.5%-rank contract with two plain scan
+    # aggregates and constant memory: a sketch value s passes quantile q
+    # iff its duplicate-mass rank interval [count(<s)+1, count(<=s)]
+    # intersects [(q-eps)n, (q+eps)n] — the interval form matters because
+    # low-cardinality columns (l_discount, l_quantity) carry >1% of mass on
+    # single values.
+    eps = 0.015
+    quantiles = (0.25, 0.50, 0.75)
+    sketch_wide = approx.agg(
+        *[
+            F.max(F.when(F.col("column") == c, F.col(f"p{int(q * 100)}"))).alias(
+                f"{c}__s{int(q * 100)}"
+            )
+            for c in _P5A_COLS
+            for q in quantiles
+        ]
+    )
+    rank_aggs = []
     for c in _P5A_COLS:
         col = F.col(c).cast("double")
-        env_aggs.append(
-            F.percentile(
-                col,
-                F.array(*[F.lit(p) for p in
-                          (0.235, 0.265, 0.485, 0.515, 0.735, 0.765)]),
-            ).alias(f"{c}__env")
+        rank_aggs.append(F.count(col).alias(f"{c}__n"))
+        for q in quantiles:
+            s = F.col(f"{c}__s{int(q * 100)}")
+            rank_aggs.extend(
+                [
+                    F.count(F.when(col < s, 1)).alias(f"{c}__lt{int(q * 100)}"),
+                    F.count(F.when(col <= s, 1)).alias(f"{c}__le{int(q * 100)}"),
+                ]
+            )
+    ranks = li.crossJoin(F.broadcast(sketch_wide)).agg(*rank_aggs)
+
+    def in_env(c: str, q: float) -> str:
+        tag = int(q * 100)
+        return (
+            f"`{c}__lt{tag}` + 1 <= ({q} + {eps}) * `{c}__n` "
+            f"AND `{c}__le{tag}` >= ({q} - {eps}) * `{c}__n`"
         )
-    env = li.agg(*env_aggs)
+
     rows = ", ".join(
-        f"'{c}', `{c}__env`[0], `{c}__env`[1], `{c}__env`[2], "
-        f"`{c}__env`[3], `{c}__env`[4], `{c}__env`[5]"
+        f"'{c}', {in_env(c, 0.25)}, {in_env(c, 0.50)}, {in_env(c, 0.75)}"
         for c in _P5A_COLS
     )
-    env_long = env.select(
+    env_long = ranks.select(
         F.expr(
             f"stack({len(_P5A_COLS)}, {rows}) as "
-            "(column, lo25, hi25, lo50, hi50, lo75, hi75)"
+            "(column, p25_in_env, p50_in_env, p75_in_env)"
         )
     )
     joined = approx.join(F.broadcast(env_long), "column")
-    return joined.select(
+    res = joined.select(
         F.col("column").alias("col_name"),
         F.col("count").cast("bigint").alias("n"),
         F.round("mean", 4).alias("mean"),
         F.round("std", 4).alias("std"),
         F.col("min").cast("double").alias("min_v"),
         F.col("max").cast("double").alias("max_v"),
-        F.col("p25").between(F.col("lo25"), F.col("hi25")).alias("p25_in_env"),
-        F.col("p50").between(F.col("lo50"), F.col("hi50")).alias("p50_in_env"),
-        F.col("p75").between(F.col("lo75"), F.col("hi75")).alias("p75_in_env"),
+        "p25_in_env", "p50_in_env", "p75_in_env",
     ).orderBy("col_name")
+    # px1 teardown pattern: materialize the 3-row result eagerly so the
+    # persisted describe frame can be released before returning.
+    try:
+        return res.localCheckpoint()
+    finally:
+        approx.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -860,6 +860,7 @@ def n10_lsh_pruned_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _STAGED_IVF: dict[str, str] = {}
+_STAGED_IVF_DEDUP: dict[str, str] = {}
 
 
 def _staged_ivf(spark: SparkSession, sf_dir: str) -> str:
@@ -872,6 +873,31 @@ def _staged_ivf(spark: SparkSession, sf_dir: str) -> str:
     path = os.path.join(_scratch_dir("adw_ivf_"), "embeddings_ivf")
     similarity.write_ivf_partitioned(e, "embedding", path)
     _STAGED_IVF[sf_dir] = path
+    return path
+
+
+def _staged_ivf_dedup(spark: SparkSession, sf_dir: str) -> str:
+    """The DEDUP-sized twin of :func:`_staged_ivf` (sd1): same layout
+    format, but list count targets a FIXED cluster size
+    (derive_semdedup_params — n/64 lists, 4096 cap) instead of the serving
+    layout's sqrt(n). Serving sizing makes the within-cluster dedup
+    self-join n^1.5 — measured SUPERLINEAR (18.8x at 10x data, r12 probe)
+    on the near-uniform bench embeddings; fixed cluster size makes it
+    linear. Built once per sf_dir; the fit cost amortizes exactly like the
+    serving layout's."""
+    cached = _STAGED_IVF_DEDUP.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    e = read_table(spark, sf_dir, "embeddings")
+    n = e.count() + _SD1_PLANT
+    path = os.path.join(_scratch_dir("adw_ivf_dd_"), "embeddings_ivf_dedup")
+    similarity.write_ivf_partitioned(
+        e, "embedding", path, n_lists=similarity.derive_semdedup_params(n),
+        # the fit sample must be able to SEAT the list count (Lloyd cannot
+        # emit more distinct centroids than sample rows)
+        max_fit_rows=8192,
+    )
+    _STAGED_IVF_DEDUP[sf_dir] = path
     return path
 
 
@@ -4445,10 +4471,16 @@ def _tw1_frame(
 #
 # Scale: the cluster id is a map-side expression (Arrow-batched matmul
 # against the broadcast centroid matrix above 16 lists), the self-join
-# shuffles on the cluster key, and with ~sqrt(n) lists the per-cluster pair
-# work stays ~n^1.5 worst-case and ~linear on real clustered corpora — the
-# published SemDeDup recipe at 100 TB. No driver loops; the two 1-row
-# aggregates broadcast-crossjoin (no CartesianProduct over data).
+# shuffles on the cluster key. List count targets a FIXED ~64-row cluster
+# (derive_semdedup_params), making the within-cluster pair work ~64n —
+# LINEAR; the serving layout's sqrt(n) sizing made it n^1.5, and the r12
+# decade probe measured exactly that (18.8x at 10x data) before the
+# re-sizing, because the near-uniform bench embeddings realize the
+# balanced-cluster worst case. Beyond the single-level quantizer's 4096-list
+# fit bound, the engine's scale path is the fit-free LSH bucketing
+# (similarity_join_lsh / n8 / sd2 — bucket count grows with n by
+# construction). No driver loops; the two 1-row aggregates
+# broadcast-crossjoin (no CartesianProduct over data).
 #
 # Verdict oracle (the n8 planted pattern): the bench embeddings are
 # near-uniform — ZERO natural pairs at cos >= 0.95, measured — so the query
@@ -4498,7 +4530,7 @@ _SD1_TAU = 0.95
     """,
 )
 def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agent_data_wrangler_spark.functions.vectors import cosine_similarity
+    from agent_data_wrangler_spark.functions.vectors import dot_product, l2_norm
     from agent_data_wrangler_spark.operators.similarity import (
         _read_layout,
         read_index_meta,
@@ -4507,15 +4539,17 @@ def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     # r12 amortization (the r11 watch item, NOTES_r11 §12): sd1 used to
     # re-fit the coarse quantizer AND re-assign the full table on EVERY
     # invocation — at 100 TB that is a full-corpus Arrow matmul per dedup
-    # run. The staged IVF serving layout (shared with n11/ix1) already
-    # persists BOTH: centroids live in the sidecar, each base row's list id
-    # IS its partition directory. Steady state, a dedup run is therefore a
-    # parquet read + a 25-row plant assignment + the within-list self-join;
-    # the clustering cost is paid once per corpus version, by whichever
-    # layout consumer runs first. (The layout derives n_lists from n rather
-    # than n + 25 plants — the same value in every regime that matters, and
-    # the oracle contract never depended on the list count.)
-    path = _staged_ivf(spark, sf_dir)
+    # run. The staged DEDUP layout persists BOTH: centroids live in the
+    # sidecar, each base row's list id IS its partition directory. Steady
+    # state, a dedup run is therefore a parquet read + a 25-row plant
+    # assignment + the within-list self-join; the clustering cost is paid
+    # once per corpus version. The layout is the DEDUP-sized one
+    # (_staged_ivf_dedup: fixed ~64-row clusters), not the sqrt(n) serving
+    # layout — serving sizing made this join n^1.5 (measured 18.8x at 10x
+    # data before the r12 re-sizing). Per-ROW norms rather than a per-pair
+    # cosine: the factored dot/(na*nb) is the identical expression with one
+    # array fold per pair instead of three (the similarity_join_lsh lesson).
+    path = _staged_ivf_dedup(spark, sf_dir)
     meta = read_index_meta(path)
     assigned_base = _read_layout(spark, path, meta).select(
         "__list", "vec_id", "embedding"
@@ -4535,16 +4569,22 @@ def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     # old persist existed to avoid) and leaves no cache to tear down.
     assigned = assigned_base.unionByName(planted)
     a = assigned.select(
-        "__list", F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va")
+        "__list", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"), l2_norm("embedding").alias("__na"),
     )
     b = assigned.select(
-        "__list", F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb")
+        "__list", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"), l2_norm("embedding").alias("__nb"),
     )
     removed = (
         a.join(b, "__list")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
-            F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6)
+            F.round(
+                dot_product(F.col("__va"), F.col("__vb"))
+                / F.nullif(F.col("__na") * F.col("__nb"), F.lit(0.0)),
+                6,
+            )
             >= F.lit(_SD1_TAU)
         )
         .select(F.col("id_b").alias("vec_id"))
@@ -5478,30 +5518,52 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
         ).alias("v"),
     )
     aug = e.unionByName(planted)
-    b = aug.withColumn("bk", similarity.lsh_bucket("v", planes))
-    x = b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "bk")
-    y = b.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "bk")
-    qual = F.round(cosine_similarity(F.col("va"), F.col("vb")), 6) >= F.lit(_SD2_TAU)
-    removed_single = (
-        x.join(y, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(qual)
-        .select("id_b").distinct()
+    # Per-ROW norms, not per-pair (the similarity_join_lsh lesson: array
+    # folds evaluate interpreted, so per-pair cosine pays 3 folds where one
+    # dot suffices — dot/(na*nb) is the numerically identical factoring the
+    # oracle's sqrt*sqrt computes). And ONE multi-probe join serves both
+    # policies: the hamming-0 (same-bucket) pairs are exactly the probe
+    # rows where the prober's ORIGINAL bucket equals the probed bucket, so
+    # the single-probe removal set falls out of the multi-probe join as a
+    # conditional count — no second self-join.
+    from agent_data_wrangler_spark.functions.vectors import dot_product, l2_norm
+
+    b = aug.select(
+        "vec_id", "v",
+        similarity.lsh_bucket("v", planes).alias("bk"),
+        l2_norm("v").alias("nn"),
     )
     probes = F.array(
         F.col("bk"),
         *[F.col("bk").bitwiseXOR(F.lit(2 ** i)) for i in range(_SD2_PLANES)],
     )
-    xm = (
-        b.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
-                 F.explode(probes).alias("pb"))
-        .withColumnRenamed("pb", "bk")
+    xm = b.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+        F.col("nn").alias("na"), F.col("bk").alias("ba"),
+        F.explode(probes).alias("bk"),
     )
-    removed_multi = (
+    y = b.select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("nn").alias("nb"), "bk",
+    )
+    qualified = (
         xm.join(y, "bk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(qual)
-        .select("id_b").distinct()
+        .filter(
+            F.round(
+                dot_product(F.col("va"), F.col("vb"))
+                / F.nullif(F.col("na") * F.col("nb"), F.lit(0.0)),
+                6,
+            )
+            >= F.lit(_SD2_TAU)
+        )
+        .select("id_b", (F.col("ba") == F.col("bk")).alias("same"))
+    )
+    removed = qualified.agg(
+        F.count_distinct(F.when(F.col("same"), F.col("id_b"))).cast("bigint").alias(
+            "n_removed_single"
+        ),
+        F.count_distinct(F.col("id_b")).cast("bigint").alias("n_removed_multi"),
     )
     pair_bucket_a = similarity.lsh_bucket("va", planes)
     pairs = (
@@ -5537,7 +5599,6 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
     )
     return (
         aug.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
-        .crossJoin(removed_single.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed_single")))
-        .crossJoin(removed_multi.agg(F.count(F.lit(1)).cast("bigint").alias("n_removed_multi")))
+        .crossJoin(removed)
         .crossJoin(acct)
     )

@@ -650,8 +650,11 @@ def test_append_guard_rejects_mixed_dim_delta(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="dim"):
         similarity.append_lsh_bucketed(bad, "embedding", path)
+    # array<double> to match the layout's write-time schema: the r12
+    # dtype-divergence guard fires first otherwise, masking the
+    # all-null-delta check this case exists to pin.
     allnull = spark.createDataFrame(
-        [(102, None)], "vec_id bigint, embedding array<float>"
+        [(102, None)], "vec_id bigint, embedding array<double>"
     )
     with pytest.raises(ValueError, match="non-null"):
         similarity.append_lsh_bucketed(allnull, "embedding", path)
