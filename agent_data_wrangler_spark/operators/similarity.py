@@ -273,9 +273,16 @@ def write_lsh_bucketed(
     # full-layout scan then pays ~27 s of per-file open overhead). With it,
     # each directory's rows live in one task -> one file per directory.
     out.repartition("__bpart").write.mode("error").partitionBy("__bpart").parquet(path)
+    # Per-partition [count, xor-checksum] sidecar — the LSH twin of the IVF
+    # layout's freshness stats (audit_lsh_layout). __bucket is INCLUDED in
+    # the checksum columns: it is a stored data column here, so an in-place
+    # bucket rewrite (count-invisible, probe-poisoning) must trip the audit.
+    checksum_cols = list(df.columns) + ["__bucket"]
     _write_index_meta(
         path, kind="lsh",
         num_planes=num_planes, shift=shift, seed=seed, dim=dim,
+        checksum_cols=checksum_cols,
+        list_stats=_list_stats(out, checksum_cols, part_col="__bpart"),
         schema_json=out.schema.json(),
     )
     return num_planes, shift
@@ -370,6 +377,23 @@ def append_lsh_bucketed(df: DataFrame, vec_col: str, path: str) -> int:
     n = out.count()
     # one file per touched directory per append batch (see write_lsh_bucketed)
     out.repartition("__bpart").write.mode("append").partitionBy("__bpart").parquet(path)
+    # Merge the delta's per-partition stats (same contract as the IVF
+    # append: xor checksums compose by xor, counts by addition; schema-
+    # subset deltas are checksummed the way the audit re-reads them —
+    # null-filled). Pre-stats layouts stay stat-less.
+    if "list_stats" in meta:
+        stats_in = out
+        for c in meta["checksum_cols"]:
+            if c not in stats_in.columns:
+                stats_in = stats_in.withColumn(c, F.lit(None).cast("string"))
+        merged = dict(meta["list_stats"])
+        for lid, (dn, dxs) in _list_stats(
+            stats_in, meta["checksum_cols"], part_col="__bpart"
+        ).items():
+            n0, xs0 = merged.get(lid, [0, 0])
+            merged[lid] = [n0 + dn, xs0 ^ dxs]
+        meta["list_stats"] = merged
+        _write_index_meta(path, **meta)
     return n
 
 
@@ -441,6 +465,27 @@ def audit_ivf_layout(spark, path: str, source_df: DataFrame, id_col: str) -> dic
     ``{n_source, n_indexed, n_missing, n_orphaned, stats_ok, fresh_ok}``.
     ``stats_ok`` is None when the layout predates the stats sidecar.
     """
+    return _audit_layout(spark, path, source_df, id_col, part_col="__list")
+
+
+def audit_lsh_layout(spark, path: str, source_df: DataFrame, id_col: str) -> dict:
+    """The LSH twin of :func:`audit_ivf_layout`: same three checks
+    (coverage anti-joins both directions, per-partition [count,
+    xor-checksum] sidecar recomputation, counts) over a
+    ``write_lsh_bucketed`` layout, keyed on its ``__bpart`` partition
+    directories. The LSH checksum columns include the stored ``__bucket``
+    data column, so an in-place bucket rewrite (count-invisible,
+    probe-poisoning) trips ``stats_ok`` even when the id coverage is
+    intact."""
+    meta = read_index_meta(path)
+    if meta.get("kind") != "lsh":
+        raise ValueError(f"{path} is not an LSH-bucketed layout: {meta}")
+    return _audit_layout(spark, path, source_df, id_col, part_col="__bpart")
+
+
+def _audit_layout(
+    spark, path: str, source_df: DataFrame, id_col: str, *, part_col: str
+) -> dict:
     meta = read_index_meta(path)
     # Schema-stable read (_read_layout): appended delta batches may be
     # schema subsets, and single-footer inference could then drop a
@@ -455,8 +500,9 @@ def audit_ivf_layout(spark, path: str, source_df: DataFrame, id_col: str) -> dic
     stats_ok: bool | None = None
     if "list_stats" in meta:
         recomputed = _list_stats(
-            layout.select(*meta["checksum_cols"], "__list"),
+            layout.select(*meta["checksum_cols"], part_col),
             meta["checksum_cols"],
+            part_col=part_col,
         )
         stats_ok = recomputed == {
             k: [int(a), int(b)] for k, (a, b) in meta["list_stats"].items()
@@ -942,9 +988,12 @@ def write_ivf_partitioned(
     return centroids
 
 
-def _list_stats(assigned: DataFrame, checksum_cols: Sequence[str]) -> dict:
-    """Per-inverted-list ``{list_id: [row_count, xor_checksum]}`` over an
-    assigned frame (``__list`` column present).
+def _list_stats(
+    assigned: DataFrame, checksum_cols: Sequence[str], *, part_col: str = "__list"
+) -> dict:
+    """Per-partition ``{partition_id: [row_count, xor_checksum]}`` over an
+    assigned frame (``part_col`` present — ``__list`` for IVF layouts,
+    ``__bpart`` for LSH ones).
 
     The checksum is ``bit_xor(xxhash64(checksum_cols...))`` — order-free and
     self-inverse, so (a) it is insensitive to row order within a partition
@@ -954,14 +1003,14 @@ def _list_stats(assigned: DataFrame, checksum_cols: Sequence[str]) -> dict:
     time; the collect is bounded by n_lists (~sqrt(n), 31.6k lists at n=1e9).
     """
     rows = (
-        assigned.groupBy("__list")
+        assigned.groupBy(part_col)
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.bit_xor(F.xxhash64(*checksum_cols)).alias("__xs"),
         )
         .collect()
     )
-    return {str(r["__list"]): [int(r["__n"]), int(r["__xs"])] for r in rows}
+    return {str(r[part_col]): [int(r["__n"]), int(r["__xs"])] for r in rows}
 
 
 def topk_cosine_ivf_pruned(

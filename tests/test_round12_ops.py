@@ -240,3 +240,80 @@ def test_li1_marker_language_accuracy(spark, sf_dir):
         n_all = sum(r["n_docs"] for r in rows if r["lang_true"] == code)
         assert n_all > 0, code
         assert n_ok / n_all >= 0.9, (code, n_ok, n_all)
+
+
+# ---------------------------------------------------------------------------
+# audit_lsh_layout — the LSH twin of the IVF freshness audit (r12)
+# ---------------------------------------------------------------------------
+
+def _lsh_layout(spark, tmp_path, n=40):
+    path = str(tmp_path / "lsh")
+    df = _vecs(spark, range(n))
+    similarity.write_lsh_bucketed(df, "embedding", path, num_planes=4)
+    return path, df
+
+
+def test_lsh_audit_green_on_fresh_layout(spark, tmp_path):
+    path, df = _lsh_layout(spark, tmp_path)
+    rep = similarity.audit_lsh_layout(spark, path, df, id_col="vec_id")
+    assert rep == {
+        "n_source": 40, "n_indexed": 40, "n_missing": 0, "n_orphaned": 0,
+        "stats_ok": True, "fresh_ok": True,
+    }
+
+
+def test_lsh_audit_append_merges_stats(spark, tmp_path):
+    path, df = _lsh_layout(spark, tmp_path)
+    delta = _vecs(spark, range(100, 115))
+    assert similarity.append_lsh_bucketed(delta, "embedding", path) == 15
+    rep = similarity.audit_lsh_layout(
+        spark, path, df.unionByName(delta), id_col="vec_id"
+    )
+    assert rep["n_indexed"] == 55
+    assert rep["stats_ok"] is True and rep["fresh_ok"] is True
+
+
+def test_lsh_audit_detects_lost_partition(spark, tmp_path):
+    import os
+    import shutil
+
+    path, df = _lsh_layout(spark, tmp_path)
+    victim = sorted(
+        d for d in os.listdir(path) if d.startswith("__bpart=")
+    )[0]
+    shutil.rmtree(os.path.join(path, victim))
+    rep = similarity.audit_lsh_layout(spark, path, df, id_col="vec_id")
+    assert rep["n_missing"] > 0
+    assert rep["stats_ok"] is False and rep["fresh_ok"] is False
+
+
+def test_lsh_audit_detects_bucket_rewrite(spark, tmp_path):
+    """An in-place __bucket rewrite is count- and coverage-invisible but
+    probe-poisoning — the stored __bucket column is in the checksum set
+    precisely so this trips stats_ok."""
+    import glob
+
+    from pyspark.sql import functions as F2
+
+    path, df = _lsh_layout(spark, tmp_path)
+    part = sorted(glob.glob(f"{path}/__bpart=*"))[0]
+    src = spark.read.parquet(part)
+    # materialize BEFORE deleting the files (the write below would lazily
+    # re-read them otherwise), then rewrite with the bucket shifted
+    rewritten = spark.createDataFrame(src.collect(), src.schema).withColumn(
+        "__bucket", F2.col("__bucket") + 1
+    )
+    for f in glob.glob(f"{part}/*.parquet"):
+        import os
+        os.remove(f)
+    rewritten.coalesce(1).write.mode("append").parquet(part)
+    rep = similarity.audit_lsh_layout(spark, path, df, id_col="vec_id")
+    assert rep["n_missing"] == 0 and rep["n_orphaned"] == 0
+    assert rep["stats_ok"] is False and rep["fresh_ok"] is False
+
+
+def test_lsh_audit_rejects_ivf_layout(spark, tmp_path):
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_partitioned(_vecs(spark, range(40)), "embedding", path, n_lists=4)
+    with pytest.raises(ValueError, match="not an LSH"):
+        similarity.audit_lsh_layout(spark, path, _vecs(spark, range(40)), id_col="vec_id")

@@ -99,8 +99,8 @@ def build_report(pairs: list[tuple[str, str]],
 #: failure mode: a re-captured artifact left a sibling report and the test's
 #: private pair list stale).
 COMMITTED_REPORTS: dict[str, tuple[list[tuple[str, str]], list[str] | None]] = {
-    # The headline decade series: the 12 heaviest families at sf0.1/1/10
-    # under the r11 isolated per-family protocol, plus the sf30
+    # The headline decade series: the 15 probe families at sf0.1/1/10
+    # under the isolated per-family protocol, plus the sf30
     # third-decade spot check of the two heaviest (lk1, n5 — r10 verdict
     # item 8; the builder emits only families present in BOTH legs).
     "SCALING.md": (
@@ -109,16 +109,18 @@ COMMITTED_REPORTS: dict[str, tuple[list[tuple[str, str]], list[str] | None]] = {
          ("sf10", "BENCH_probe_sf10.json"),
          ("sf30", "BENCH_probe_sf30.json")],
         [
-            "Protocol change (r11, verdict item 1): every family now runs "
+            "Protocol (r11, verdict item 1): every family runs "
             "in its OWN fresh JVM via tools/probe_families.py (sf0.001 "
             "warmup, min-of-2, no concurrent load), retiring the "
             "sweep-position noise of the r08-r10 in-sweep captures (the "
             "measured noise magnitude is round-stamped in NOTES_r10 "
             "SS8b/NOTES_r11 SS5). All "
-            "four decade artifacts were captured on one code version (the "
-            "r11 HEAD that adds rs1/px1 to the 12-family r10 set) and one "
-            "data version (.scratch scale dirs regenerated from the r11 "
-            "driver sf0.1 by the seeded generator).",
+            "four decade artifacts were recaptured in r12 on one code "
+            "version (the r12 HEAD that adds sd1 to the 14-family r11 set "
+            "and re-sizes sd1's dedup clustering — NOTES_r12 SS3/SS8) and "
+            "one data version (.scratch scale dirs generated from the r11 "
+            "driver sf0.1 by the seeded generator; byte-identical under "
+            "the deterministic generator).",
             "Pre-r11 artifacts BENCH_sf1.json / BENCH_sf10.json (in-sweep "
             "protocol, r10-era scale data) are retained for history but "
             "superseded by BENCH_probe_sf{1,10}.json; do not mix protocols "
@@ -133,9 +135,8 @@ COMMITTED_REPORTS: dict[str, tuple[list[tuple[str, str]], list[str] | None]] = {
             "so 'at-most-linear' no longer rests on a single sf1->sf10 "
             "ratio for them.",
             "The skewed-alphabet bl1 probe lives in SCALING_skew.md — "
-            "recaptured in r11 under the isolated protocol on the r11 "
-            "corpus, so its ratio is one code/data/protocol epoch with "
-            "this file's artifacts.",
+            "recaptured in r12 with this file's artifacts, so its ratio "
+            "is one code/data/protocol epoch with them.",
         ],
     ),
     # The skewed-alphabet bl1 probe (r09 verdict item 7): same 10x volume,
@@ -149,8 +150,8 @@ COMMITTED_REPORTS: dict[str, tuple[list[tuple[str, str]], list[str] | None]] = {
             "the stress mode for blocking-keyed operators; the measured "
             "block-structure deltas are round-stamped in NOTES_r10 §5, and "
             "dedup.blocked_editdist_pairs(max_block_size=...) remains the "
-            "guarded path for boilerplate-heavy corpora. Recaptured in r11 "
-            "(isolated protocol, r11 corpus) so the ratio shares one epoch "
+            "guarded path for boilerplate-heavy corpora. Recaptured in r12 "
+            "(isolated protocol, r12 HEAD) so the ratio shares one epoch "
             "with SCALING.md.",
         ],
     ),
