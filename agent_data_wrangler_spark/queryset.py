@@ -1362,6 +1362,18 @@ _P5A_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
     """,
 )
 def p5a_describe_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, approx = _p5a_frames(spark, sf_dir)
+    # px1 teardown pattern: materialize the 3-row result eagerly so the
+    # persisted describe frame can be released before returning.
+    try:
+        return res.localCheckpoint()
+    finally:
+        approx.unpersist()
+
+
+def _p5a_frames(spark: SparkSession, sf_dir: str):
+    """p5a's UN-checkpointed result plus the persisted describe frame —
+    split out so tests/test_plan_shapes.py can pin the WORKING plan."""
     from pyspark import StorageLevel
 
     li = read_table(spark, sf_dir, "lineitem")
@@ -1435,12 +1447,7 @@ def p5a_describe_approx_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max").cast("double").alias("max_v"),
         "p25_in_env", "p50_in_env", "p75_in_env",
     ).orderBy("col_name")
-    # px1 teardown pattern: materialize the 3-row result eagerly so the
-    # persisted describe frame can be released before returning.
-    try:
-        return res.localCheckpoint()
-    finally:
-        approx.unpersist()
+    return res, approx
 
 
 # ---------------------------------------------------------------------------

@@ -5088,8 +5088,10 @@ def _li1_oracle() -> str:
     """
 
 
-@query("li1_language_id_documents", oracle=_li1_oracle())
-def li1_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _li1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """li1's UN-checkpointed result plus the persisted profile frame —
+    split out so tests/test_plan_shapes.py can pin the WORKING plan (the
+    registry wrapper localCheckpoints, so PLANS.md shows a flat scan)."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -5195,6 +5197,12 @@ def li1_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = pred.groupBy("lang_true", "lang_pred").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+    return res, lp
+
+
+@query("li1_language_id_documents", oracle=_li1_oracle())
+def li1_language_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, lp = _li1_frames(spark, sf_dir)
     try:
         return res.localCheckpoint()
     finally:
@@ -5297,8 +5305,9 @@ def _qf1_oracle() -> str:
     """
 
 
-@query("qf1_quality_classifier_documents", oracle=_qf1_oracle())
-def qf1_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _qf1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """qf1's UN-checkpointed result plus the persisted weight frame — split
+    out so tests/test_plan_shapes.py can pin the WORKING plan."""
     from pyspark import StorageLevel
 
     from agent_data_wrangler_spark.operators.splits import hash_split
@@ -5405,6 +5414,12 @@ def qf1_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("score"), 4).alias("avg_score"),
     )
+    return res, w
+
+
+@query("qf1_quality_classifier_documents", oracle=_qf1_oracle())
+def qf1_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, w = _qf1_frames(spark, sf_dir)
     try:
         return res.localCheckpoint()
     finally:

@@ -1294,3 +1294,59 @@ def test_px1_model_persist_feeds_both_broadcast_consumers(spark, sf_dir):
         assert "CartesianProduct" not in plan
     finally:
         model.unpersist()
+
+
+def test_li1_profiles_broadcast_and_cached(spark, sf_dir):
+    """li1's WORKING plan (the registry query localCheckpoints, so PLANS.md
+    shows a flat scan): the persisted |langs|x40 profile frame must feed
+    BOTH consumers (the distance join and the distinct-langs grid) from the
+    cache, the distance join must broadcast it, and the |langs|-row grid
+    crossJoin is the only nested-loop (bounded broadcast, never
+    CartesianProduct)."""
+    from agent_data_wrangler_spark.queryset_nstar import _li1_frames
+
+    res, lp = _li1_frames(spark, sf_dir)
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("InMemoryTableScan") >= 2, plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        lp.unpersist()
+
+
+def test_qf1_weights_broadcast_and_cached(spark, sf_dir):
+    """qf1's WORKING plan: the persisted <=1024-row naive-Bayes weight frame
+    must be read from cache (not replanned into the broadcast subtree — the
+    tw1 lesson) and the eval-token scoring join must broadcast it."""
+    from agent_data_wrangler_spark.queryset_nstar import _qf1_frames
+
+    res, w = _qf1_frames(spark, sf_dir)
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        w.unpersist()
+
+
+def test_p5a_envelope_counts_not_exact_percentile(spark, sf_dir):
+    """p5a's WORKING plan: the r12 rank envelope must be conditional COUNTS
+    against the broadcast sketch values — the exact-percentile aggregate
+    (per-partition full-value buffering, the OOM shape p5a exists to avoid
+    and the measured GC-variance source) must be gone. percentile_approx
+    (the fixed-size sketch) is the only percentile in the plan."""
+    import re
+
+    from agent_data_wrangler_spark.queryset import _p5a_frames
+
+    res, approx = _p5a_frames(spark, sf_dir)
+    try:
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "percentile_approx" in plan, plan
+        assert not re.search(r"(?<!_)percentile\(", plan), plan
+        assert "InMemoryTableScan" in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        approx.unpersist()
