@@ -5617,3 +5617,67 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
         .crossJoin(removed)
         .crossJoin(acct)
     )
+
+
+# ---------------------------------------------------------------------------
+# IX2 — LSH serving-layout freshness audit: ix1's twin over the
+# write_lsh_bucketed layout (the one the pruned ANN queries n10/n7 probe).
+# Same three distributed checks (coverage anti-joins both directions,
+# per-partition [count, xor-checksum] sidecar recomputation, counts) keyed
+# on the __bpart directories, and the same tamper proof: a scratch COPY
+# with one bucket partition dropped (sidecar kept) must fail BOTH the
+# coverage leg and the sidecar leg. The LSH checksum columns include the
+# stored __bucket data column, so a count-invisible in-place bucket
+# rewrite — which silently poisons pruned probes — also trips stats_ok
+# (pinned by tests/test_round12_ops.py::test_lsh_audit_detects_bucket_rewrite).
+#
+# Oracle: n_source/n_indexed are hard values DuckDB recomputes; the zero
+# coverage gaps and both verdict booleans are computed GENUINELY Spark-side
+# and asserted against the oracle's constants (the ix1 pattern).
+# ---------------------------------------------------------------------------
+@query(
+    "ix2_lsh_freshness_audit",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_source,
+           CAST(count(*) AS BIGINT) AS n_indexed,
+           CAST(0 AS BIGINT) AS n_missing,
+           CAST(0 AS BIGINT) AS n_orphaned,
+           true AS healthy_ok,
+           true AS tamper_detected_ok
+    FROM embeddings
+    """,
+)
+def ix2_lsh_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    e = read_table(spark, sf_dir, "embeddings")
+    path, _, _ = _staged_lsh(spark, sf_dir)
+    healthy = similarity.audit_lsh_layout(spark, path, e, id_col="vec_id")
+    tampered_dir = os.path.join(_scratch_dir("adw_ix2_"), "tampered")
+    shutil.copytree(path, tampered_dir)
+    victim = sorted(
+        d for d in os.listdir(tampered_dir) if d.startswith("__bpart=")
+    )[0]
+    shutil.rmtree(os.path.join(tampered_dir, victim))
+    try:
+        tampered = similarity.audit_lsh_layout(
+            spark, tampered_dir, e, id_col="vec_id"
+        )
+    finally:
+        shutil.rmtree(tampered_dir, ignore_errors=True)
+    return spark.range(1).select(
+        F.lit(healthy["n_source"]).cast("bigint").alias("n_source"),
+        F.lit(healthy["n_indexed"]).cast("bigint").alias("n_indexed"),
+        F.lit(healthy["n_missing"]).cast("bigint").alias("n_missing"),
+        F.lit(healthy["n_orphaned"]).cast("bigint").alias("n_orphaned"),
+        F.lit(
+            bool(healthy["fresh_ok"] and healthy["stats_ok"] is True)
+        ).alias("healthy_ok"),
+        F.lit(
+            bool(
+                tampered["n_missing"] > 0
+                and tampered["stats_ok"] is False
+                and not tampered["fresh_ok"]
+            )
+        ).alias("tamper_detected_ok"),
+    )
