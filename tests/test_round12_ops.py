@@ -317,3 +317,53 @@ def test_lsh_audit_rejects_ivf_layout(spark, tmp_path):
     similarity.write_ivf_partitioned(_vecs(spark, range(40)), "embedding", path, n_lists=4)
     with pytest.raises(ValueError, match="not an LSH"):
         similarity.audit_lsh_layout(spark, path, _vecs(spark, range(40)), id_col="vec_id")
+
+
+# ---------------------------------------------------------------------------
+# web.py properties: idempotence + cosmetic invariance, swept over a
+# deterministic variant grid in ONE Spark job (hypothesis-per-example would
+# pay a Spark job per case).
+# ---------------------------------------------------------------------------
+
+def test_canonicalization_idempotent_and_cosmetic_invariant(spark):
+    from pyspark.sql import functions as F2
+
+    from agent_data_wrangler_spark.operators import web
+
+    bases = []
+    for i in range(60):
+        scheme = ["http", "https"][i % 2]
+        host = f"h{i % 7}.example." + ["com", "co.uk", "org"][i % 3]
+        path = ["", "/", f"/a/{i}", f"/a/{i}/"][i % 4]
+        q = ["", f"?id={i % 5}", f"?z=1&id={i % 5}"][i % 3]
+        bases.append(f"{scheme}://{host}{path}{q}")
+
+    def mangle(u: str, k: int) -> str:
+        scheme, rest = u.split("://", 1)
+        hostpart, sep, tail = rest.partition("/")
+        out = scheme.upper() if k % 2 else scheme
+        out += "://" + ("www." if k % 3 == 0 else "")
+        out += hostpart.upper() if k % 5 == 0 else hostpart
+        if k % 4 == 0:
+            out += ":443" if scheme == "https" else ":80"
+        out += sep + tail
+        # tracking params + fragment
+        out += ("&" if "?" in out else "?") + f"utm_source=s{k}&gclid=g{k}"
+        out += f"#frag{k}"
+        return out
+
+    rows = [(u, mangle(u, k)) for u in bases for k in range(1, 4)]
+    df = spark.createDataFrame(rows, "base string, mangled string")
+    checked = df.select(
+        web.canonical_url("base").alias("cb"),
+        web.canonical_url("mangled").alias("cm"),
+        web.registrable_domain("base").alias("db"),
+        web.registrable_domain("mangled").alias("dm"),
+    ).withColumn("cc", web.canonical_url("cb"))
+    bad = checked.filter(
+        (F2.col("cb") != F2.col("cm"))          # cosmetic invariance
+        | (F2.col("cc") != F2.col("cb"))        # idempotence
+        | (F2.col("db") != F2.col("dm"))        # domain invariance
+    )
+    offenders = bad.limit(5).collect()
+    assert not offenders, offenders
