@@ -319,6 +319,31 @@ def _require_uniform_dim(
         )
 
 
+def _strip_nullability(dt):
+    """Recursively normalize away nullability flags (nullable /
+    containsNull / valueContainsNull) so type comparison is structural.
+    A parquet-sourced frame and a createDataFrame/Arrow-sourced frame
+    routinely disagree ONLY on these flags while holding identical data —
+    rejecting that pair would both be wrong and produce an error message
+    whose two simpleString() sides read identically."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_strip_nullability(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _strip_nullability(dt.keyType), _strip_nullability(dt.valueType), True
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _strip_nullability(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def _require_schema_compatible(df: DataFrame, meta: dict, path: str) -> None:
     """Reject a delta whose column TYPES diverge from the layout's recorded
     ``schema_json``. Missing columns are fine (the append null-fills and the
@@ -326,8 +351,10 @@ def _require_schema_compatible(df: DataFrame, meta: dict, path: str) -> None:
     with a different type would append successfully and only blow up later
     inside ``_read_layout``'s explicit-schema parquet read at probe/audit
     time — a deferred, confusing failure. Fail at append time instead,
-    mirroring the ``_require_uniform_dim`` guard. Analysis-time only (no
-    job)."""
+    mirroring the ``_require_uniform_dim`` guard. Types are compared
+    nullability-normalized (``_strip_nullability``) — nested
+    containsNull/valueContainsNull differences are representation noise,
+    not divergence. Analysis-time only (no job)."""
     import json
 
     from pyspark.sql.types import StructType
@@ -339,10 +366,11 @@ def _require_schema_compatible(df: DataFrame, meta: dict, path: str) -> None:
         for f in StructType.fromJson(json.loads(meta["schema_json"])).fields
     }
     bad = [
-        f"{f.name}: delta {f.dataType.simpleString()} != layout "
-        f"{recorded[f.name].simpleString()}"
+        f"{f.name}: delta {f.dataType.json()} != layout "
+        f"{recorded[f.name].json()}"
         for f in df.schema.fields
-        if f.name in recorded and f.dataType != recorded[f.name]
+        if f.name in recorded
+        and _strip_nullability(f.dataType) != _strip_nullability(recorded[f.name])
     ]
     if bad:
         raise ValueError(

@@ -19,8 +19,11 @@ from pyspark.sql import functions as F
 
 #: Tracking-parameter prefixes stripped during canonicalization (the
 #: RefinedWeb/common-crawl cleaning set: analytics campaign tags that vary
-#: per click while identifying the same resource).
-TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|mc_eid)="
+#: per click while identifying the same resource). Case-insensitive — real
+#: crawl URLs vary param-name case ('UTM_SOURCE=x') — and value-optional,
+#: so a bare 'gclid' flag is dropped too. Java regex and DuckDB's RE2 both
+#: honor the inline (?i) flag, keeping the SQL twins byte-identical.
+TRACKING_PARAM_RE = r"(?i)^(utm_[^=]*|gclid|fbclid|mc_eid)(=|$)"
 
 #: Two-level public suffixes the registrable-domain cut must keep whole: a
 #: host under one of these contributes THREE labels to its registrable
@@ -61,9 +64,9 @@ def url_host(col: Column | str) -> Column:
 
 
 def url_path(col: Column | str) -> Column:
-    """Canonical path: trailing slash stripped, empty path folded to '/'
-    (so 'http://h', 'http://h/' and 'http://h//'... no — only ONE trailing
-    slash is stripped; distinct deeper paths stay distinct)."""
+    """Canonical path: exactly ONE trailing slash is stripped, and an empty
+    path folds to '/' — so 'http://h' and 'http://h/' canonicalize alike,
+    while deeper distinct paths ('/a' vs '/a//') stay distinct."""
     raw = F.regexp_extract(_c(col), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)", 1)
     stripped = F.when(
         (F.length(raw) > 1) & raw.endswith("/"),

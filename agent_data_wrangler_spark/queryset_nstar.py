@@ -4821,14 +4821,19 @@ def px1_bigram_xent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UR1 — URL canonicalization + domain-level dedup rollup (the standard
 # pre-dedup stage of public crawl pipelines: RefinedWeb §3.2 normalizes and
 # dedups by URL before any content dedup; Gopher applies domain quotas).
-# The documents table carries no URL column, so the query SYNTHESIZES a
-# deterministic messy URL per document (the mm1 pattern — construct the
-# payload from table columns so both engines derive identical inputs):
-# 40 canonical resources (rid = doc_id % 40) across 6 registrable domains,
-# wrapped in per-document cosmetic noise — scheme/TLD case, www. prefix,
-# default ports, trailing slash, tracking params, param order, fragments —
-# all driven by doc_id residues that VARY within each resource group, so the
-# canonicalizer provably collapses genuinely different raw strings.
+# Input: the REAL `url` column when present (tools/gen_sf.py emits one per
+# document in every scaled dir — corpus volume, resource count scaling
+# linearly); the driver's read-only testdata carries no url column, so
+# there the query derives the IDENTICAL formula inline (the mm1 pattern —
+# construct the payload from table columns so both engines derive identical
+# inputs). Twelve consecutive doc_ids (rid = doc_id DIV 12) share one
+# canonical resource across 6 registrable domains, wrapped in per-document
+# cosmetic noise — scheme/TLD case, www. prefix, default ports, trailing
+# slash, tracking params, param order, fragments — all driven by doc_id
+# residues that VARY within each resource group, so the canonicalizer
+# provably collapses genuinely different raw strings. The three
+# implementations (pyarrow generator, Spark Column, DuckDB SQL) are pinned
+# byte-identical by tests/test_round13_ops.py.
 #
 # Scale: every step is a scan-stage Column expression (operators/web.py);
 # the rollup is one hash aggregate keyed by registrable domain. At 100 TB
@@ -4842,9 +4847,11 @@ _UR1_QUOTA = 6
 
 
 def _ur1_raw_urls(d: DataFrame) -> DataFrame:
-    """(doc_id, url): deterministic messy URLs, twinned in the ur1 oracle."""
+    """(doc_id, url): deterministic messy URLs, twinned in the ur1 oracle
+    AND in tools/gen_sf.py:_synth_url (which bakes the same formula into
+    scaled dirs as a real column)."""
     did = F.col("doc_id")
-    rid = did % 40
+    rid = F.expr("doc_id DIV 12")
     dkey = rid % 6
     scheme = F.when(rid % 3 == 0, F.lit("http")).otherwise(F.lit("https"))
     scheme_raw = F.when(did % 2 == 0, F.upper(scheme)).otherwise(scheme)
@@ -4880,38 +4887,38 @@ def _ur1_raw_urls(d: DataFrame) -> DataFrame:
 _UR1_RAW_SQL = """
       SELECT doc_id,
              (CASE WHEN doc_id % 2 = 0
-                   THEN upper(CASE WHEN (doc_id % 40) % 3 = 0 THEN 'http' ELSE 'https' END)
-                   ELSE CASE WHEN (doc_id % 40) % 3 = 0 THEN 'http' ELSE 'https' END END)
+                   THEN upper(CASE WHEN (doc_id // 12) % 3 = 0 THEN 'http' ELSE 'https' END)
+                   ELSE CASE WHEN (doc_id // 12) % 3 = 0 THEN 'http' ELSE 'https' END END)
              || '://'
              || (CASE WHEN doc_id % 2 = 1 THEN 'www.' ELSE '' END)
-             || 'site' || CAST((doc_id % 40) % 6 AS VARCHAR)
+             || 'site' || CAST((doc_id // 12) % 6 AS VARCHAR)
              || (CASE WHEN doc_id % 3 = 0
-                      THEN upper(CASE WHEN (doc_id % 40) % 6 = 0 THEN '.co.uk' ELSE '.com' END)
-                      ELSE CASE WHEN (doc_id % 40) % 6 = 0 THEN '.co.uk' ELSE '.com' END END)
+                      THEN upper(CASE WHEN (doc_id // 12) % 6 = 0 THEN '.co.uk' ELSE '.com' END)
+                      ELSE CASE WHEN (doc_id // 12) % 6 = 0 THEN '.co.uk' ELSE '.com' END END)
              || (CASE WHEN doc_id % 7 = 0
-                      THEN CASE WHEN (doc_id % 40) % 3 = 0 THEN ':80' ELSE ':443' END
+                      THEN CASE WHEN (doc_id // 12) % 3 = 0 THEN ':80' ELSE ':443' END
                       ELSE '' END)
-             || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+             || '/p/' || CAST(doc_id // 12 AS VARCHAR)
              || (CASE WHEN doc_id % 3 = 1 THEN '/' ELSE '' END)
              || (CASE WHEN doc_id % 3 = 0 THEN '?' ||
-                        (CASE WHEN (doc_id % 40) % 5 = 0
+                        (CASE WHEN (doc_id // 12) % 5 = 0
                               THEN CASE WHEN doc_id % 2 = 0
-                                        THEN 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) || '&ref=a'
-                                        ELSE 'ref=a&id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END
-                              ELSE 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END)
+                                        THEN 'id=' || CAST((doc_id // 12) % 5 AS VARCHAR) || '&ref=a'
+                                        ELSE 'ref=a&id=' || CAST((doc_id // 12) % 5 AS VARCHAR) END
+                              ELSE 'id=' || CAST((doc_id // 12) % 5 AS VARCHAR) END)
                         || '&utm_source=feed'
                       WHEN doc_id % 3 = 1 THEN '?utm_campaign=c&' ||
-                        (CASE WHEN (doc_id % 40) % 5 = 0
+                        (CASE WHEN (doc_id // 12) % 5 = 0
                               THEN CASE WHEN doc_id % 2 = 0
-                                        THEN 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) || '&ref=a'
-                                        ELSE 'ref=a&id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END
-                              ELSE 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END)
+                                        THEN 'id=' || CAST((doc_id // 12) % 5 AS VARCHAR) || '&ref=a'
+                                        ELSE 'ref=a&id=' || CAST((doc_id // 12) % 5 AS VARCHAR) END
+                              ELSE 'id=' || CAST((doc_id // 12) % 5 AS VARCHAR) END)
                       ELSE '?' ||
-                        (CASE WHEN (doc_id % 40) % 5 = 0
+                        (CASE WHEN (doc_id // 12) % 5 = 0
                               THEN CASE WHEN doc_id % 2 = 0
-                                        THEN 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) || '&ref=a'
-                                        ELSE 'ref=a&id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END
-                              ELSE 'id=' || CAST((doc_id % 40) % 5 AS VARCHAR) END) END)
+                                        THEN 'id=' || CAST((doc_id // 12) % 5 AS VARCHAR) || '&ref=a'
+                                        ELSE 'ref=a&id=' || CAST((doc_id // 12) % 5 AS VARCHAR) END
+                              ELSE 'id=' || CAST((doc_id // 12) % 5 AS VARCHAR) END) END)
              || (CASE WHEN doc_id % 6 = 0 THEN '#sec1' ELSE '' END)
              AS url
       FROM documents
@@ -4939,7 +4946,7 @@ _UR1_RAW_SQL = """
              CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
              array_to_string(
                list_sort(list_filter(string_split(rawq, '&'),
-                 x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid|mc_eid)='))),
+                 x -> x <> '' AND NOT regexp_matches(x, '(?i)^(utm_[^=]*|gclid|fbclid|mc_eid)(=|$)'))),
                '&') AS canonq
       FROM (
         SELECT *, CASE WHEN len(rawpath) > 1 AND ends_with(rawpath, '/')
@@ -4975,7 +4982,15 @@ def ur1_url_domain_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFram
     from agent_data_wrangler_spark.operators import web
 
     d = read_table(spark, sf_dir, "documents")
-    raw = _ur1_raw_urls(d)
+    # Scaled dirs (tools/gen_sf.py) carry the real corpus-volume url
+    # column; the driver's read-only testdata doesn't, so derive the
+    # byte-identical formula inline (the oracle always derives — parity
+    # holds either way because the formulas are unit-pinned equal).
+    raw = (
+        d.select("doc_id", "url")
+        if "url" in d.columns
+        else _ur1_raw_urls(d)
+    )
     enriched = raw.select(
         "url",
         web.canonical_url("url").alias("canonical"),
@@ -5654,7 +5669,20 @@ def ix2_lsh_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, _, _ = _staged_lsh(spark, sf_dir)
     healthy = similarity.audit_lsh_layout(spark, path, e, id_col="vec_id")
     tampered_dir = os.path.join(_scratch_dir("adw_ix2_"), "tampered")
-    shutil.copytree(path, tampered_dir)
+
+    def _link_or_copy(src: str, dst: str, *, follow_symlinks: bool = True) -> str:
+        # Hard links cost zero extra tmpfs space (the scratch dir prefers
+        # /dev/shm — a byte copy would transiently DOUBLE the layout's
+        # footprint just to delete one partition directory). The tamper is
+        # directory-level (rmtree of one __bpart dir), so shared inodes are
+        # never mutated. EXDEV fallback covers a cross-filesystem scratch.
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
+        return dst
+
+    shutil.copytree(path, tampered_dir, copy_function=_link_or_copy)
     victim = sorted(
         d for d in os.listdir(tampered_dir) if d.startswith("__bpart=")
     )[0]

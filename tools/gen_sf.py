@@ -27,6 +27,13 @@ Replication rules (replica i in 0..M-1, i=0 is the verbatim original):
   mult>26 replica texts repeat byte-for-byte, and two whole multi-letter
   tokens collide across independent permutations only if the permutations
   agree on every letter in the token (probability ~(1/52)^len).
+- `documents` gains a deterministic `url` column derived from the SHIFTED
+  doc_id (`_synth_url`, applied after the cipher — URLs are never
+  ciphered): every 12 consecutive doc_ids share one canonical resource
+  wrapped in per-document cosmetic noise, so ur1's canonicalizer runs at
+  corpus volume in scaled dirs with resource count scaling linearly. The
+  formula is byte-identical to ur1's inline derivation (unit-pinned), so
+  oracle parity holds whether the column is read or derived.
 - `embeddings.embedding` gets a small deterministic per-replica,
   per-dimension additive perturbation (<=5e-3) so replicas are distinct
   vectors (no degenerate exact ties in top-k) while neighborhood structure
@@ -188,6 +195,57 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
     return tbl.set_column(idx, tbl.schema.field(idx), new)
 
 
+def _synth_url(doc_id: int) -> str:
+    """Deterministic messy URL for a document — BYTE-IDENTICAL to the
+    Spark Column derivation in ``queryset_nstar._ur1_raw_urls`` and the
+    DuckDB twin ``_UR1_RAW_SQL`` (a unit test pins all three together).
+    Twelve consecutive doc_ids share one canonical resource
+    (rid = doc_id // 12) wrapped in per-document cosmetic noise —
+    scheme/TLD case, www. prefix, default ports, trailing slash, tracking
+    params, param order, fragments — driven by doc_id residues that vary
+    WITHIN each resource group, so resource count scales linearly with the
+    corpus and the canonicalizer always has real collapsing to do."""
+    rid = doc_id // 12
+    dkey = rid % 6
+    scheme = "http" if rid % 3 == 0 else "https"
+    scheme_raw = scheme.upper() if doc_id % 2 == 0 else scheme
+    www = "www." if doc_id % 2 == 1 else ""
+    tld = ".co.uk" if dkey == 0 else ".com"
+    tld_raw = tld.upper() if doc_id % 3 == 0 else tld
+    port = (":80" if scheme == "http" else ":443") if doc_id % 7 == 0 else ""
+    slash = "/" if doc_id % 3 == 1 else ""
+    qid = f"id={rid % 5}"
+    if rid % 5 == 0:
+        qcore = f"{qid}&ref=a" if doc_id % 2 == 0 else f"ref=a&{qid}"
+    else:
+        qcore = qid
+    if doc_id % 3 == 0:
+        qstr = f"?{qcore}&utm_source=feed"
+    elif doc_id % 3 == 1:
+        qstr = f"?utm_campaign=c&{qcore}"
+    else:
+        qstr = f"?{qcore}"
+    frag = "#sec1" if doc_id % 6 == 0 else ""
+    return f"{scheme_raw}://{www}site{dkey}{tld_raw}{port}/p/{rid}{slash}{qstr}{frag}"
+
+
+def _with_urls(tbl: pa.Table) -> pa.Table:
+    """Set/append the `url` column from the (already shifted) doc_id —
+    AFTER the cipher rotation, which must never touch URLs. Scaled dirs
+    therefore carry a REAL corpus-volume url column (the driver's
+    read-only testdata has none; ur1 derives the identical formula inline
+    there)."""
+    urls = pa.array(
+        [None if d is None else _synth_url(d) for d in tbl.column("doc_id").to_pylist()],
+        type=pa.string(),
+    )
+    if tbl.schema.get_field_index("url") >= 0:
+        return tbl.set_column(
+            tbl.schema.get_field_index("url"), pa.field("url", pa.string()), urls
+        )
+    return tbl.append_column(pa.field("url", pa.string()), urls)
+
+
 def _rotate_documents(tbl: pa.Table, i: int, skewed: bool = False) -> pa.Table:
     texts = tbl.column("text").to_pylist()
     trans = _cipher_table(i, skewed=skewed)
@@ -267,8 +325,11 @@ def main() -> None:
         # at high multipliers (sf10 = 100x lineitem) the concatenated
         # table would hold the whole output uncompressed in RAM; the
         # writer keeps peak memory at one replica regardless of mult.
+        out_schema = src.schema
+        if name == "documents" and out_schema.get_field_index("url") < 0:
+            out_schema = out_schema.append(pa.field("url", pa.string()))
         path = os.path.join(out, f"{name}.parquet")
-        with pq.ParquetWriter(path, src.schema) as writer:
+        with pq.ParquetWriter(path, out_schema) as writer:
             for i in range(args.mult):
                 t = src
                 for col, dom in keys:
@@ -280,6 +341,8 @@ def main() -> None:
                     t = t.set_column(idx, field, shifted.cast(field.type))
                 if i > 0 and name == "documents":
                     t = _rotate_documents(t, i, skewed=args.skewed_alphabet)
+                if name == "documents":
+                    t = _with_urls(t)
                 if i > 0 and name == "embeddings":
                     t = _perturb_embeddings(t, i)
                 if i > 0 and name == "customer":
@@ -290,7 +353,7 @@ def main() -> None:
                         pa.scalar(i / 100.0, type=field.type),
                     )
                     t = t.set_column(idx, field, shifted_bal.cast(field.type))
-                writer.write_table(t.cast(src.schema))
+                writer.write_table(t.cast(out_schema))
         print(f"{name}: {src.num_rows} -> {src.num_rows * args.mult} rows")
 
 
