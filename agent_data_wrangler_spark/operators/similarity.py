@@ -678,9 +678,15 @@ def ivf_fit_centroids(
     from agent_data_wrangler_spark.functions.collections import array_l2_normalize
 
     src = df.sample(False, sample_fraction, seed) if sample_fraction else df
+    # Filter on the RAW column, not the normalized one: an isNotNull filter
+    # over the transform alias gets the whole normalize expression
+    # substituted into an interpreted filter condition — measured +1.1 s per
+    # fit collect at 2000x64 (r13 pq1 bisect). Raw-null and normalized-null
+    # rows are the same set (zero vectors aside, which would poison the
+    # numpy cast either way).
     rows = (
-        src.select(array_l2_normalize(vec_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
+        src.filter(F.col(vec_col).isNotNull())
+        .select(array_l2_normalize(vec_col).alias("__v"))
         .limit(max_fit_rows)
         .collect()
     )
@@ -702,17 +708,40 @@ def ivf_fit_centroids(
         # the same argmin up to float association on exact ties.
         d2 = (centroids * centroids).sum(axis=1)[None, :] - 2.0 * (x @ centroids.T)
         assign = d2.argmin(axis=1)
-        moved = False
-        for j in range(k):
-            members = x[assign == j]
-            if len(members):
-                new_c = members.mean(axis=0)
-                if not np.allclose(new_c, centroids[j]):
-                    centroids[j] = new_c
-                    moved = True
+        centroids, moved = _lloyd_update(x, assign, centroids)
         if not moved:
             break
     return [[float(v) for v in c] for c in centroids]
+
+
+def _lloyd_update(x, assign, cent):
+    """One vectorized Lloyd centroid update: empty clusters keep their old
+    centroid; a cluster only moves when its new mean fails np.allclose
+    against the old value (the convergence contract the per-centroid loop
+    had). Vectorized via bincount per dimension — the per-centroid Python
+    loop was 40k mask+mean iterations at the k=4096 dedup sizing (and 1.2 s
+    of the 16-subspace PQ fit, r13 pq1 bisect). Sums are np.bincount
+    accumulations rather than ndarray.mean's pairwise reduction — same-code
+    determinism holds (the fit is RNG-free), and cross-form float
+    association on exact ties is the accepted Lloyd caveat (r12 matmul
+    precedent); downstream oracles are recall/planted-copy robust."""
+    import numpy as np
+
+    k = len(cent)
+    counts = np.bincount(assign, minlength=k).astype(np.float64)
+    new = cent.copy()
+    nz = counts > 0
+    sums = np.empty((k, x.shape[1]), dtype=np.float64)
+    for d in range(x.shape[1]):
+        sums[:, d] = np.bincount(assign, weights=x[:, d], minlength=k)
+    new[nz] = sums[nz] / counts[nz, None]
+    close = np.isclose(new, cent).all(axis=1)
+    upd = ~close
+    if upd.any():
+        cent = cent.copy()
+        cent[upd] = new[upd]
+        return cent, True
+    return cent, False
 
 
 def ivf_assign(
@@ -1133,9 +1162,12 @@ def pq_fit_codebooks(
 
     from agent_data_wrangler_spark.functions.collections import array_l2_normalize
 
+    # Raw-column null filter before the normalize projection — see
+    # ivf_fit_centroids (an isNotNull over the transform alias re-evaluates
+    # the normalize inside an interpreted filter; +1.1 s measured).
     rows = (
-        df.select(array_l2_normalize(vec_col).alias("__v"))
-        .filter(F.col("__v").isNotNull())
+        df.filter(F.col(vec_col).isNotNull())
+        .select(array_l2_normalize(vec_col).alias("__v"))
         .limit(max_fit_rows)
         .collect()
     )
@@ -1155,14 +1187,7 @@ def pq_fit_codebooks(
         for _ in range(max_iter):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
-            moved = False
-            for t in range(k):
-                members = sub[assign == t]
-                if len(members):
-                    new_c = members.mean(axis=0)
-                    if not np.allclose(new_c, cent[t]):
-                        cent[t] = new_c
-                        moved = True
+            cent, moved = _lloyd_update(sub, assign, cent)
             if not moved:
                 break
         books.append([[float(v) for v in c] for c in cent])
