@@ -735,6 +735,119 @@ def hamming_distance(a: Column | str, b: Column | str) -> Column:
     return F.bit_count(ca.bitwiseXOR(cb))
 
 
+def _bit_permutation(bits: int, seed: int) -> list[int]:
+    """Deterministic Fisher-Yates permutation of bit positions (seeded LCG,
+    no global RNG — the gen_sf cipher pattern). Shared by
+    ``hamming_band_pairs`` and the SQL-twin generators so both engines
+    scatter identically."""
+    state = seed % (2**31) or 1
+
+    def lcg() -> int:
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (2**31)
+        return state
+
+    perm = list(range(bits))
+    for k in range(bits - 1, 0, -1):
+        j = lcg() % (k + 1)
+        perm[k], perm[j] = perm[j], perm[k]
+    return perm
+
+
+def hamming_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    bits: int = 63,
+    bands: int = 4,
+    max_dist: int | None = None,
+    scatter_seed: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs over ANY int64 fingerprint column (simhash, image
+    phash, audio fingerprint): ``(id_a, id_b, dist)``.
+
+    LSH-style bit-slice banding: the ``bits``-bit hash splits into
+    ``bands`` contiguous slices; two rows are candidates iff SOME slice
+    matches exactly (pigeonhole: every pair with hamming distance
+    ``< bands`` shares at least one untouched slice, so recall is TOTAL
+    for ``max_dist <= bands - 1`` and decays gracefully above). Candidates
+    are verified with the exact popcount; ``max_dist=None`` returns all
+    candidates with their distances.
+
+    Scale: the self-join moves only fixed-width ``(band_idx int, band_val
+    bigint)`` keys plus two 8-byte hashes — never payloads or text (the n5
+    packed-band-key lesson). Work is sum over buckets of |bucket|^2, linear
+    while buckets stay bounded; EXACT-duplicate floods (identical hashes)
+    are the one quadratic risk, so run exact dedup (n1) upstream first —
+    the same ordering RefinedWeb uses (URL/exact dedup before fuzzy).
+
+    ``scatter_seed``: when set, bit POSITIONS are permuted (deterministic
+    seeded Fisher-Yates) before slicing into bands. A bit permutation
+    preserves hamming distance exactly, so the pigeonhole recall guarantee
+    is untouched — but each band becomes a scattered bit sample instead
+    of a contiguous window. Fingerprints with LOCALLY-CORRELATED bits
+    (dHash gradients of structured content: alternating text patterns, sky
+    gradients in photos) collide wholesale on contiguous windows — mm4
+    measured 142k candidate pairs over 5100 images contiguous vs 4.3k
+    scattered, identical dup recall. md5-derived fingerprints (simhash)
+    have uniform bits and don't need it.
+    """
+    if not 1 <= bands <= bits:
+        raise ValueError("bands must be in [1, bits]")
+    width = (bits + bands - 1) // bands
+    if scatter_seed is not None:
+        perm = _bit_permutation(bits, scatter_seed)
+        one = F.lit(1).cast("bigint")
+
+        def band_val(b: int) -> Column:
+            v = F.lit(0).cast("bigint")
+            for j, p in enumerate(perm[b * width : (b + 1) * width]):
+                v = v + F.shiftleft(
+                    F.shiftright(F.col(hash_col), p).bitwiseAND(one), j
+                )
+            return v
+
+        vals = F.array(*[band_val(b) for b in range(bands)])
+    else:
+        mask = F.lit((1 << width) - 1).cast("bigint")
+        vals = F.array(
+            *[
+                F.shiftright(F.col(hash_col), b * width).bitwiseAND(mask)
+                for b in range(bands)
+            ]
+        )
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
+        F.posexplode(vals).alias("__b", "__v"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__v") == F.col("b.__v"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__h").alias("__ha"),
+            F.col("b.__h").alias("__hb"),
+        )
+        .distinct()
+        .select(
+            "id_a",
+            "id_b",
+            hamming_distance(F.col("__ha"), F.col("__hb")).alias("dist"),
+        )
+    )
+    if max_dist is not None:
+        pairs = pairs.filter(F.col("dist") <= max_dist)
+    return pairs
+
+
 def editdist_block_key(
     text_col: str, *, block_tokens: int = 2, length_band: int = 16
 ) -> Column:

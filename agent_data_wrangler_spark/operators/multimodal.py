@@ -41,14 +41,21 @@ from agent_data_wrangler_spark.operators.pandas_ops import map_batches
 
 
 def _parse_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
-    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 array)."""
-    parts = payload.split(maxsplit=4)
-    if len(parts) < 5 or parts[0] != b"P6":
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 array).
+
+    The raster starts after EXACTLY ONE whitespace byte following maxval
+    (the P6 spec) — a whitespace-run split would eat leading pixel bytes
+    that happen to be '\\n' or ' ' (found by mm4's gradient test images;
+    any document whose first sanitized char is a space hits the same)."""
+    import re
+
+    m = re.match(rb"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s", payload)
+    if not m:
         raise ValueError("not a P6 PPM payload")
-    width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    width, height, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError("only 8-bit PPM supported")
-    raw = parts[4]
+    raw = payload[m.end() :]
     pixels = np.frombuffer(raw[: width * height * 3], dtype=np.uint8)
     return width, height, pixels.reshape(height, width, 3)
 
@@ -125,6 +132,56 @@ def resize_images(
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     return map_batches(df, run, "id bigint, payload binary")
+
+
+def image_phash(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    fmt: str = "ppm",
+    rows: int = 8,
+    cols: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: ``(id, phash bigint)``.
+
+    The standard visual near-dup fingerprint (every production multimodal
+    pipeline dedups images before training): decode → integer grayscale
+    ``(r+g+b)//3`` → nearest-neighbour resize to ``rows x (cols+1)`` →
+    horizontal-gradient bits ``g[r][c+1] > g[r][c]`` packed row-major, low
+    bit first. 63 bits (the last gradient dropped) so the value stays a
+    signed int64 under ANSI mode — the same convention as
+    ``dedup.simhash``. Gradient bits survive brightness/contrast shifts
+    and low-order pixel noise, which is exactly what byte-level exact
+    hashing misses.
+
+    All-integer math end-to-end, so an engine-independent oracle can
+    recompute the hash exactly (mm4's DuckDB twin does, from the
+    constructed payload bytes).
+
+    Scale: scan-stage mapInPandas (Arrow batches, vectorized numpy per
+    image), no shuffle; the 8-byte fingerprint is what downstream
+    band-joins move — never the payload. Pair generation belongs to
+    ``dedup.hamming_band_pairs``.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bits = min(63, rows * cols)
+        powers = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = _decode_any_image(bytes(payload), fmt)
+                gray = px.astype(np.int64).sum(axis=2) // 3
+                ys = (np.arange(rows) * h // rows).clip(0, h - 1)
+                xs = (np.arange(cols + 1) * w // (cols + 1)).clip(0, w - 1)
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).reshape(-1)[:n_bits]
+                hashes.append(int(bits.astype(np.uint64) @ powers))
+                ids.append(int(rid))
+            yield pd.DataFrame({"id": ids, "phash": hashes})
+
+    return map_batches(df, run, "id bigint, phash bigint")
 
 
 # ---------------------------------------------------------------------------

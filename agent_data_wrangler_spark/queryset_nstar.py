@@ -969,6 +969,151 @@ def mm1_image_features_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# MM4 — image NEAR-dup via perceptual hash (dHash), the visual twin of the
+# text near-dup tier: every production multimodal pipeline dedups images
+# before training (byte-exact hashing misses re-encodes and low-order
+# noise; the gradient hash doesn't). Images are the mm1 construction
+# scaled to the hash grid: a 9x8 PPM whose pixel bytes are the doc's
+# first 216 sanitized chars (9x8 so the dHash resize is the identity and
+# ALL 63 gradient bits carry signal — a 4x4 source left only ~12
+# informative bits and the band join degenerated toward all-pairs: 94k
+# candidate pairs over 510 images, measured before this sizing), PLUS a
+# planted perturbed copy of every 50th doc (first payload byte +1 — a
+# low-order pixel change that moves at most 1 of the 63 gradient bits, so
+# every planted pair sits within tau and inside the bands=4 pigeonhole
+# guarantee). Bands use SCATTERED bit samples (scatter_seed — a fixed bit
+# permutation, hamming-preserving so the guarantee holds): dHash bits of
+# text-structured pixels alternate, and contiguous 16-bit windows collided
+# wholesale (142k candidates over 5100 images vs 4.3k scattered, same
+# recall). Operators: multimodal.image_phash (integer dHash over
+# mapInPandas) + dedup.hamming_band_pairs (generic int64-fingerprint band
+# join). FULL twin: the hash is all-integer math, so DuckDB recomputes
+# every phash, the band join, the popcounts, and the planted-catch account
+# from scratch — no verdict constants.
+#
+# Scale: phash is a scan-stage Arrow pass (8-byte outputs, payloads never
+# shuffle); the band join moves fixed-width (band, val) keys — the n5
+# shape. Exact-dup image floods are the quadratic risk; run n1-style exact
+# dedup upstream (the RefinedWeb ordering).
+# ---------------------------------------------------------------------------
+_MM4_TAU = 8
+_MM4_PLANT_EVERY = 50
+_MM4_OFFSET = 10_000_000
+_MM4_SCATTER_SEED = 1234567
+
+
+def _mm4_bands_sql() -> str:
+    """The DuckDB twin of hamming_band_pairs' scattered banding: band b's
+    value assembles the same permuted bit sample, built from the SAME
+    Python permutation the Spark side uses (one source of truth)."""
+    from agent_data_wrangler_spark.operators.dedup import _bit_permutation
+
+    perm = _bit_permutation(63, _MM4_SCATTER_SEED)
+    parts = []
+    for b in range(4):
+        sel = perm[b * 16 : (b + 1) * 16]
+        expr = " + ".join(
+            f"(((phash >> {p}) & 1) << {j})" for j, p in enumerate(sel)
+        )
+        parts.append(f"SELECT id, phash, {b} AS b, ({expr}) AS v FROM ph")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "mm4_image_neardup_documents",
+    oracle=rf"""
+    WITH s0 AS (
+      SELECT doc_id AS id,
+             substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 216) AS t
+      FROM documents
+    ), s AS (
+      -- wrap-pad with the text itself: space-padding zeroed every gradient
+      -- in short docs' tails and the shared all-zero high bands degenerated
+      -- the band join toward all-pairs (151/500 docs are < 216 chars)
+      SELECT id, rpad(t, 216, t || ' ') AS px FROM s0
+    ), planted AS (
+      SELECT id + {_MM4_OFFSET} AS id,
+             chr(ord(px) + 1) || substr(px, 2, 215) AS px
+      FROM s WHERE id % {_MM4_PLANT_EVERY} = 0
+    ), allimg AS (
+      SELECT * FROM s UNION ALL SELECT * FROM planted
+    ), g AS (
+      SELECT id, list_transform(generate_series(0, 71), p ->
+               (ord(substr(px, 3*p + 1, 1)) + ord(substr(px, 3*p + 2, 1))
+                + ord(substr(px, 3*p + 3, 1))) // 3) AS gray
+      FROM allimg
+    ), ph AS (
+      SELECT id, CAST(list_sum(list_transform(generate_series(0, 62), k ->
+               CASE WHEN gray[(k // 8) * 9 + (k % 8) + 2]
+                       > gray[(k // 8) * 9 + (k % 8) + 1]
+                    THEN 1::BIGINT << k ELSE 0 END)) AS BIGINT) AS phash
+      FROM g
+    ), bands AS (
+      {_mm4_bands_sql()}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.phash AS ha, b.phash AS hb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.id < b.id
+    ), pairs AS (
+      SELECT id_a, id_b, bit_count(xor(ha, hb)) AS dist FROM cand
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM allimg) AS n_images,
+           (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(CASE WHEN dist <= {_MM4_TAU} THEN 1 END) AS BIGINT) AS n_dup_pairs,
+           CAST(count(CASE WHEN dist <= {_MM4_TAU}
+                            AND id_b - id_a = {_MM4_OFFSET} THEN 1 END) AS BIGINT)
+             AS n_planted_caught
+    FROM pairs
+    """,
+)
+def mm4_image_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import dedup
+    from agent_data_wrangler_spark.operators.multimodal import image_phash
+
+    d = read_table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", " ")
+    # wrap-pad with the text itself (see the oracle comment: space-padding
+    # gave short docs shared all-zero high bands — an all-pairs clique)
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.substring(ascii_text, 1, 216).alias("__t"),
+    ).select(
+        "id", F.expr("rpad(__t, 216, concat(__t, ' '))").alias("__px")
+    )
+    # planted near-dup: first payload byte +1 (px is never empty — padded)
+    planted = base.filter(F.col("id") % _MM4_PLANT_EVERY == 0).select(
+        (F.col("id") + _MM4_OFFSET).alias("id"),
+        F.concat(
+            F.expr("char(ascii(__px) + 1)"), F.substring("__px", 2, 215)
+        ).alias("__px"),
+    )
+    allimg = base.unionByName(planted)
+    header = F.encode(F.lit("P6\n9 8\n255\n"), "utf-8")
+    media = allimg.select(
+        "id", F.concat(header, F.encode(F.col("__px"), "utf-8")).alias("payload")
+    )
+    ph = image_phash(media)
+    pairs = dedup.hamming_band_pairs(
+        ph, "id", "phash", bits=63, bands=4, scatter_seed=_MM4_SCATTER_SEED
+    )
+    img_acct = allimg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.count(F.when(F.col("id") >= _MM4_OFFSET, 1)).cast("bigint").alias("n_planted"),
+    )
+    dup = F.col("dist") <= _MM4_TAU
+    pair_acct = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.count(F.when(dup, 1)).cast("bigint").alias("n_dup_pairs"),
+        F.count(
+            F.when(dup & (F.col("id_b") - F.col("id_a") == _MM4_OFFSET), 1)
+        ).cast("bigint").alias("n_planted_caught"),
+    )
+    return img_acct.crossJoin(pair_acct).select(
+        "n_images", "n_planted", "n_candidate_pairs", "n_dup_pairs", "n_planted_caught"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST4 — stream-static enrichment join: the staged events stream joined to the
 # customer dimension (broadcast; stateless — no state store), then a
 # watermarked daily-window aggregate per market segment, drained and rolled

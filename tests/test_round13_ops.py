@@ -123,6 +123,121 @@ def test_ur1_url_formula_pinned_across_implementations(spark, sf_dir):
     assert all(u == synth(i) for i, u in spark_urls.items())
 
 
+# ---------------------------------------------------------------------------
+# mm4 surface — image perceptual hash + generic hamming band pairs
+# ---------------------------------------------------------------------------
+
+
+def _phash_of(spark, payloads):
+    from agent_data_wrangler_spark.operators.multimodal import image_phash
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, payload binary",
+    )
+    return {r["id"]: r["phash"] for r in image_phash(df).collect()}
+
+
+def _ppm(pixels):
+    import numpy as np
+
+    from agent_data_wrangler_spark.operators.multimodal import encode_ppm
+
+    return encode_ppm(np.asarray(pixels, dtype=np.uint8))
+
+
+def test_image_phash_known_gradient(spark):
+    """A 9x8 image whose gray strictly increases left-to-right sets every
+    gradient bit -> phash == 2^63 - 1; flat image -> 0."""
+    import numpy as np
+
+    inc = np.zeros((8, 9, 3), dtype=np.uint8)
+    for c in range(9):
+        inc[:, c, :] = 10 + 20 * c
+    flat = np.full((8, 9, 3), 77, dtype=np.uint8)
+    hashes = _phash_of(spark, [_ppm(inc), _ppm(flat)])
+    assert hashes[0] == (1 << 63) - 1
+    assert hashes[1] == 0
+
+
+def test_image_phash_resize_matches_numpy_reference(spark):
+    """Non-native sizes go through the nearest-neighbour resize; pin the
+    index math against an independent numpy recomputation."""
+    import numpy as np
+
+    rng = [(r * 31 + c * 17) % 251 for r in range(6) for c in range(11)]
+    px = np.array(rng, dtype=np.uint8).reshape(6, 11, 1).repeat(3, axis=2)
+    got = _phash_of(spark, [_ppm(px)])[0]
+    gray = px.astype(np.int64).sum(axis=2) // 3
+    ys = (np.arange(8) * 6 // 8).clip(0, 5)
+    xs = (np.arange(9) * 11 // 9).clip(0, 10)
+    g = gray[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)[:63]
+    want = int(sum(int(b) << k for k, b in enumerate(bits)))
+    assert got == want
+
+
+def test_image_phash_low_order_noise_stays_near(spark):
+    """+1 on one pixel byte moves at most the gradients touching that cell
+    — the property mm4's planted pairs rely on."""
+    import numpy as np
+
+    base = np.array(
+        [[(r * 13 + c * 29) % 199 for c in range(9)] for r in range(8)],
+        dtype=np.uint8,
+    )[..., None].repeat(3, axis=2)
+    pert = base.copy()
+    pert[0, 0, 0] = pert[0, 0, 0] + 1
+    h = _phash_of(spark, [_ppm(base), _ppm(pert)])
+    dist = bin(h[0] ^ h[1]).count("1")
+    assert dist <= 1
+
+
+def test_hamming_band_pairs_pigeonhole_and_filter(spark):
+    from agent_data_wrangler_spark.operators import dedup
+
+    rows = [
+        (1, 0b101010),
+        (2, 0b101011),          # dist 1 from id 1
+        (3, 0b101010 ^ 0b111),  # dist 3 from id 1
+        (4, (1 << 60) - 1),     # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.hamming_band_pairs(df, "id", "h", bits=63, bands=4).collect()
+    }
+    # pigeonhole: every pair with dist < bands MUST be present
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 3 and got[(2, 3)] == 2
+    filt = dedup.hamming_band_pairs(
+        df, "id", "h", bits=63, bands=4, max_dist=1
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in filt} == {(1, 2)}
+
+
+def test_hamming_band_pairs_scatter_preserves_recall(spark):
+    """The scattered variant must still catch every pair with dist < bands
+    (a bit permutation preserves hamming distance)."""
+    from agent_data_wrangler_spark.operators import dedup
+
+    rows = [(1, 0x5A5A5A5A5A5A5A5), (2, 0x5A5A5A5A5A5A5A5 ^ 0b10000001)]
+    df = spark.createDataFrame(rows, "id long, h long")
+    for seed in (1234567, 42, 7):
+        got = dedup.hamming_band_pairs(
+            df, "id", "h", bits=63, bands=4, scatter_seed=seed
+        ).collect()
+        assert len(got) == 1 and got[0]["dist"] == 2, seed
+
+
+def test_mm4_planted_recall(spark, sf_dir):
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES
+
+    row = QUERIES["mm4_image_neardup_documents"](spark, sf_dir).collect()[0]
+    assert row["n_planted"] > 0
+    assert row["n_planted_caught"] == row["n_planted"]
+    assert row["n_dup_pairs"] >= row["n_planted"]
+
+
 def test_gen_sf_emits_url_column_matching_formula(tmp_path):
     import subprocess
     import sys
