@@ -3467,6 +3467,190 @@ def bp2_bpe_merge_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# BP3 — the FULL BPE training loop (bp1 = one fit step, bp2 = one apply
+# step; bp3 iterates fit→apply N=8 times — actual tokenizer training,
+# Sennrich et al. 2016). Words are PREFIX-MARKED symbol strings (every
+# symbol preceded by US \x1f): bp2's separator-joined form is sound only
+# while symbols are single characters — once symbols grow, a plain
+# replace of 'a<US>b' can fire where 'a' is the SUFFIX of a longer symbol
+# ('xa<US>b' contains 'a<US>b'). With a prefix marker the pattern
+# '<US>a<US>b' can never start mid-symbol (US appears only at symbol
+# starts and never inside content), and adjacent occurrences don't share
+# sentinel bytes, so one left-to-right replace merges every
+# non-overlapping occurrence in the pass — exactly BPE's merge rule
+# ('aaaa' -> ['aa','aa'] in one step).
+#
+# The driver loop collects ONE row per iteration (the top pair — the
+# pagerank cadence: a bounded action that parameterizes the next
+# iteration's codegen replace) and persist/unpersists the symbol frame in
+# a rolling pair — persist rather than localCheckpoint because the loop
+# has no broadcast subtree that would re-execute the prefix (the r08
+# lesson that forces checkpoints elsewhere), and checkpoint blocks can't
+# be released (8 corpus-sized leaks per invocation); the symbol-count
+# action doubles as the next frame's materializer, so every scan reads
+# the previous iteration's cache, never the lineage. Per-iteration cost:
+# one explode→partial-agg→TakeOrdered pair count + one scan-stage replace
+# — 2 linear passes x 8, the shape a 100 TB tokenizer fit has (the pair
+# alphabet stays tiny, so every aggregate collapses map-side).
+#
+# Oracle: the ENTIRE 8-step chain unrolled as CTEs (p1/j1..p8/j8),
+# generated from the same constant — DuckDB re-derives every top pair and
+# every merged corpus from scratch; the output is the merge TABLE (step,
+# sym_a, sym_b, n_symbols_after), i.e. the trained vocabulary artifact.
+# ---------------------------------------------------------------------------
+_BP3_MERGES = 8
+
+
+def _bp3_oracle_sql() -> str:
+    us = "chr(31)"
+    # AS MATERIALIZED on every chain CTE: each j{{i}} is referenced three
+    # times (p{{i+1}}, j{{i+1}}, the final row) — inlined expansion of the
+    # 8-step chain is EXPONENTIAL (3^8 scans) and times out; materialized,
+    # the oracle is 8 linear passes like the engine.
+    parts = [
+        f"WITH toks AS MATERIALIZED (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents), "
+        f"j0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', {us} || '\\1', 'g') AS j "
+        "FROM toks WHERE length(tok) > 0)"
+    ]
+    for i in range(1, _BP3_MERGES + 1):
+        prev = f"j{i - 1}"
+        parts.append(
+            f""", p{i} AS MATERIALIZED (
+      SELECT pair FROM (
+        SELECT syms[k] || {us} || syms[k + 1] AS pair, count(*) AS cnt
+        FROM (SELECT list_filter(string_split(j, {us}), x -> x <> '') AS syms
+              FROM {prev}),
+             LATERAL unnest(generate_series(1, len(syms) - 1)) AS t(k)
+        GROUP BY 1
+      ) ORDER BY cnt DESC, pair ASC LIMIT 1
+    ), j{i} AS MATERIALIZED (
+      SELECT replace(j, {us} || (SELECT pair FROM p{i}),
+                     {us} || replace((SELECT pair FROM p{i}), {us}, '')) AS j
+      FROM {prev}
+    )"""
+        )
+    rows = [
+        f"""SELECT {i} AS step,
+           (SELECT string_split(pair, {us})[1] FROM p{i}) AS sym_a,
+           (SELECT string_split(pair, {us})[2] FROM p{i}) AS sym_b,
+           (SELECT CAST(sum(length(j) - length(replace(j, {us}, '')))
+                   AS BIGINT) FROM j{i}) AS n_symbols_after"""
+        for i in range(1, _BP3_MERGES + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(rows)
+
+
+def _bp3_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UN-checkpointed prefix-marked symbol frame (one row per word)."""
+    from agent_data_wrangler_spark.functions.text import tokens as _tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .select(F.regexp_replace("tok", "(.)", "\x1f$1").alias("j"))
+    )
+
+
+def _bp3_pair_counts(j: DataFrame) -> DataFrame:
+    """One fit-step scan: per-pair adjacent-symbol counts (the |vocab|²-
+    bounded frame both the top-1 and the corpus pair total read). Symbol
+    arrays are BOUND as a projected column before the pair transform (the
+    qz1 lesson — lambdas inline referenced expressions per element)."""
+    us = "\x1f"
+    # j always starts with the marker and content never contains it, so
+    # splitting the tail substring yields the symbols directly — ~15%
+    # cheaper than filtering the leading '' out of a full split (measured
+    # 1.1 -> 0.9 s/scan at sf0.1).
+    ss = j.select(F.split(F.expr("substring(j, 2)"), us).alias("syms"))
+    syms = F.col("syms")
+    n = F.size(syms)
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda k: F.concat(
+                F.element_at(syms, k), F.lit(us), F.element_at(syms, k + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        ss.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _bp3_top_pair(j: DataFrame) -> DataFrame:
+    """The most frequent adjacent symbol pair (count desc, pair asc — the
+    deterministic boundary both engines share)."""
+    return (
+        _bp3_pair_counts(j)
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(1)
+        .select("pair")
+    )
+
+
+@query("bp3_bpe_train_documents", oracle=_bp3_oracle_sql())
+def bp3_bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    us = "\x1f"
+    # n_symbols(word) = n_pairs(word) + 1 and words never vanish, so the
+    # corpus symbol count after step i equals (total pair count of j_i) +
+    # n_words — step i's count therefore falls out of step i+1's fit scan
+    # for free, and only the 8th merge pays a dedicated count job: 9 corpus
+    # scans instead of 16.
+    j = _bp3_base(spark, sf_dir).persist()
+    n_words = j.count()
+    out_rows: list[tuple[int, str, str, int]] = []
+    pending: tuple[int, str, str] | None = None
+    released = None
+    try:
+        for step in range(1, _BP3_MERGES + 1):
+            pc = _bp3_pair_counts(j).persist()
+            total_pairs = pc.agg(
+                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("t")
+            ).collect()[0]["t"]
+            # that action materialized pc from j (and j itself on its first
+            # read) — the previous iteration's frame is now releasable
+            if released is not None:
+                released.unpersist()
+            if pending is not None:
+                out_rows.append((*pending, int(total_pairs) + n_words))
+            top = (
+                pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            pc.unpersist()
+            if not top:
+                raise ValueError("bp3: no adjacent symbol pairs to merge")
+            pair = top[0]["pair"]
+            a, b = pair.split(us)
+            pending = (step, a, b)
+            nxt = j.select(
+                F.replace(
+                    F.col("j"), F.lit(us + pair), F.lit(us + pair.replace(us, ""))
+                ).alias("j")
+            ).persist()
+            released, j = j, nxt
+        n_final = j.agg(
+            F.sum(
+                F.length("j") - F.length(F.replace(F.col("j"), F.lit(us), F.lit("")))
+            ).cast("bigint").alias("n")
+        ).collect()[0]["n"]
+        if released is not None:
+            released.unpersist()
+        assert pending is not None
+        out_rows.append((*pending, int(n_final)))
+    finally:
+        j.unpersist()
+    return spark.createDataFrame(
+        out_rows, "step int, sym_a string, sym_b string, n_symbols_after bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST8 — streaming ingestion with in-stream dead-letter routing (the
 # streaming twin of cq1): the planted-corruption CSV is consumed as a
 # text file-source stream, parsed per micro-batch with from_csv in

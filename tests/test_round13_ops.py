@@ -238,6 +238,62 @@ def test_mm4_planted_recall(spark, sf_dir):
     assert row["n_dup_pairs"] >= row["n_planted"]
 
 
+# ---------------------------------------------------------------------------
+# bp3 — iterated BPE merge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_bp3_prefix_marker_merge_is_sound(spark):
+    """The prefix-marked merge must (a) merge all non-overlapping adjacent
+    occurrences in one pass ('aaaa' -> ['aa','aa']) and (b) never fire when
+    the left element is only the SUFFIX of a longer symbol — the case that
+    breaks bp2's separator-joined form once symbols grow."""
+    from pyspark.sql import functions as F
+
+    us = "\x1f"
+    # symbols: ['xa','b'] and ['a','b'] — pair ('a','b') must merge only the
+    # second; symbols ['a','a','a','a'] must become ['aa','aa']
+    rows = [(us + "xa" + us + "b",), (us + "a" + us + "b",), (us + "a" + us + "a" + us + "a" + us + "a",)]
+    df = spark.createDataFrame(rows, "j string")
+    pair = "a" + us + "b"
+    merged = df.select(
+        F.replace(F.col("j"), F.lit(us + pair), F.lit(us + "ab")).alias("j")
+    ).collect()
+    assert merged[0]["j"] == us + "xa" + us + "b"          # untouched
+    assert merged[1]["j"] == us + "ab"                      # merged
+    pair2 = "a" + us + "a"
+    m2 = df.select(
+        F.replace(F.col("j"), F.lit(us + pair2), F.lit(us + "aa")).alias("j")
+    ).collect()
+    assert m2[2]["j"] == us + "aa" + us + "aa"              # both pairs, one pass
+
+
+def test_bp3_top_pair_plan_shape(spark, sf_dir):
+    """The fit step's working plan: partial-aggregated explode feeding
+    TakeOrderedAndProject — no global sort, no cartesian."""
+    from agent_data_wrangler_spark.queryset_nstar import _bp3_base, _bp3_top_pair
+
+    top = _bp3_top_pair(_bp3_base(spark, sf_dir))
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert top.collect()[0]["pair"].count("\x1f") == 1
+
+
+def test_bp3_merges_monotone_and_multichar(spark, sf_dir):
+    """Eight merges: symbol counts strictly decrease; the merge table is
+    the vocabulary artifact (later steps may merge multi-char symbols)."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES
+
+    rows = sorted(
+        QUERIES["bp3_bpe_train_documents"](spark, sf_dir).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == list(range(1, 9))
+    counts = [r["n_symbols_after"] for r in rows]
+    assert all(a > b for a, b in zip(counts, counts[1:]))
+
+
 def test_gen_sf_emits_url_column_matching_formula(tmp_path):
     import subprocess
     import sys
