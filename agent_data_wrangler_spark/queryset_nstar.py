@@ -4859,6 +4859,35 @@ _SD1_TAU = 0.95
     """,
 )
 def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sd1_account(spark, sf_dir, probes=1)
+
+
+def _sd1_account(
+    spark: SparkSession, sf_dir: str, *, probes: int = 1, plant: str = "exact"
+) -> DataFrame:
+    """The sd1 dedup account, parameterized for the multi-probe trade
+    study (the sd2 lever wired into sd1's staged-layout path):
+
+    ``probes=1`` (the registered sd1 default): each row deduplicates
+    within its STORED layout list — zero assignment work in steady state.
+    ``probes>=2``: every row joins under its ``probes`` nearest lists
+    (``ivf_assign_multi``), closing the cross-cluster blind spot sd2
+    measures (9/25 boundary pairs at sf0.01) at the cost of re-running
+    the assignment matmul over the corpus (the exact thing the staged
+    layout amortizes away) plus ~probes× join fan-in. Measured r13
+    (NOTES_r13 table; min-of-2, warm): exact-copy recall is already
+    25/25 single-probe; with sd2-style boundary plants the catch rises
+    21→25/25 at sf0.01 (1.40→1.77 s), 22→25/25 at sf0.1 (1.43→1.72 s),
+    20→25/25 at sf1 (3.15→4.47 s, atop 18 000 natural replica dups
+    both settings remove identically). Single-probe stays the default:
+    sd1's contract (exact/near-exact dup removal) is met without the
+    matmul, and the +20-40% wall buys only boundary-pair recall —
+    multi-probe is the knob for recall-critical runs.
+
+    ``plant="near"`` swaps the exact-copy plants for sd2's boundary
+    plants (v' = v + 0.05·QUERY_VEC) — measurement only; the registered
+    query keeps exact plants and its oracle.
+    """
     from agent_data_wrangler_spark.functions.vectors import dot_product, l2_norm
     from agent_data_wrangler_spark.operators.similarity import (
         _read_layout,
@@ -4880,19 +4909,46 @@ def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     # array fold per pair instead of three (the similarity_join_lsh lesson).
     path = _staged_ivf_dedup(spark, sf_dir)
     meta = read_index_meta(path)
-    assigned_base = _read_layout(spark, path, meta).select(
-        "__list", "vec_id", "embedding"
-    )
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = e.orderBy("vec_id").limit(_SD1_PLANT)
-    planted = base.select(
-        (F.col("vec_id") + F.lit(_SD1_OFFSET)).alias("vec_id"), "embedding"
-    ).withColumn(
-        # Same centroids, same deterministic ivf_assign expression the
-        # layout writer used — an exact copy provably lands in its
-        # original's list, which is what planted_removed_ok asserts.
-        "__list", similarity.ivf_assign("embedding", meta["centroids"])
-    ).select("__list", "vec_id", "embedding")
+    if plant == "exact":
+        planted_rows = base.select(
+            (F.col("vec_id") + F.lit(_SD1_OFFSET)).alias("vec_id"), "embedding"
+        )
+    else:  # boundary plants — the sd2 scheme
+        qv = F.array(*[F.lit(float(v)) for v in QUERY_VEC])
+        planted_rows = base.select(
+            (F.col("vec_id") + F.lit(_SD1_OFFSET)).alias("vec_id"),
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                qv,
+                lambda x, q: x + F.lit(0.05) * q,
+            ).alias("embedding"),
+        )
+    if probes <= 1:
+        assigned_base = _read_layout(spark, path, meta).select(
+            "__list", "vec_id", "embedding"
+        )
+        planted = planted_rows.withColumn(
+            # Same centroids, same deterministic ivf_assign expression the
+            # layout writer used — an exact copy provably lands in its
+            # original's list, which is what planted_removed_ok asserts.
+            "__list", similarity.ivf_assign("embedding", meta["centroids"])
+        ).select("__list", "vec_id", "embedding")
+    else:
+        multi = lambda df: df.select(  # noqa: E731
+            F.explode(
+                similarity.ivf_assign_multi(
+                    "embedding", meta["centroids"], nprobe=probes
+                )
+            ).alias("__list"),
+            "vec_id",
+            "embedding",
+        )
+        assigned_base = multi(
+            _read_layout(spark, path, meta).select("vec_id", "embedding")
+        )
+        planted = multi(planted_rows)
     # No persist: both self-join sides re-read the columnar layout, which is
     # strictly cheaper than re-running the assignment matmul (the thing the
     # old persist existed to avoid) and leaves no cache to tear down.
@@ -4920,7 +4976,11 @@ def sd1_semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
     return (
-        assigned.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        # count_distinct, not count: under probes>=2 a row appears once per
+        # probe list (probes=1 is 1:1, same value either way)
+        assigned.agg(
+            F.count_distinct(F.col("vec_id")).cast("bigint").alias("n_total")
+        )
         .crossJoin(
             removed.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_removed"),
@@ -5432,10 +5492,24 @@ def _li1_oracle() -> str:
     """
 
 
-def _li1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _li1_frames(
+    spark: SparkSession, sf_dir: str, cache: str = "none"
+) -> tuple[DataFrame, DataFrame]:
     """li1's UN-checkpointed result plus the persisted profile frame —
     split out so tests/test_plan_shapes.py can pin the WORKING plan (the
-    registry wrapper localCheckpoints, so PLANS.md shows a flat scan)."""
+    registry wrapper localCheckpoints, so PLANS.md shows a flat scan).
+
+    ``cache`` is the r13 second-scan trade study (NOTES_r13 §9): "none"
+    re-derives the gram pipeline per consumer, "grams" persists the
+    corpus-sized exploded gram frame, "dp" persists the bounded
+    (<= K_DOC rows/doc) eval rank frame that ng and cand otherwise each
+    re-derive. Measured isolated at sf1/sf10 (fresh JVM, min-of-2):
+    none 33.3/50.1 s, dp 35.0/53.4 s, grams 51.9/77.4 s — "none" STAYS
+    the default (the split filter pushes below the explode, so the two
+    split-side derivations together cost one corpus pass; caching the
+    gram frame trades that for a corpus-sized cache write, +55%). The
+    caller is responsible for unpersisting the returned profile frame;
+    "grams"/"dp" exist for the measurement harness."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -5466,6 +5540,8 @@ def _li1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             )
         ).alias("gram"),
     )
+    if cache == "grams":
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     # Language profiles: |langs| x K_LANG rows — vocabulary-bounded, fit once
     # on the train split, broadcast into the distance join. Persisted because
     # the frame feeds THREE consumers (distance join, distinct-langs grid,
@@ -5500,6 +5576,8 @@ def _li1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         .filter(F.col("rdoc") <= _LI1_K_DOC)
         .select("doc_id", "gram", "rdoc")
     )
+    if cache == "dp":
+        dp = dp.persist(StorageLevel.MEMORY_AND_DISK)
     ng = dp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"))
     cand = (
         dp.join(F.broadcast(lp), "gram")

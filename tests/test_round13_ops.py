@@ -239,6 +239,31 @@ def test_mm4_planted_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sd1 multi-probe opt-in (the sd2 lever wired into the staged-layout path)
+# ---------------------------------------------------------------------------
+
+
+def test_sd1_multiprobe_dominates_single_probe(spark, sf_dir):
+    """probes=2 may only ADD recall (every single-probe pair still shares
+    its primary list), and exact-copy plants are caught under both."""
+    from agent_data_wrangler_spark.queryset_nstar import _sd1_account
+
+    accounts = {}
+    for plant in ("exact", "near"):
+        for p in (1, 2):
+            accounts[(plant, p)] = _sd1_account(
+                spark, sf_dir, probes=p, plant=plant
+            ).collect()[0]
+    for plant in ("exact", "near"):
+        assert (
+            accounts[(plant, 2)]["n_removed"] >= accounts[(plant, 1)]["n_removed"]
+        )
+        assert accounts[(plant, 2)]["n_total"] == accounts[(plant, 1)]["n_total"]
+    assert accounts[("exact", 1)]["planted_removed_ok"] is True
+    assert accounts[("exact", 2)]["planted_removed_ok"] is True
+
+
+# ---------------------------------------------------------------------------
 # bp3 — iterated BPE merge semantics
 # ---------------------------------------------------------------------------
 
