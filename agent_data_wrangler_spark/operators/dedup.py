@@ -1096,15 +1096,27 @@ def near_dup_pairs_prefix(
     so hot shingles (the skew and fan-out killers) are excluded from join
     keys by construction instead of by a lossy ``max_shingle_df`` cap.
     Measured on sf0.1 documents at t=0.6: 1.13M candidate pairs through the
-    full inverted join vs 201k through prefixes (5.6x; the synthetic corpus
+    full inverted join vs ~200k through prefixes (5.6x; the synthetic corpus
     is tiny-vocab, so even rare shingles are shared — on a real web-scale
     vocabulary the prefix cut is far larger), and the POSITIONAL filter
-    (see inline comment) drops those 201k to 66k (3.0x again) before the
+    (see inline comment) drops those ~3x again before the
     dominant exact-verify join — identical final pairs at every stage.
-    Shuffles: one on shingle (df counts), one on shingle (df join),
-    one on doc id (prefix rebuild), one on prefix shingle (candidates), then
-    the verify joins on doc id — every exchange carries ids/counts/shingle
-    strings, never document text.
+
+    The ENTIRE candidate path runs on ``xxhash64`` shingle keys, never the
+    shingle strings (the n5 packed-band-key lesson, applied here in r13
+    after lk1's sf30 probe spilled the string exchanges past the local
+    disk): every shuffle — df count, df join, prefix rebuild, candidate
+    self-join — moves 8-byte hashes instead of ~25-byte k-gram text, and
+    the global prefix order becomes (df, hash), which is just as valid a
+    total order as (df, string). Completeness is untouched: equal shingles
+    always share a hash, so a qualifying pair's shared prefix element
+    still joins; a 64-bit collision between DISTINCT shingles can only
+    merge two inverted lists — adding spurious candidates (the exact
+    STRING-level verify rejects them) and perturbing two df counts, never
+    hiding a true pair. Shuffles: two on hash (df count/join), one on doc
+    id (prefix rebuild), one on prefix hash (candidates), then the verify
+    joins on doc id — no exchange carries shingle text, let alone
+    document text.
 
     Output: (id_a, id_b, jaccard) with J >= threshold — identical to
     :func:`near_dup_pairs_exact` at the same (k, threshold).
@@ -1118,20 +1130,20 @@ def near_dup_pairs_prefix(
     )
     ex = sh.select(
         "__id", F.size("__sh").alias("__n"), F.explode("__sh").alias("__s")
-    )
-    dfc = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
-    # Rebuild each doc's shingle list sorted by the global (df, shingle)
+    ).select("__id", "__n", F.xxhash64("__s").alias("__h"))
+    dfc = ex.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # Rebuild each doc's shingle list sorted by the global (df, hash)
     # order, then keep the prefix. collect_list is bounded by the doc's own
     # shingle count — the same per-row bound as the source array itself.
     prefix_len = (
         F.col("__n") - F.floor(F.lit(threshold) * F.col("__n")) + F.lit(1)
     ).cast("int")
     pref = (
-        ex.join(dfc, "__s")
+        ex.join(dfc, "__h")
         .groupBy("__id", "__n")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+                F.collect_list(F.struct(F.col("__df"), F.col("__h")))
             ).alias("__o")
         )
         .select(
@@ -1149,20 +1161,20 @@ def near_dup_pairs_prefix(
             "__id",
             "__n",
             (F.col("__p0") + F.lit(1)).alias("__p"),
-            F.col("__e.__s").alias("__s"),
+            F.col("__e.__h").alias("__h"),
         )
     )
     a = pref.select(
         F.col("__id").alias("id_a"),
         F.col("__n").alias("__na"),
         F.col("__p").alias("__pa"),
-        "__s",
+        "__h",
     )
     b = pref.select(
         F.col("__id").alias("id_b"),
         F.col("__n").alias("__nb"),
         F.col("__p").alias("__pb"),
-        "__s",
+        "__h",
     )
     # POSITIONAL filter (PPJoin, Xiao et al. WWW'08 Lemma 2, bulk form):
     # J >= t  <=>  |A∩B| >= α = t/(1+t)·(|A|+|B|). Per candidate pair let
@@ -1184,7 +1196,7 @@ def near_dup_pairs_prefix(
     cand = (
         a.join(
             b,
-            (a["__s"] == b["__s"])
+            (a["__h"] == b["__h"])
             & (F.col("id_a") < F.col("id_b"))
             # Length filter: J >= t implies min(|A|,|B|) >= t·max(|A|,|B|).
             & (

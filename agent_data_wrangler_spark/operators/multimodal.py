@@ -214,6 +214,58 @@ def audio_features(
     return map_batches(df, run, AUDIO_FEATURE_SCHEMA)
 
 
+def audio_fingerprint(
+    df: DataFrame,
+    *,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    windows: int = 64,
+) -> DataFrame:
+    """Perceptual audio fingerprint per PCM16 clip: ``(id, afp bigint)``.
+
+    The audio twin of ``image_phash`` (the acoustic-fingerprint family:
+    Chromaprint/Shazam reduce audio to sign-of-difference bits over
+    band/frame energies; this is the time-domain version that needs no
+    FFT): decode little-endian PCM16 → split into ``windows`` equal
+    windows (tail remainder dropped) → integer energy per window
+    ``sum(s_i^2)`` → adjacent-energy gradient bits ``e[k+1] > e[k]``
+    packed row-major, low bit first, capped at 63 bits so the value stays
+    a signed int64 (the ``dedup.simhash`` convention). Gradient bits
+    survive uniform gain changes and low-order sample noise — exactly
+    what byte-exact hashing misses on re-encoded audio.
+
+    All-integer math end-to-end (samples are int16, energies int64), so
+    an engine-independent oracle recomputes every fingerprint exactly
+    (mm5's DuckDB twin does, from the constructed payload bytes).
+
+    Scale: scan-stage mapInPandas (Arrow batches, vectorized numpy per
+    clip), no shuffle; the 8-byte fingerprint is what downstream
+    band-joins move — never the waveform. Pair generation belongs to
+    ``dedup.hamming_band_pairs`` (use ``scatter_seed``: adjacent-energy
+    bits of structured audio are locally correlated, the mm4 lesson).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_bits = min(63, windows - 1)
+        powers = (1 << np.arange(n_bits, dtype=np.uint64)).astype(np.uint64)
+        for pdf in batches:
+            ids, fps = [], []
+            for rid, payload in zip(pdf[id_col], pdf[payload_col]):
+                s = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                w = s.size // windows
+                if w == 0:
+                    ids.append(int(rid))
+                    fps.append(0)
+                    continue
+                e = (s[: w * windows] ** 2).reshape(windows, w).sum(axis=1)
+                bits = (e[1:] > e[:-1])[:n_bits]
+                ids.append(int(rid))
+                fps.append(int(bits.astype(np.uint64) @ powers))
+            yield pd.DataFrame({"id": ids, "afp": fps})
+
+    return map_batches(df, run, "id bigint, afp bigint")
+
+
 # ---------------------------------------------------------------------------
 # Video operators (fixed-size frame chunking)
 # ---------------------------------------------------------------------------

@@ -25,7 +25,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -1002,21 +1002,29 @@ _MM4_OFFSET = 10_000_000
 _MM4_SCATTER_SEED = 1234567
 
 
-def _mm4_bands_sql() -> str:
+def _hamming_bands_sql(
+    src: str, hash_col: str, seed: int, *, bits: int = 63, bands: int = 4
+) -> str:
     """The DuckDB twin of hamming_band_pairs' scattered banding: band b's
     value assembles the same permuted bit sample, built from the SAME
-    Python permutation the Spark side uses (one source of truth)."""
+    Python permutation the Spark side uses (one source of truth). Shared
+    by every int64-fingerprint near-dup oracle (mm4 phash, mm5 afp)."""
     from agent_data_wrangler_spark.operators.dedup import _bit_permutation
 
-    perm = _bit_permutation(63, _MM4_SCATTER_SEED)
+    perm = _bit_permutation(bits, seed)
+    width = (bits + bands - 1) // bands
     parts = []
-    for b in range(4):
-        sel = perm[b * 16 : (b + 1) * 16]
+    for b in range(bands):
+        sel = perm[b * width : (b + 1) * width]
         expr = " + ".join(
-            f"(((phash >> {p}) & 1) << {j})" for j, p in enumerate(sel)
+            f"((({hash_col} >> {p}) & 1) << {j})" for j, p in enumerate(sel)
         )
-        parts.append(f"SELECT id, phash, {b} AS b, ({expr}) AS v FROM ph")
+        parts.append(f"SELECT id, {hash_col}, {b} AS b, ({expr}) AS v FROM {src}")
     return " UNION ALL ".join(parts)
+
+
+def _mm4_bands_sql() -> str:
+    return _hamming_bands_sql("ph", "phash", _MM4_SCATTER_SEED)
 
 
 @query(
@@ -1110,6 +1118,129 @@ def mm4_image_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return img_acct.crossJoin(pair_acct).select(
         "n_images", "n_planted", "n_candidate_pairs", "n_dup_pairs", "n_planted_caught"
+    )
+
+
+# ---------------------------------------------------------------------------
+# MM5 — audio NEAR-dup via acoustic fingerprint, completing the near-dup
+# modality matrix (text: n5/ss1/sd1; image: mm4; audio: this). The
+# fingerprint is the Chromaprint-family shape without the FFT:
+# adjacent-window-energy gradient bits over PCM16 (multimodal.
+# audio_fingerprint — integer math end-to-end, so the DuckDB twin
+# recomputes every fingerprint from the payload bytes). Clips are the mm2
+# construction scaled to the fingerprint: 256 sanitized chars = 128
+# little-endian samples, wrap-padded with the text itself (the mm4
+# short-doc lesson — space padding gives short clips shared all-zero
+# tail windows and degenerate bands), 64 windows x 2 samples. Planted
+# perturbed copies of every 50th doc (first payload byte +1 = +1 on
+# sample 0's low byte — a low-order waveform change that moves window
+# 0's energy only, flipping at most gradient bit 0, so every planted
+# pair sits inside the bands=4 pigeonhole guarantee). Banding reuses
+# dedup.hamming_band_pairs with a scattered bit sample (adjacent-energy
+# bits of text-structured audio are locally correlated — the mm4
+# measurement); the SQL twin builds its bands from the SAME Python
+# permutation. FULL twin: fingerprints, band join, popcounts, and the
+# planted-catch account all recomputed from scratch — no verdict
+# constants.
+#
+# Scale: fingerprint is a scan-stage Arrow pass (8-byte outputs,
+# waveforms never shuffle); the band join moves fixed-width (band, val)
+# keys — the n5 shape. Exact-dup clip floods are the quadratic risk; run
+# exact dedup upstream (the RefinedWeb ordering).
+# ---------------------------------------------------------------------------
+_MM5_TAU = 8
+_MM5_PLANT_EVERY = 50
+_MM5_OFFSET = 10_000_000
+_MM5_SCATTER_SEED = 7654321
+
+
+@query(
+    "mm5_audio_neardup_documents",
+    oracle=rf"""
+    WITH s0 AS (
+      SELECT doc_id AS id,
+             substr(regexp_replace(text, '[^ -~]', ' ', 'g'), 1, 256) AS t
+      FROM documents
+    ), s AS (
+      SELECT id, rpad(t, 256, t || ' ') AS pcm FROM s0
+    ), planted AS (
+      SELECT id + {_MM5_OFFSET} AS id,
+             chr(ord(pcm) + 1) || substr(pcm, 2, 255) AS pcm
+      FROM s WHERE id % {_MM5_PLANT_EVERY} = 0
+    ), allclips AS (
+      SELECT * FROM s UNION ALL SELECT * FROM planted
+    ), sm AS (
+      SELECT id, list_transform(generate_series(0, 127), i ->
+               CAST(ord(substr(pcm, 2*i + 1, 1))
+                    + 256 * ord(substr(pcm, 2*i + 2, 1)) AS BIGINT)) AS smp
+      FROM allclips
+    ), en AS (
+      SELECT id, list_transform(generate_series(0, 63), k ->
+               smp[2*k + 1] * smp[2*k + 1] + smp[2*k + 2] * smp[2*k + 2]) AS e
+      FROM sm
+    ), ph AS (
+      SELECT id, CAST(list_sum(list_transform(generate_series(0, 62), k ->
+               CASE WHEN e[k + 2] > e[k + 1]
+                    THEN 1::BIGINT << k ELSE 0 END)) AS BIGINT) AS afp
+      FROM en
+    ), bands AS (
+      {_hamming_bands_sql("ph", "afp", _MM5_SCATTER_SEED)}
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.afp AS ha, b.afp AS hb
+      FROM bands a JOIN bands b ON a.b = b.b AND a.v = b.v AND a.id < b.id
+    ), pairs AS (
+      SELECT id_a, id_b, bit_count(xor(ha, hb)) AS dist FROM cand
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM allclips) AS n_clips,
+           (SELECT CAST(count(*) AS BIGINT) FROM planted) AS n_planted,
+           CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(count(CASE WHEN dist <= {_MM5_TAU} THEN 1 END) AS BIGINT) AS n_dup_pairs,
+           CAST(count(CASE WHEN dist <= {_MM5_TAU}
+                            AND id_b - id_a = {_MM5_OFFSET} THEN 1 END) AS BIGINT)
+             AS n_planted_caught
+    FROM pairs
+    """,
+)
+def mm5_audio_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.operators import dedup
+    from agent_data_wrangler_spark.operators.multimodal import audio_fingerprint
+
+    d = read_table(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", r"[^\x20-\x7e]", " ")
+    base = d.select(
+        F.col("doc_id").alias("id"),
+        F.substring(ascii_text, 1, 256).alias("__t"),
+    ).select(
+        "id", F.expr("rpad(__t, 256, concat(__t, ' '))").alias("__pcm")
+    )
+    planted = base.filter(F.col("id") % _MM5_PLANT_EVERY == 0).select(
+        (F.col("id") + _MM5_OFFSET).alias("id"),
+        F.concat(
+            F.expr("char(ascii(__pcm) + 1)"), F.substring("__pcm", 2, 255)
+        ).alias("__pcm"),
+    )
+    allclips = base.unionByName(planted)
+    media = allclips.select(
+        "id", F.encode(F.col("__pcm"), "utf-8").alias("payload")
+    )
+    fp = audio_fingerprint(media, windows=64)
+    pairs = dedup.hamming_band_pairs(
+        fp, "id", "afp", bits=63, bands=4, scatter_seed=_MM5_SCATTER_SEED
+    )
+    clip_acct = allclips.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+        F.count(F.when(F.col("id") >= _MM5_OFFSET, 1)).cast("bigint").alias("n_planted"),
+    )
+    dup = F.col("dist") <= _MM5_TAU
+    pair_acct = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.count(F.when(dup, 1)).cast("bigint").alias("n_dup_pairs"),
+        F.count(
+            F.when(dup & (F.col("id_b") - F.col("id_a") == _MM5_OFFSET), 1)
+        ).cast("bigint").alias("n_planted_caught"),
+    )
+    return clip_acct.crossJoin(pair_acct).select(
+        "n_clips", "n_planted", "n_candidate_pairs", "n_dup_pairs", "n_planted_caught"
     )
 
 
@@ -3651,6 +3782,89 @@ def bp3_bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BP4 — tokenizer ENCODE with a fixed merge table (the production
+# counterpart of bp3's training: a trained tokenizer ships as a merge
+# list and encoding applies it — tokens-per-doc is the billing metric of
+# every training-data pipeline). The 8 merges are a constant (like
+# QUERY_VEC: literal on both sides), and two of them consume symbols
+# built by EARLIER merges ('th'+'e', 'in'+'g') — the multi-char case the
+# prefix-marked form exists for (bp3's 'a-suffix-of-longer-symbol'
+# hazard). Unlike bp3's inherently sequential fit loop, encode is ONE
+# scan-stage pass: the 8 replaces stack into a single projection (no
+# driver loop, no persists, no shuffle until the vocab-bounded count),
+# then symbol frequencies + corpus total come from one explode→groupBy
+# and a window over the tiny grouped frame. Output: top-10 vocabulary
+# rows (symbol, cnt) with the corpus symbol total pinned on every row.
+#
+# Scale: one linear corpus pass + one shuffle of (symbol, partial count)
+# — map-side combine collapses to |vocab| rows; the window runs over the
+# vocab-bounded frame, not the corpus. The 100 TB encode has exactly
+# this shape (replaces are codegen string ops).
+# ---------------------------------------------------------------------------
+_BP4_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("o", "u"), ("e", "r"), ("in", "g"),
+]
+
+
+def _bp4_oracle_sql() -> str:
+    us = "chr(31)"
+    parts = [
+        f"WITH toks AS MATERIALIZED (SELECT unnest({_DUCK_TOKS}) AS tok FROM documents), "
+        f"j0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', {us} || '\\1', 'g') AS j "
+        "FROM toks WHERE length(tok) > 0)"
+    ]
+    for i, (a, b) in enumerate(_BP4_MERGES, start=1):
+        parts.append(
+            f", j{i} AS MATERIALIZED (SELECT replace(j, "
+            f"{us} || '{a}' || {us} || '{b}', {us} || '{a}{b}') AS j "
+            f"FROM j{i - 1})"
+        )
+    parts.append(
+        f""", sym AS (
+      SELECT unnest(list_filter(string_split(j, {us}), x -> x <> '')) AS symbol
+      FROM j{len(_BP4_MERGES)}
+    ), c AS (
+      SELECT symbol, CAST(count(*) AS BIGINT) AS cnt FROM sym GROUP BY 1
+    ), r AS (
+      SELECT symbol, cnt, CAST(sum(cnt) OVER () AS BIGINT) AS total_symbols,
+             row_number() OVER (ORDER BY cnt DESC, symbol ASC) AS rk
+      FROM c
+    )
+    SELECT symbol, cnt, total_symbols FROM r WHERE rk <= 10"""
+    )
+    return "".join(parts)
+
+
+@query("bp4_bpe_encode_documents", oracle=_bp4_oracle_sql())
+def bp4_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    us = "\x1f"
+    j = _bp3_base(spark, sf_dir)
+    col = F.col("j")
+    for a, b in _BP4_MERGES:
+        col = F.replace(col, F.lit(us + a + us + b), F.lit(us + a + b))
+    sym = j.select(col.alias("j")).select(
+        F.explode(F.split(F.expr("substring(j, 2)"), us)).alias("symbol")
+    )
+    counts = sym.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    # both windows run over the vocab-bounded grouped frame (a few
+    # thousand rows) — the single-partition collapse is deliberate
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("symbol").asc())
+    return (
+        counts.withColumn(
+            "total_symbols", F.sum("cnt").over(Window.partitionBy()).cast("bigint")
+        )
+        .withColumn("__rk", F.row_number().over(rank_w))
+        .filter(F.col("__rk") <= 10)
+        .select("symbol", "cnt", "total_symbols")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ST8 — streaming ingestion with in-stream dead-letter routing (the
 # streaming twin of cq1): the planted-corruption CSV is consumed as a
 # text file-source stream, parsed per micro-batch with from_csv in
@@ -5239,6 +5453,12 @@ def _ur1_raw_urls(d: DataFrame) -> DataFrame:
     """(doc_id, url): deterministic messy URLs, twinned in the ur1 oracle
     AND in tools/gen_sf.py:_synth_url (which bakes the same formula into
     scaled dirs as a real column)."""
+    return d.select("doc_id", _ur1_url_col().alias("url"))
+
+
+def _ur1_url_col() -> Column:
+    """The messy-URL formula as a reusable Column (ur1's dedup input and
+    fw1's pipeline stage-0 both derive it on url-less driver dirs)."""
     did = F.col("doc_id")
     rid = F.expr("doc_id DIV 12")
     dkey = rid % 6
@@ -5265,11 +5485,10 @@ def _ur1_raw_urls(d: DataFrame) -> DataFrame:
         .otherwise(F.concat(F.lit("?"), qcore))
     )
     frag = F.when(did % 6 == 0, F.lit("#sec1")).otherwise(F.lit(""))
-    url = F.concat(
+    return F.concat(
         scheme_raw, F.lit("://"), www, F.lit("site"), dkey.cast("string"),
         tld_raw, port, F.lit("/p/"), rid.cast("string"), slash, qstr, frag,
     )
-    return d.select("doc_id", url.alias("url"))
 
 
 #: DuckDB twin of _ur1_raw_urls — same residue logic, one column `url`.
@@ -5390,6 +5609,193 @@ def ur1_url_domain_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFram
         F.count_distinct(F.col("url")).cast("bigint").alias("n_raw_distinct"),
         F.count_distinct(F.col("canonical")).cast("bigint").alias("n_canonical"),
         (F.count_distinct(F.col("canonical")) > F.lit(_UR1_QUOTA)).alias("over_quota"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# FW1 — the END-TO-END web-pipeline funnel (the RefinedWeb/FineWeb stage
+# ordering, composed from this repo's own stages): URL-canonical dedup →
+# per-domain cap → heuristic quality filter → exact text dedup, with
+# per-stage accounting (docs_in/docs_out and a kept-id checksum that pins
+# WHICH documents survive each stage, not just how many). This is the
+# composition query: every stage reuses an oracle-green primitive (ur1's
+# canonicalizer, qs1's cap rule, n2's quality score, n1's fingerprint).
+#
+# Plan shape — ONE corpus scan, no persists, no re-derivation: all four
+# stage predicates become FLAG COLUMNS in a single lineage. The sequential
+# dependency ("stage k filters stage k-1's survivors") is expressed with
+# conditional windows: stage 2's rank counts only stage-1 survivors via
+# sum(CASE WHEN s1)) OVER (PARTITION BY domain ORDER BY doc_id), and
+# stage 4's keep-first likewise ranks only stage-3 survivors — so no
+# intermediate materialization exists at all. Three shuffles total
+# (canonical / domain / fingerprint window keys), each moving slim rows
+# (ids + 32-byte keys + flags; text is dropped in the scan projection
+# after deriving quality + fingerprint). At 100 TB this is the plan you
+# want: the alternative chain of 4 filtered frames either re-scans the
+# corpus per stage or persists corpus-sized intermediates.
+#
+# Deterministic keep rules: lowest doc_id everywhere (production caps
+# often rank by quality instead — same window, different ORDER BY).
+# FULL twin: DuckDB re-derives urls, canonicalization, quality, and all
+# four conditional windows from scratch.
+# ---------------------------------------------------------------------------
+_FW1_DOMAIN_CAP = 50
+_FW1_QUALITY_TAU = 0.7
+
+
+def _fw1_oracle_sql() -> str:
+    en = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+    return rf"""
+    WITH raw AS ({_UR1_RAW_SQL}
+    ), qual AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+             round((least(length(text) / 200.0, 1.0)
+               + (1.0 - least(((length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')))
+                               / nullif(CAST(length(text) AS DOUBLE), 0.0)) * 5.0, 1.0))
+               + least((len(list_filter({_DUCK_TOKS}, x -> x IN ({en})))
+                        / nullif(CAST(len({_DUCK_TOKS}) AS DOUBLE), 0.0)) * 5.0, 1.0)
+               ) / 3.0, 6) AS q
+      FROM documents
+    ), parsed AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hp,
+             regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+             regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      FROM raw
+    ), canon AS (
+      SELECT doc_id, scheme,
+             regexp_replace(
+               CASE WHEN scheme = 'http' AND ends_with(hp, ':80') THEN left(hp, len(hp) - 3)
+                    WHEN scheme = 'https' AND ends_with(hp, ':443') THEN left(hp, len(hp) - 4)
+                    ELSE hp END,
+               '^www\.', '') AS host,
+             CASE WHEN p2 = '' THEN '/' ELSE p2 END AS path,
+             array_to_string(
+               list_sort(list_filter(string_split(rawq, '&'),
+                 x -> x <> '' AND NOT regexp_matches(x, '(?i)^(utm_[^=]*|gclid|fbclid|mc_eid)(=|$)'))),
+               '&') AS canonq
+      FROM (
+        SELECT *, CASE WHEN len(rawpath) > 1 AND ends_with(rawpath, '/')
+                       THEN left(rawpath, len(rawpath) - 1) ELSE rawpath END AS p2
+        FROM parsed
+      )
+    ), dom AS (
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+               (CASE WHEN canonq = '' THEN '' ELSE '?' || canonq END) AS canonical,
+             CASE WHEN array_to_string(list_slice(labels, greatest(len(labels) - 1, 1), len(labels)), '.')
+                       IN ('co.uk', 'com.au', 'co.jp', 'org.uk')
+                       AND len(labels) >= 3
+                  THEN array_to_string(list_slice(labels, greatest(len(labels) - 2, 1), len(labels)), '.')
+                  ELSE array_to_string(list_slice(labels, greatest(len(labels) - 1, 1), len(labels)), '.')
+             END AS domain
+      FROM (SELECT doc_id, scheme, host, path, canonq,
+                   string_split(host, '.') AS labels FROM canon)
+    ), e AS (
+      SELECT d.doc_id, d.canonical, d.domain, qu.q, qu.fp
+      FROM dom d JOIN qual qu USING (doc_id)
+    ), f1 AS (
+      SELECT *, row_number() OVER (PARTITION BY canonical ORDER BY doc_id) = 1 AS s1
+      FROM e
+    ), f2 AS (
+      SELECT *, s1 AND sum(CASE WHEN s1 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY domain ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) <= {_FW1_DOMAIN_CAP} AS s2
+      FROM f1
+    ), f3 AS (
+      SELECT *, s2 AND q >= {_FW1_QUALITY_TAU} AS s3 FROM f2
+    ), f4 AS (
+      SELECT *, s3 AND sum(CASE WHEN s3 THEN 1 ELSE 0 END)
+                OVER (PARTITION BY fp ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) = 1 AS s4
+      FROM f3
+    ), a AS (
+      SELECT CAST(count(*) AS BIGINT) AS n0,
+             CAST(count(CASE WHEN s1 THEN 1 END) AS BIGINT) AS c1,
+             CAST(count(CASE WHEN s2 THEN 1 END) AS BIGINT) AS c2,
+             CAST(count(CASE WHEN s3 THEN 1 END) AS BIGINT) AS c3,
+             CAST(count(CASE WHEN s4 THEN 1 END) AS BIGINT) AS c4,
+             CAST(sum(CASE WHEN s1 THEN doc_id END) AS BIGINT) AS k1,
+             CAST(sum(CASE WHEN s2 THEN doc_id END) AS BIGINT) AS k2,
+             CAST(sum(CASE WHEN s3 THEN doc_id END) AS BIGINT) AS k3,
+             CAST(sum(CASE WHEN s4 THEN doc_id END) AS BIGINT) AS k4
+      FROM f4
+    )
+    SELECT CAST(1 AS INTEGER) AS stage, 'url_canonical_dedup' AS stage_name,
+           n0 AS docs_in, c1 AS docs_out, k1 AS kept_id_sum FROM a
+    UNION ALL SELECT 2, 'domain_cap', c1, c2, k2 FROM a
+    UNION ALL SELECT 3, 'quality_filter', c2, c3, k3 FROM a
+    UNION ALL SELECT 4, 'exact_text_dedup', c3, c4, k4 FROM a
+    """
+
+
+@query("fw1_web_pipeline_funnel_documents", oracle=_fw1_oracle_sql())
+def fw1_web_pipeline_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from agent_data_wrangler_spark.operators import web
+
+    d = read_table(spark, sf_dir, "documents")
+    src = (
+        d.select("doc_id", "text", "url")
+        if "url" in d.columns
+        else d.select("doc_id", "text", _ur1_url_col().alias("url"))
+    )
+    # scan projection: derive every per-doc key, DROP text before any shuffle
+    e = src.select(
+        "doc_id",
+        web.canonical_url("url").alias("canonical"),
+        web.registrable_domain("url").alias("domain"),
+        quality_score("text").alias("q"),
+        fingerprint("text").alias("fp"),
+    )
+    cum = lambda key: (  # noqa: E731 — running count among prior survivors
+        Window.partitionBy(key)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    f = (
+        e.withColumn(
+            "s1",
+            F.row_number().over(Window.partitionBy("canonical").orderBy("doc_id")) == 1,
+        )
+        .withColumn(
+            "s2",
+            F.col("s1")
+            & (
+                F.sum(F.when(F.col("s1"), 1).otherwise(0)).over(cum("domain"))
+                <= _FW1_DOMAIN_CAP
+            ),
+        )
+        .withColumn("s3", F.col("s2") & (F.col("q") >= F.lit(_FW1_QUALITY_TAU)))
+        .withColumn(
+            "s4",
+            F.col("s3")
+            & (F.sum(F.when(F.col("s3"), 1).otherwise(0)).over(cum("fp")) == 1),
+        )
+    )
+    a = f.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        F.count(F.when(F.col("s1"), 1)).cast("bigint").alias("c1"),
+        F.count(F.when(F.col("s2"), 1)).cast("bigint").alias("c2"),
+        F.count(F.when(F.col("s3"), 1)).cast("bigint").alias("c3"),
+        F.count(F.when(F.col("s4"), 1)).cast("bigint").alias("c4"),
+        F.sum(F.when(F.col("s1"), F.col("doc_id"))).cast("bigint").alias("k1"),
+        F.sum(F.when(F.col("s2"), F.col("doc_id"))).cast("bigint").alias("k2"),
+        F.sum(F.when(F.col("s3"), F.col("doc_id"))).cast("bigint").alias("k3"),
+        F.sum(F.when(F.col("s4"), F.col("doc_id"))).cast("bigint").alias("k4"),
+    )
+    return a.select(
+        F.expr(
+            "stack(4, "
+            "1, 'url_canonical_dedup', n0, c1, k1, "
+            "2, 'domain_cap', c1, c2, k2, "
+            "3, 'quality_filter', c2, c3, k3, "
+            "4, 'exact_text_dedup', c3, c4, k4) "
+            "AS (stage, stage_name, docs_in, docs_out, kept_id_sum)"
+        )
     )
 
 

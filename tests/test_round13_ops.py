@@ -348,3 +348,153 @@ def test_gen_sf_emits_url_column_matching_formula(tmp_path):
     ).fetchall()
     assert len(rows) == 1000  # 500 docs x mult 2
     assert all(u == synth(d) for d, u in rows)
+
+
+# ---------------------------------------------------------------------------
+# mm5 surface — acoustic fingerprint (audio twin of image_phash)
+# ---------------------------------------------------------------------------
+
+
+def _afp_of(spark, payloads, windows=64):
+    from agent_data_wrangler_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "id long, payload binary",
+    )
+    return {
+        r["id"]: r["afp"]
+        for r in audio_fingerprint(df, windows=windows).collect()
+    }
+
+
+def _pcm(samples):
+    import numpy as np
+
+    return np.asarray(samples, dtype="<i2").tobytes()
+
+
+def test_audio_fingerprint_known_gradient(spark):
+    """Strictly increasing window energies set every bit -> 2^63 - 1;
+    a constant waveform (flat energies, ties are False) -> 0."""
+    inc = [k + 1 for k in range(64) for _ in range(2)]
+    flat = [100] * 128
+    fps = _afp_of(spark, [_pcm(inc), _pcm(flat)])
+    assert fps[0] == (1 << 63) - 1
+    assert fps[1] == 0
+
+
+def test_audio_fingerprint_matches_numpy_reference(spark):
+    """Pin the window/energy/bit math against an independent numpy
+    recomputation, including a tail remainder that must be dropped."""
+    import numpy as np
+
+    samples = [((i * 37 + 11) % 1999) - 950 for i in range(130)]  # 2 tail
+    got = _afp_of(spark, [_pcm(samples)])[0]
+    s = np.asarray(samples[:128], dtype=np.int64)
+    e = (s**2).reshape(64, 2).sum(axis=1)
+    bits = (e[1:] > e[:-1])[:63]
+    want = int(sum(int(b) << k for k, b in enumerate(bits)))
+    assert got == want
+
+
+def test_audio_fingerprint_gain_invariant_and_local(spark):
+    """Uniform gain preserves every bit (energies scale together); a +1 on
+    sample 0 moves only window 0's energy -> at most bit 0 flips — the
+    property mm5's planted pairs rely on."""
+    base = [((i * 53 + 7) % 401) - 200 for i in range(128)]
+    gain = [s * 3 for s in base]
+    pert = [base[0] + 1] + base[1:]
+    fps = _afp_of(spark, [_pcm(base), _pcm(gain), _pcm(pert)])
+    assert fps[0] == fps[1]
+    assert bin(fps[0] ^ fps[2]).count("1") <= 1
+
+
+def test_audio_fingerprint_short_clip_zero(spark):
+    """Fewer samples than windows -> no full window -> fingerprint 0."""
+    fps = _afp_of(spark, [_pcm([5] * 10)])
+    assert fps[0] == 0
+
+
+def test_mm5_planted_recall(spark, sf_dir):
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES
+
+    row = QUERIES["mm5_audio_neardup_documents"](spark, sf_dir).collect()[0]
+    assert row["n_planted"] > 0
+    assert row["n_planted_caught"] == row["n_planted"]
+    assert row["n_dup_pairs"] >= row["n_planted"]
+
+
+# ---------------------------------------------------------------------------
+# bp4 — fixed-merge-table BPE encode
+# ---------------------------------------------------------------------------
+
+
+def test_bp4_multichar_merges_apply_in_order(spark):
+    """'the' collapses to ONE symbol via two dependent merges (t+h -> th,
+    then th+e -> the) — including mid-word ('xthe' -> x|the); a symbol
+    that merely ENDS in 't' must not trigger the t+h merge (the
+    suffix-hazard the prefix-marked form exists for)."""
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.queryset_nstar import _BP4_MERGES
+
+    us = "\x1f"
+    words = [  # each entry: pre-split symbol tuple
+        ("t", "h", "e"),
+        ("x", "t", "h", "e"),
+        ("t", "h", "i", "n", "g"),
+        ("a", "n", "d"),
+        ("at", "h"),  # 'at' ends in 't' — t+h must NOT fire inside it
+    ]
+    df = spark.createDataFrame(
+        [(i, "".join(us + s for s in w)) for i, w in enumerate(words)],
+        "i long, j string",
+    )
+    col = F.col("j")
+    for a, b in _BP4_MERGES:
+        col = F.replace(col, F.lit(us + a + us + b), F.lit(us + a + b))
+    out = {r["i"]: r["j"] for r in df.select("i", col.alias("j")).collect()}
+    split = [tuple(x for x in out[i].split(us) if x) for i in range(len(words))]
+    assert split[0] == ("the",)
+    assert split[1] == ("x", "the")
+    assert split[2] == ("th", "ing")
+    assert split[3] == ("and",)
+    assert split[4] == ("at", "h")
+
+
+def test_bp4_totals_consistent(spark, sf_dir):
+    """Every output row carries the same corpus total, and the top-10 slice
+    is ordered/bounded."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES
+
+    rows = QUERIES["bp4_bpe_encode_documents"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    totals = {r["total_symbols"] for r in rows}
+    assert len(totals) == 1
+    assert sum(r["cnt"] for r in rows) <= totals.pop()
+
+
+# ---------------------------------------------------------------------------
+# fw1 — end-to-end web-pipeline funnel
+# ---------------------------------------------------------------------------
+
+
+def test_fw1_funnel_monotone_and_chained(spark, sf_dir):
+    """Stage k's docs_in equals stage k-1's docs_out, every stage shrinks
+    or preserves, and the kept-id checksum shrinks with the kept set."""
+    from agent_data_wrangler_spark.queryset_nstar import QUERIES
+
+    rows = sorted(
+        QUERIES["fw1_web_pipeline_funnel_documents"](spark, sf_dir).collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage_name"] for r in rows] == [
+        "url_canonical_dedup", "domain_cap", "quality_filter", "exact_text_dedup",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs_in"] == prev["docs_out"]
+    for r in rows:
+        assert 0 < r["docs_out"] <= r["docs_in"]
+    # stage 1 must actually dedup on this corpus (12 variants per resource)
+    assert rows[0]["docs_out"] < rows[0]["docs_in"]

@@ -30,18 +30,21 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: The scale-probe families (r10 set + r11 rs1/px1 + r12 sd1 + r13
-#: bp3/li1/mm4/ur1): the heaviest representative of each at-scale cost
-#: family in the registry.
+#: bp3/li1/mm4/ur1 + r13b bp4/fw1/mm5): the heaviest representative of
+#: each at-scale cost family in the registry.
 #: FULL names — bare prefixes can be ambiguous ("pq1" also matches
 #: pq1_pipe_syntax_revenue).
 DEFAULT_FAMILIES = [
     "bl1_blocked_editdist_documents",
     "bm1_bm25_rank_documents",
     "bp3_bpe_train_documents",
+    "bp4_bpe_encode_documents",
+    "fw1_web_pipeline_funnel_documents",
     "gr1_pagerank_trade_graph",
     "li1_language_id_documents",
     "lk1_split_leakage_documents",
     "mm4_image_neardup_documents",
+    "mm5_audio_neardup_documents",
     "n12_incremental_neardup_documents",
     "n5_minhash_neardup_documents",
     "pq1_pq_topk_embeddings",
