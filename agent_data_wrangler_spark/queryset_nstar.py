@@ -3544,12 +3544,34 @@ def aq1_adaptive_quality_filter_documents(
     """,
 )
 def bp2_bpe_merge_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res, tokd = _bp2_frames(spark, sf_dir)
+    try:
+        return res.localCheckpoint()
+    finally:
+        tokd.unpersist()
+
+
+def _bp2_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """bp2's UN-checkpointed result plus the persisted dictionary — split
+    out (the li1 pattern) so plan tools can pin the WORKING plan; the
+    registry wrapper localCheckpoints, so PLANS.md shows a flat scan."""
     from agent_data_wrangler_spark.functions.text import tokens as _tokens
 
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select(
-        F.explode(_tokens(F.lower(F.col("text")))).alias("tok")
-    ).filter(F.length("tok") > 0)
+    # r13-opt: word-TYPE dictionary (tok, cnt) — one corpus explode +
+    # map-side-combined groupBy feeds BOTH the pair fit and the merge
+    # apply (previously each re-derived the corpus token explode); all
+    # downstream counts are occurrence-weighted, so results are
+    # bit-identical. The dict is vocab-bounded — persist is cache-sized
+    # at any corpus scale; released after the localCheckpoint
+    # materializes the 1-row result.
+    tokd = (
+        d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
 
     pairs_per_tok = F.when(
         F.length("tok") >= 2,
@@ -3559,21 +3581,23 @@ def bp2_bpe_merge_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     ).otherwise(F.array().cast("array<string>"))
     top_pair = (
-        toks.select(F.explode(pairs_per_tok).alias("pair"))
+        tokd.select(F.explode(pairs_per_tok).alias("pair"), "cnt")
         .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair").asc())
         .limit(1)
         .select("pair")
     )
     us = "\x1f"
-    joined = toks.select(
+    joined = tokd.select(
         F.rtrim(
             F.regexp_replace(F.col("tok"), "(.)", "$1" + us)
         ).alias("__pre"),
-    ).select(F.expr(f"rtrim('{us}', __pre)").alias("j"))
+        "cnt",
+    ).select(F.expr(f"rtrim('{us}', __pre)").alias("j"), "cnt")
     merged = joined.crossJoin(F.broadcast(top_pair)).select(
         "j",
+        "cnt",
         "pair",
         F.replace(
             F.col("j"),
@@ -3587,14 +3611,15 @@ def bp2_bpe_merge_apply_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     def n_syms(c):
         return F.length(c) - F.length(F.replace(c, F.lit(us), F.lit(""))) + 1
 
-    return merged.groupBy("pair").agg(
-        F.sum(n_syms(F.col("j"))).alias("n_symbols_before"),
-        F.sum(n_syms(F.col("m"))).alias("n_symbols_after"),
+    res = merged.groupBy("pair").agg(
+        F.sum(F.col("cnt") * n_syms(F.col("j"))).alias("n_symbols_before"),
+        F.sum(F.col("cnt") * n_syms(F.col("m"))).alias("n_symbols_after"),
     ).select(
         F.col("pair").alias("top_pair"),
         "n_symbols_before",
         "n_symbols_after",
     )
+    return res, tokd
 
 
 # ---------------------------------------------------------------------------
@@ -3671,15 +3696,24 @@ def _bp3_oracle_sql() -> str:
     return "".join(parts) + " " + " UNION ALL ".join(rows)
 
 
-def _bp3_base(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UN-checkpointed prefix-marked symbol frame (one row per word)."""
+def _bp3_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-TYPE dictionary (j, cnt): the Sennrich et al. 2016 trick — BPE
+    statistics are sums over word occurrences, so fold identical words
+    into one row up front and carry the multiplicity. Every pair count,
+    symbol count and merge is occurrence-weighted downstream, which turns
+    the 8 sequential fit/apply corpus passes of the training loop into
+    passes over the |vocab|-bounded dictionary (one corpus explode +
+    map-side-combined groupBy total, instead of 9 corpus scans —
+    r13-opt, guide §2.3 "aggregate before you shuffle")."""
     from agent_data_wrangler_spark.functions.text import tokens as _tokens
 
     d = read_table(spark, sf_dir, "documents")
     return (
         d.select(F.explode(_tokens(F.lower(F.col("text")))).alias("tok"))
         .filter(F.length("tok") > 0)
-        .select(F.regexp_replace("tok", "(.)", "\x1f$1").alias("j"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.regexp_replace("tok", "(.)", "\x1f$1").alias("j"), "cnt")
     )
 
 
@@ -3687,13 +3721,16 @@ def _bp3_pair_counts(j: DataFrame) -> DataFrame:
     """One fit-step scan: per-pair adjacent-symbol counts (the |vocab|²-
     bounded frame both the top-1 and the corpus pair total read). Symbol
     arrays are BOUND as a projected column before the pair transform (the
-    qz1 lesson — lambdas inline referenced expressions per element)."""
+    qz1 lesson — lambdas inline referenced expressions per element).
+
+    Input is the (j, cnt) word-type dictionary: pair counts are weighted
+    by word multiplicity, which is exactly the occurrence-level count."""
     us = "\x1f"
     # j always starts with the marker and content never contains it, so
     # splitting the tail substring yields the symbols directly — ~15%
     # cheaper than filtering the leading '' out of a full split (measured
     # 1.1 -> 0.9 s/scan at sf0.1).
-    ss = j.select(F.split(F.expr("substring(j, 2)"), us).alias("syms"))
+    ss = j.select(F.split(F.expr("substring(j, 2)"), us).alias("syms"), "cnt")
     syms = F.col("syms")
     n = F.size(syms)
     pairs = F.when(
@@ -3706,9 +3743,9 @@ def _bp3_pair_counts(j: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        ss.select(F.explode(pairs).alias("pair"))
+        ss.select(F.explode(pairs).alias("pair"), "cnt")
         .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
 
 
@@ -3723,51 +3760,120 @@ def _bp3_top_pair(j: DataFrame) -> DataFrame:
     )
 
 
+def _bp3_driver_fit(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The BPE merge loop over a COLLECTED word-type dictionary — the
+    Sennrich/HuggingFace trainer design: the corpus pass (explode +
+    groupBy) is distributed, the merge loop runs in memory over the
+    bounded (word_type, count) table. Tie-breaking ((count desc, pair
+    asc) with code-point string order) and the left-to-right
+    non-overlapping merge (str.replace) are bit-identical to the
+    distributed loop; ``test_bp3_driver_fit_matches_distributed`` pins
+    the equality."""
+    from collections import Counter
+
+    us = "\x1f"
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        pair_counts: Counter[str] = Counter()
+        for j, cnt in words:
+            syms = j.split(us)[1:]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[a + us + b] += cnt
+        if not pair_counts:
+            raise ValueError("bp3: no adjacent symbol pairs to merge")
+        pair = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = pair.split(us)
+        merged = us + a + b
+        words = [(j.replace(us + pair, merged), cnt) for j, cnt in words]
+        n_after = sum(cnt * j.count(us) for j, cnt in words)
+        out.append((step, a, b, n_after))
+    return out
+
+
 @query("bp3_bpe_train_documents", oracle=_bp3_oracle_sql())
 def bp3_bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bp3_train(spark, sf_dir)
+
+
+def _bp3_train(
+    spark: SparkSession, sf_dir: str, driver_fit_limit: int = 1_000_000
+) -> DataFrame:
     us = "\x1f"
     # n_symbols(word) = n_pairs(word) + 1 and words never vanish, so the
     # corpus symbol count after step i equals (total pair count of j_i) +
     # n_words — step i's count therefore falls out of step i+1's fit scan
-    # for free, and only the 8th merge pays a dedicated count job: 9 corpus
-    # scans instead of 16.
-    j = _bp3_base(spark, sf_dir).persist()
-    n_words = j.count()
+    # for free, and only the 8th merge pays a dedicated count job.
+    # r13-opt: the loop iterates over the (j, cnt) word-TYPE dictionary —
+    # ONE corpus explode+groupBy builds it, and every subsequent fit scan,
+    # merge apply and symbol count runs over the |vocab|-bounded frame with
+    # occurrence weights (identical counts; at 100 TB this is 1 corpus
+    # pass + 8 vocabulary passes instead of 9 corpus passes). When the
+    # dictionary is small (<= driver_fit_limit word types) the merge loop
+    # itself runs in memory over the collected dictionary — the
+    # connected_components precedent (bounded collect of a funnel OUTPUT
+    # with a distributed fallback), and the design every production BPE
+    # trainer uses (distributed count, in-memory merges). The distributed
+    # loop below remains the >limit path and is pinned equal by unit test.
+    j = _bp3_dict(spark, sf_dir).persist()
+    n_words, vocab = (
+        j.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
+            F.count(F.lit(1)).alias("v"),
+        ).collect()[0]
+    )
+    if vocab <= driver_fit_limit:
+        try:
+            words = [(r["j"], r["cnt"]) for r in j.collect()]
+        finally:
+            j.unpersist()
+        return spark.createDataFrame(
+            _bp3_driver_fit(words, _BP3_MERGES),
+            "step int, sym_a string, sym_b string, n_symbols_after bigint",
+        )
     out_rows: list[tuple[int, str, str, int]] = []
     pending: tuple[int, str, str] | None = None
     released = None
     try:
         for step in range(1, _BP3_MERGES + 1):
-            pc = _bp3_pair_counts(j).persist()
-            total_pairs = pc.agg(
-                F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("t")
-            ).collect()[0]["t"]
-            # that action materialized pc from j (and j itself on its first
-            # read) — the previous iteration's frame is now releasable
-            if released is not None:
-                released.unpersist()
-            if pending is not None:
-                out_rows.append((*pending, int(total_pairs) + n_words))
-            top = (
-                pc.orderBy(F.col("cnt").desc(), F.col("pair").asc())
-                .limit(1)
+            # ONE driver action per step: the pair total and the top pair
+            # ride one 1-row crossJoin (r13-opt — halves the per-step job
+            # count; pc is derived twice inside the action, but both
+            # derivations explode the CACHED vocab-sized dictionary, so a
+            # pc persist would cost more than it saves).
+            pc = _bp3_pair_counts(j)
+            top1 = pc.orderBy(F.col("cnt").desc(), F.col("pair").asc()).limit(1)
+            row = (
+                pc.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("t"))
+                .crossJoin(top1)
                 .collect()
             )
-            pc.unpersist()
-            if not top:
+            # that action materialized j (on its first read) — the previous
+            # iteration's frame is now releasable
+            if released is not None:
+                released.unpersist()
+            if not row:
                 raise ValueError("bp3: no adjacent symbol pairs to merge")
-            pair = top[0]["pair"]
+            if pending is not None:
+                out_rows.append((*pending, int(row[0]["t"]) + n_words))
+            pair = row[0]["pair"]
             a, b = pair.split(us)
             pending = (step, a, b)
             nxt = j.select(
                 F.replace(
                     F.col("j"), F.lit(us + pair), F.lit(us + pair.replace(us, ""))
-                ).alias("j")
+                ).alias("j"),
+                "cnt",
             ).persist()
             released, j = j, nxt
         n_final = j.agg(
             F.sum(
-                F.length("j") - F.length(F.replace(F.col("j"), F.lit(us), F.lit("")))
+                F.col("cnt")
+                * (
+                    F.length("j")
+                    - F.length(F.replace(F.col("j"), F.lit(us), F.lit("")))
+                )
             ).cast("bigint").alias("n")
         ).collect()[0]["n"]
         if released is not None:
@@ -3841,15 +3947,19 @@ def bp4_bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     us = "\x1f"
-    j = _bp3_base(spark, sf_dir)
+    # r13-opt: encode over the word-TYPE dictionary (one corpus
+    # explode+groupBy, then the merge replaces + symbol explode run over
+    # |vocab| rows with occurrence weights — identical counts, and the
+    # symbol shuffle carries the vocabulary, not the corpus).
+    j = _bp3_dict(spark, sf_dir)
     col = F.col("j")
     for a, b in _BP4_MERGES:
         col = F.replace(col, F.lit(us + a + us + b), F.lit(us + a + b))
-    sym = j.select(col.alias("j")).select(
-        F.explode(F.split(F.expr("substring(j, 2)"), us)).alias("symbol")
+    sym = j.select(col.alias("j"), "cnt").select(
+        F.explode(F.split(F.expr("substring(j, 2)"), us)).alias("symbol"), "cnt"
     )
     counts = sym.groupBy("symbol").agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+        F.sum("cnt").cast("bigint").alias("cnt")
     )
     # both windows run over the vocab-bounded grouped frame (a few
     # thousand rows) — the single-partition collapse is deliberate

@@ -296,9 +296,9 @@ def test_bp3_prefix_marker_merge_is_sound(spark):
 def test_bp3_top_pair_plan_shape(spark, sf_dir):
     """The fit step's working plan: partial-aggregated explode feeding
     TakeOrderedAndProject — no global sort, no cartesian."""
-    from agent_data_wrangler_spark.queryset_nstar import _bp3_base, _bp3_top_pair
+    from agent_data_wrangler_spark.queryset_nstar import _bp3_dict, _bp3_top_pair
 
-    top = _bp3_top_pair(_bp3_base(spark, sf_dir))
+    top = _bp3_top_pair(_bp3_dict(spark, sf_dir))
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan
@@ -317,6 +317,18 @@ def test_bp3_merges_monotone_and_multichar(spark, sf_dir):
     assert [r["step"] for r in rows] == list(range(1, 9))
     counts = [r["n_symbols_after"] for r in rows]
     assert all(a > b for a, b in zip(counts, counts[1:]))
+
+
+def test_bp3_driver_fit_matches_distributed(spark, sf_dir):
+    """The r13-opt bounded-collect fit path and the distributed loop
+    produce the identical merge table (driver_fit_limit=0 forces the
+    distributed path — the connected_components fallback pattern)."""
+    from agent_data_wrangler_spark.queryset_nstar import _bp3_train
+
+    fast = sorted(map(tuple, _bp3_train(spark, sf_dir).collect()))
+    dist = sorted(map(tuple, _bp3_train(spark, sf_dir, driver_fit_limit=0).collect()))
+    assert fast == dist
+    assert len(fast) == 8
 
 
 def test_gen_sf_emits_url_column_matching_formula(tmp_path):
