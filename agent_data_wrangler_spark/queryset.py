@@ -6713,19 +6713,38 @@ def abc1_pareto_class_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mb1_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    basket = (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    # r13-opt: the basket "self-join on l_orderkey" is gone — per-order
+    # brand SETS come from one groupBy(collect_set) (fusing the old
+    # .distinct() shuffle into the same aggregation), and the a<b pairs
+    # are generated INSIDE the sorted array (bounded by |brands-per-order|
+    # <= 25), so the pair stage shuffles |orders| set rows once instead of
+    # shuffling the basket twice and joining (guide §2.4 "remove shuffles
+    # outright"). Marginals/total are countDistinct forms of the same
+    # numbers — identical integers.
+    basket_src = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "p_brand"
     )
-    n = basket.agg(
+    n = basket_src.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
     )
-    marg = basket.groupBy("p_brand").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    a = basket.select(F.col("l_orderkey").alias("k"), F.col("p_brand").alias("brand_a"))
-    b = basket.select(F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("brand_b"))
+    marg = basket_src.groupBy("p_brand").agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("c")
+    )
+    sets = basket_src.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("p_brand")).alias("bs")
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("bs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("bs"), i + F.lit(2), F.size(F.col("bs"))),
+                lambda y: F.struct(x.alias("brand_a"), y.alias("brand_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (a.k == b.k2) & (F.col("brand_a") < F.col("brand_b")))
+        sets.select(F.explode(combos).alias("pr"))
+        .select("pr.brand_a", "pr.brand_b")
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
     )

@@ -5367,7 +5367,19 @@ def ix1_index_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failure mode. The audit must flag BOTH legs: source coverage
     # (n_missing > 0) and sidecar integrity (stats_ok False).
     tampered_dir = os.path.join(_scratch_dir("adw_ix1_"), "tampered")
-    shutil.copytree(path, tampered_dir)
+
+    def _link_or_copy(src: str, dst: str, *, follow_symlinks: bool = True) -> str:
+        # r13-opt: ix2's ADVICE fix applied here too — hard links cost zero
+        # extra tmpfs space and no byte copy per invocation; the tamper is
+        # directory-level (rmtree of one __list dir), so shared inodes are
+        # never mutated. EXDEV fallback covers a cross-filesystem scratch.
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
+        return dst
+
+    shutil.copytree(path, tampered_dir, copy_function=_link_or_copy)
     victim = sorted(
         d for d in os.listdir(tampered_dir) if d.startswith("__list=")
     )[0]

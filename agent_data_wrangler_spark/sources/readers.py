@@ -118,6 +118,32 @@ def _conf_get(spark: SparkSession, key: str) -> str | None:
         return None
 
 
+#: Inferred-schema memo: (abs path, file-identity fingerprint) → StructType.
+#: ``spark.read.parquet(path)`` runs a driver-side schema-inference job on
+#: EVERY call (measured 185-235 ms/call at sf0.1) and registered queries
+#: construct their scans once per bench pass — across a 228-query sweep
+#: that is pure fixed cost. A schema keyed by the files' (relpath,
+#: mtime_ns, size) identity is exactly what a catalog/metastore provides;
+#: rewritten or regenerated files change the key and re-infer, so a stale
+#: schema can never be served (r13-opt, guide §6 "pin the merged schema in
+#: a catalog"). Values are metadata only — no row data is ever memoized.
+_SCHEMA_MEMO: dict[tuple[str, str], StructType] = {}
+
+
+def _path_identity(path: str) -> str:
+    """(mtime_ns, size) fingerprint of a file or of a directory's files."""
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    parts = []
+    for dirpath, _dirnames, filenames in sorted(os.walk(path)):
+        for fn in sorted(filenames):
+            fst = os.stat(os.path.join(dirpath, fn))
+            rel = os.path.relpath(os.path.join(dirpath, fn), path)
+            parts.append(f"{rel}:{fst.st_mtime_ns}:{fst.st_size}")
+    return "|".join(parts)
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Primary scan path: splittable, column-pruned, filter-pushdown-capable.
 
@@ -141,7 +167,16 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # reject; engine policy is "naive means UTC" (session tz pinned above).
     if _conf_get(spark, "spark.sql.parquet.inferTimestampNTZ.enabled") != "false":
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(path)
+    # The two confs above change what inference produces, but both are
+    # pinned to fixed values by this point — the memo key needs only the
+    # file identity.
+    key = (os.path.abspath(path), _path_identity(path))
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
