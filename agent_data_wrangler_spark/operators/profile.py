@@ -66,151 +66,42 @@ def null_counts(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
 
 
 def describe_numeric(df: DataFrame, columns: list[str] | None = None, approx: bool = False) -> DataFrame:
-    """P5: count/mean/std/min/25%/50%/75%/max for numeric columns.
+    """P5: count/mean/std/min/25%/50%/75%/max for numeric columns, one pass.
 
     pandas ``describe()`` uses sample stddev (ddof=1) → ``stddev_samp``
     (SURVEY §4 parity rule). Output long format: one row per column.
-
-    Exact path (r13-opt): ``F.percentile`` builds a boxed per-partition
-    value→count hash map and merges+sorts it single-threaded in the final
-    aggregate — measured 2.8 s for ONE 583k-distinct double column at
-    sf0.1 while the moment stats cost 0.4 s. The quartiles here come from
-    value counts instead: groupBy (column, value) with map-side combine,
-    per-column cumulative-count window over the distinct values, then the
-    two bracketing order statistics per quantile and the SAME linear
-    interpolation Spark's Percentile uses — ``pos = q*(n-1)``,
-    ``(ceil(pos)-pos)*v_lo + (pos-floor(pos))*v_hi`` — reproduced
-    operation-for-operation so results are bit-identical
-    (tests/test_operators_unit.py::test_describe_exact_percentile_matches_builtin).
-    The per-column window sort is bounded by the DISTINCT value count; the
-    exact path is gated to small tables by describe_auto, and the approx
-    path (one-pass sketch) remains the 100 TB default.
     """
-    from pyspark.sql import Window
-
     cols = columns or numeric_columns(df)
-    quantiles = (0.25, 0.50, 0.75)
-    if approx:
-        # ONE sketch aggregate per column with the quartile array — three
-        # scalar calls would each buffer independently.
-        aggs = []
-        for c in cols:
-            col = F.col(c).cast("double")
-            aggs.extend(
-                [
-                    F.count(col).alias(f"{c}__count"),
-                    F.avg(col).alias(f"{c}__mean"),
-                    F.stddev_samp(col).alias(f"{c}__std"),
-                    F.min(col).alias(f"{c}__min"),
-                    F.percentile_approx(
-                        col, F.array(*[F.lit(q) for q in quantiles])
-                    ).alias(f"{c}__pcts"),
-                    F.max(col).alias(f"{c}__max"),
-                ]
-            )
-        wide = df.agg(*aggs)
-        stats = ["count", "mean", "std", "min", "p25", "p50", "p75", "max"]
-        _expr = {
-            "p25": "`{c}__pcts`[0]", "p50": "`{c}__pcts`[1]", "p75": "`{c}__pcts`[2]"
-        }
-        rows = ", ".join(
-            "'{c}', {vals}".format(
-                c=c,
-                vals=", ".join(
-                    _expr.get(s, f"`{{c}}__{s}`").format(c=c) for s in stats
-                ),
-            )
-            for c in cols
-        )
-        return wide.select(
-            F.expr(f"stack({len(cols)}, {rows}) as (column, {', '.join(stats)})")
-        )
-
-    # --- exact path ---
-    base_aggs = []
+    # ONE percentile aggregate per column with the quartile array — three
+    # scalar percentile calls would each buffer the column's full value set
+    # independently (3x the memory and merge cost of the single-array form;
+    # measured ~4x slower on a 3-column describe).
+    pct = F.percentile_approx if approx else F.percentile
+    aggs = []
     for c in cols:
         col = F.col(c).cast("double")
-        base_aggs.extend(
+        aggs.extend(
             [
                 F.count(col).alias(f"{c}__count"),
                 F.avg(col).alias(f"{c}__mean"),
                 F.stddev_samp(col).alias(f"{c}__std"),
                 F.min(col).alias(f"{c}__min"),
+                pct(col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias(f"{c}__pcts"),
                 F.max(col).alias(f"{c}__max"),
             ]
         )
-    wide = df.agg(*base_aggs)
-    base_stats = ["count", "mean", "std", "min", "max"]
+    wide = df.agg(*aggs)
+    stats = ["count", "mean", "std", "min", "p25", "p50", "p75", "max"]
+    _expr = {"p25": "`{c}__pcts`[0]", "p50": "`{c}__pcts`[1]", "p75": "`{c}__pcts`[2]"}
     rows = ", ".join(
         "'{c}', {vals}".format(
             c=c,
-            vals=", ".join(f"`{c}__{s}`" for s in base_stats),
+            vals=", ".join(_expr.get(s, f"`{{c}}__{s}`").format(c=c) for s in stats),
         )
         for c in cols
     )
-    base = wide.select(
-        F.expr(f"stack({len(cols)}, {rows}) as (column, {', '.join(base_stats)})")
-    )
-    pairs = ", ".join(f"'{c}', cast(`{c}` as double)" for c in cols)
-    vc = (
-        df.select(F.expr(f"stack({len(cols)}, {pairs}) as (__c, __v)"))
-        .filter(F.col("__v").isNotNull())
-        .groupBy("__c", "__v")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w_cum = (
-        Window.partitionBy("__c")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("__c")
-    cum = vc.select(
-        "__c", "__v", "__n",
-        F.sum("__n").over(w_cum).alias("__cum"),
-        F.sum("__n").over(w_all).alias("__t"),
-    )
-    pct_aggs = []
-    for q in quantiles:
-        tag = int(q * 100)
-        # Spark Percentile: position = percentage * (count - 1), double.
-        pos = F.lit(q) * (F.col("__t") - 1).cast("double")
-        lower, higher = F.floor(pos), F.ceil(pos)
-        lo_rank = F.col("__cum") - F.col("__n")  # first 0-based rank of row
-        pct_aggs.extend(
-            [
-                F.max(
-                    F.when((lo_rank <= lower) & (lower < F.col("__cum")), F.col("__v"))
-                ).alias(f"__vlo{tag}"),
-                F.max(
-                    F.when((lo_rank <= higher) & (higher < F.col("__cum")), F.col("__v"))
-                ).alias(f"__vhi{tag}"),
-                F.max(pos).alias(f"__pos{tag}"),
-                F.max(lower).alias(f"__lo{tag}"),
-                F.max(higher).alias(f"__hi{tag}"),
-            ]
-        )
-    pct_wide = cum.groupBy("__c").agg(*pct_aggs)
-
-    def interp(tag: int):
-        vlo, vhi = F.col(f"__vlo{tag}"), F.col(f"__vhi{tag}")
-        pos = F.col(f"__pos{tag}")
-        lo, hi = F.col(f"__lo{tag}"), F.col(f"__hi{tag}")
-        return (
-            F.when(hi == lo, vlo)
-            .when(vhi == vlo, vlo)
-            .otherwise(
-                (hi.cast("double") - pos) * vlo + (pos - lo.cast("double")) * vhi
-            )
-        )
-
-    pct_long = pct_wide.select(
-        F.col("__c").alias("column"),
-        interp(25).alias("p25"),
-        interp(50).alias("p50"),
-        interp(75).alias("p75"),
-    )
-    return base.join(F.broadcast(pct_long), "column", "left").select(
-        "column", "count", "mean", "std", "min", "p25", "p50", "p75", "max"
+    return wide.select(
+        F.expr(f"stack({len(cols)}, {rows}) as (column, {', '.join(stats)})")
     )
 
 

@@ -258,61 +258,6 @@ def test_require_exists_guard(spark):
         read_parquet(spark, "/root/testdata/sf0.001/nope.parquet")
 
 
-def test_describe_exact_percentile_matches_builtin(spark, sf_dir):
-    """The r13-opt value-count quartile path must be BIT-identical to
-    F.percentile (raw doubles, no rounding) — interpolation formula,
-    tie handling, duplicates, negatives, single-value and all-null
-    columns."""
-    from pyspark.sql import functions as F
-
-    from agent_data_wrangler_spark.sources.readers import read_table
-
-    def builtin(df, cols):
-        aggs = []
-        for c in cols:
-            col = F.col(c).cast("double")
-            aggs.append(
-                F.percentile(
-                    col, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
-                ).alias(c)
-            )
-        return df.agg(*aggs).collect()[0]
-
-    # real testdata columns (high- and low-cardinality)
-    li = read_table(spark, sf_dir, "lineitem")
-    cols = ["l_discount", "l_extendedprice", "l_quantity"]
-    def norm(arr):
-        # percentile of an empty input is a NULL array; at the describe
-        # surface that is three NULL stats
-        return [None, None, None] if arr is None else list(arr)
-
-    got = {r["column"]: r for r in profile.describe_numeric(li, cols).collect()}
-    want = builtin(li, cols)
-    for c in cols:
-        assert [got[c]["p25"], got[c]["p50"], got[c]["p75"]] == norm(want[c]), c
-
-    # adversarial synthetic: negatives, heavy duplicates, a single-value
-    # column, an all-null column, n where q*(n-1) is integral and not
-    import random
-
-    rng = random.Random(7)
-    rows = [
-        (
-            float(rng.choice([-3, -1, 0, 2, 2, 2, 5, 9])),
-            float(rng.randint(-50, 50)) / 7.0,
-            1.5,
-            None,
-        )
-        for _ in range(101)
-    ] + [(None, None, 1.5, None)] * 4
-    df = spark.createDataFrame(rows, "a double, b double, c double, d double")
-    cols = ["a", "b", "c", "d"]
-    got = {r["column"]: r for r in profile.describe_numeric(df, cols).collect()}
-    want = builtin(df, cols)
-    for c in cols:
-        assert [got[c]["p25"], got[c]["p50"], got[c]["p75"]] == norm(want[c]), c
-
-
 def test_describe_auto_size_switch(spark, tmp_path):
     # Small parquet-backed frame under the threshold -> exact path
     # (bit-identical to describe_numeric exact); threshold 0 -> approx sketch
