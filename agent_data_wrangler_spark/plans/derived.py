@@ -154,17 +154,23 @@ def _build_trade_graph(
     stage = f"{base}.stage-{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
-    op = (
+    # r13-opt (the mb1/fi1 rewrite): per-order supplier SETS via one
+    # groupBy(collect_set) — the old .distinct() + self-join-on-orderkey
+    # shuffled the deduped frame three times; the sorted-array combos
+    # generate each s1<s2 pair once, bounded by C(basket, 2).
+    sets = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_suppkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_suppkey")).alias("ss"))
         .persist()
     )
     try:
         o = read_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey")
         (
-            op.join(o, op["l_orderkey"] == o["o_orderkey"])
+            sets.select("l_orderkey", F.explode("ss").alias("l_suppkey"))
+            .join(o, F.col("l_orderkey") == o["o_orderkey"])
             .select(
                 (F.col("o_custkey") * 2).alias("src"),
                 (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -172,21 +178,24 @@ def _build_trade_graph(
             .distinct()
             .write.parquet(os.path.join(stage, "trade_edges"))
         )
-        a = op.select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_suppkey").alias("s1"))
-        b = op.select(
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_suppkey").alias("s2"))
+        combos = F.flatten(
+            F.transform(
+                F.col("ss"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                    lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+                ),
+            )
+        )
         (
-            a.join(b, "ok")
-            .filter(F.col("s1") < F.col("s2"))
+            sets.select(F.explode(combos).alias("pr"))
+            .select("pr.s1", "pr.s2")
             .groupBy("s1", "s2")
             .agg(F.count(F.lit(1)).alias("w"))
             .write.parquet(os.path.join(stage, "cosupply_pairs"))
         )
     finally:
-        op.unpersist()
+        sets.unpersist()
     try:
         os.rename(stage, base)
     except OSError:

@@ -5234,16 +5234,30 @@ def sq2_signup_conversion_pattern(spark: SparkSession, sf_dir: str) -> DataFrame
     """,
 )
 def fi1_frequent_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    op = (
+    # r13-opt (the mb1 rewrite): per-order part SETS from one
+    # groupBy(collect_set) — the .distinct() shuffle fuses into the same
+    # aggregation — and the p1<p2 pairs generated inside the sorted array
+    # (bounded by basket size), so the pair stage shuffles |orders| set
+    # rows once instead of shuffling the deduped frame twice and joining.
+    sets = (
         read_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
-    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
-    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
-    pairs = a.join(b, "ok").filter(F.col("p1") < F.col("p2"))
+    combos = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps"))),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
     return (
-        pairs.groupBy("p1", "p2")
+        sets.select(F.explode(combos).alias("pr"))
+        .select("pr.p1", "pr.p2")
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_orders").desc(), F.col("p1").asc(), F.col("p2").asc())
         .limit(20)
