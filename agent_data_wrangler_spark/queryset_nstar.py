@@ -6255,9 +6255,12 @@ def _qf1_oracle() -> str:
     """
 
 
-def _qf1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """qf1's UN-checkpointed result plus the persisted weight frame — split
-    out so tests/test_plan_shapes.py can pin the WORKING plan."""
+def _qf1_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    """qf1's UN-checkpointed result plus the persisted frames (weight
+    frame + 1-row totals) — split out so tests/test_plan_shapes.py can pin
+    the WORKING plan; the caller unpersists every returned cache."""
     from pyspark import StorageLevel
 
     from agent_data_wrangler_spark.operators.splits import hash_split
@@ -6298,15 +6301,27 @@ def _qf1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     )
     train_tok = tok.filter(F.col("split") == "train")
     # 1-row totals frames, consumed via broadcast crossJoin (the repo's
-    # stat-frame pattern): token totals per class + train doc counts (prior).
-    tot = train_tok.agg(
-        F.count(F.when(F.col("is_hi"), 1)).alias("n_hi"),
-        F.count(F.when(~F.col("is_hi"), 1)).alias("n_lo"),
-    )
-    dtot = lab.filter(F.col("split") == "train").agg(
+    # stat-frame pattern): token totals per class + train doc counts
+    # (prior). r13-opt: BOTH come from one explode-free scan — the
+    # per-class token total is the sum of the token-array sizes, so the
+    # separate pass over the exploded train tokens is gone (identical
+    # integers; guide §1.2 "don't compute things twice").
+    train_lab = lab.filter(F.col("split") == "train")
+    # Persisted (tw1): the 1-row frame feeds THREE broadcast consumers
+    # (the weight fit, the prior, the unmatched-penalty term) — each would
+    # otherwise replan the full labeled-corpus scan into its subtree.
+    totals = train_lab.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_hi"), F.size("toks"))), F.lit(0)
+        ).alias("n_hi"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_hi"), F.size("toks"))), F.lit(0)
+        ).alias("n_lo"),
         F.count(F.when(F.col("is_hi"), 1)).alias("d_hi"),
         F.count(F.when(~F.col("is_hi"), 1)).alias("d_lo"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    tot = totals.select("n_hi", "n_lo")
+    dtot = totals.select("d_hi", "d_lo")
     # Closed-form naive-Bayes weights: <= B rows. Persisted — the frame
     # feeds the eval-score broadcast join, and unpersisted Catalyst would
     # replan the full train-token aggregation into the broadcast subtree
@@ -6364,16 +6379,17 @@ def _qf1_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.round(F.avg("score"), 4).alias("avg_score"),
     )
-    return res, w
+    return res, [w, totals]
 
 
 @query("qf1_quality_classifier_documents", oracle=_qf1_oracle())
 def qf1_quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    res, w = _qf1_frames(spark, sf_dir)
+    res, caches = _qf1_frames(spark, sf_dir)
     try:
         return res.localCheckpoint()
     finally:
-        w.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -1321,14 +1321,15 @@ def test_qf1_weights_broadcast_and_cached(spark, sf_dir):
     tw1 lesson) and the eval-token scoring join must broadcast it."""
     from agent_data_wrangler_spark.queryset_nstar import _qf1_frames
 
-    res, w = _qf1_frames(spark, sf_dir)
+    res, caches = _qf1_frames(spark, sf_dir)
     try:
         plan = res._jdf.queryExecution().executedPlan().toString()
         assert "InMemoryTableScan" in plan, plan
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
     finally:
-        w.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def test_p5a_envelope_counts_not_exact_percentile(spark, sf_dir):
