@@ -14,14 +14,26 @@ costs polluting the measurement.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # The trade-graph rollup (plans/derived.py) is a materialized view keyed
+    # on the source tables' identity: correct for production, but across bench
+    # runs on the same testdata it would mean gr1/tr1/rx1/dg1/dg2 never pay
+    # the build after the first-ever run on a box. Point the cache at a fresh
+    # per-run temp dir so pass 1 pays the build, min-of-2 reports the
+    # steady-state (amortized) cost, and nothing carries across runs.
+    _rollup_dir = tempfile.mkdtemp(prefix="adw_bench_rollup_")
+    os.environ["ADW_CACHE_DIR"] = _rollup_dir
+    atexit.register(shutil.rmtree, _rollup_dir, ignore_errors=True)
     from agent_data_wrangler_spark.session import get_spark
 
     spark = get_spark(app_name="adw-bench")
@@ -126,6 +138,22 @@ def main() -> None:
         "sf": sf,
     }
     print(json.dumps(payload))
+    # Round-13 verdict item 2: the driver keeps only a bounded stdout TAIL
+    # (~2000 chars), so the single 228-entry per-query line above never
+    # survives it and the driver's round-over-round PERF comparison came back
+    # empty (PERF_r13 per_query: {}, n_common: 0). Re-emit the SAME timings as
+    # many SHORT standalone JSON lines (8 queries each, alphabetical — the
+    # same ordering as the full line, so the tail-visible region is stable
+    # across rounds) near the END of stdout; whatever the tail keeps is now
+    # whole parseable lines instead of the middle of one giant line.
+    # Additions only: the full line stays first, the summary line stays last.
+    names = sorted(timings)
+    n_chunks = (len(names) + 7) // 8
+    for i in range(n_chunks):
+        chunk = {n: timings[n] for n in names[i * 8:(i + 1) * 8]}
+        print(json.dumps(
+            {"part": f"{i + 1}/{n_chunks}", "queries": chunk},
+            separators=(",", ":")))
     # Round-7 verdict item 4: the driver's stdout tail truncates the full
     # per-query line (~51/205 visible), so round-over-round per-query diffs
     # need a file. Written next to the repo root (or $SPARK_GRAFT_BENCH_OUT);
