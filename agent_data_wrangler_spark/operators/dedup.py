@@ -975,6 +975,54 @@ def blocked_editdist_pairs(
     return pairs, metrics
 
 
+def incremental_band_candidates(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    signature_strategy: str = "fold",
+    corpus_shingles: DataFrame | None = None,
+    batch_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Batch-vs-corpus LSH candidate pairs: ``(batch_id, corpus_id)``,
+    distinct, NOT verified and NOT persisted (callers persist at the stage
+    boundary they need). The candidate half of
+    :func:`near_dup_pairs_incremental`, split out so pipelines that already
+    materialize an exact pair set (the n12 verdict query) can verify
+    candidates with one semi-join against it instead of re-deriving
+    per-pair Jaccards through :func:`jaccard_verify`."""
+    rows_per_band = num_hashes // bands
+
+    def banded(df: DataFrame, out: str, sh: DataFrame | None) -> DataFrame:
+        # Same all-P sentinel (empty-shingle) drop as near_dup_candidates:
+        # without it, m_b empty batch docs x m_c empty corpus docs collide
+        # in EVERY band (identical sentinel signatures), emitting
+        # m_b*m_c*bands join rows the verify stage only later discards —
+        # the quadratic blowup fixed for the self-join path applies to the
+        # batch x corpus join identically.
+        sigs = minhash_signatures(
+            df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed,
+            strategy=signature_strategy, shingles_df=sh,
+        ).filter(F.element_at("__sig", 1) < F.lit(_MERSENNE_31))
+        keys = F.flatten(
+            F.transform(F.array(F.col("__sig")),
+                        lambda sig: band_keys(sig, bands, rows_per_band))
+        )
+        return sigs.select(F.col("__id").alias(out), F.explode(keys).alias("__band"))
+
+    return (
+        banded(batch, "batch_id", batch_shingles)
+        .join(banded(corpus, "corpus_id", corpus_shingles), "__band")
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+
+
 def near_dup_pairs_incremental(
     corpus: DataFrame,
     batch: DataFrame,
@@ -1010,32 +1058,11 @@ def near_dup_pairs_incremental(
     """
     from pyspark import StorageLevel
 
-    rows_per_band = num_hashes // bands
-
-    def banded(df: DataFrame, out: str, sh: DataFrame | None) -> DataFrame:
-        # Same all-P sentinel (empty-shingle) drop as near_dup_candidates:
-        # without it, m_b empty batch docs x m_c empty corpus docs collide
-        # in EVERY band (identical sentinel signatures), emitting
-        # m_b*m_c*bands join rows the verify stage only later discards —
-        # the quadratic blowup fixed for the self-join path applies to the
-        # batch x corpus join identically.
-        sigs = minhash_signatures(
-            df, id_col, text_col, k=k, num_hashes=num_hashes, seed=seed,
-            strategy=signature_strategy, shingles_df=sh,
-        ).filter(F.element_at("__sig", 1) < F.lit(_MERSENNE_31))
-        keys = F.flatten(
-            F.transform(F.array(F.col("__sig")),
-                        lambda sig: band_keys(sig, bands, rows_per_band))
-        )
-        return sigs.select(F.col("__id").alias(out), F.explode(keys).alias("__band"))
-
-    cands = (
-        banded(batch, "batch_id", batch_shingles)
-        .join(banded(corpus, "corpus_id", corpus_shingles), "__band")
-        .select("batch_id", "corpus_id")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    cands = incremental_band_candidates(
+        corpus, batch, id_col, text_col, k=k, num_hashes=num_hashes,
+        bands=bands, seed=seed, signature_strategy=signature_strategy,
+        corpus_shingles=corpus_shingles, batch_shingles=batch_shingles,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands.count()  # materialize: verify references it several times
 
     # Verify via the SHARED exact-Jaccard funnel (one copy of the rounding /

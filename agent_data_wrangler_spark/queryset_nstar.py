@@ -362,32 +362,36 @@ def n5_minhash_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     # Shared shingle stage (r05 verdict item 4): the minhash leg and the
     # exact-oracle leg each used to re-derive shingles from raw text — two
-    # full tokenize+k-gram scans. Compute once, persist, feed both.
+    # full tokenize+k-gram scans. Compute once, persist, feed both. Eager
+    # count: the first downstream action (ex.count) references sh on BOTH
+    # self-join branches, and a lazy persist referenced several times inside
+    # one action recomputes the pipeline first (the n12 rule).
     sh = dedup.shingle_frame(d, "doc_id", "text", k=3).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # No eager count here: the first materializing action (the candidate
-    # count inside near_dup_pairs_minhash) references sh exactly ONCE, so the
-    # lazy persist populates safely and later references hit the cache — the
-    # eager-materialize rule only applies when one action would reference the
-    # frame several times before the cache exists (as n12's two-sided band
-    # join does).
-    # Both pair frames are tiny (the funnel's OUTPUT) but referenced twice
-    # (count + anti-join). mh arrives pre-checkpointed (the minhash engine
-    # checkpoints its output since r10); ex is lazy, so persist AND
-    # materialize it — lazy persists referenced several times inside one
-    # action recompute the pipeline first (measured 19s -> ~4s cold at
-    # sf0.1). The mh persist is a cheap in-memory copy of an ExistingRDD,
-    # kept so both frames get the same teardown path below.
-    mh = dedup.near_dup_pairs_minhash(
-        d, "doc_id", "text", k=3, num_hashes=64, bands=16, threshold=0.7,
-        shingles_df=sh,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    mh.count()
+    sh.count()
+    # Shared verify leg (r13 verdict item 1, guide §2.4/§5): the exact pair
+    # frame IS the verify table for the minhash candidates. jaccard_verify
+    # keeps a candidate (a,b) iff round(J(a,b),6) >= t, and any such pair
+    # shares a shingle (J > 0), so it appears in near_dup_pairs_exact's
+    # inverted-index pair set at the same threshold with the identical
+    # round-6 Jaccard over the identical shingle frame:
+    #   verify(C, t) == C semi-join exact_pairs(t).
+    # The minhash leg therefore drops its whole per-pair verify subtree
+    # (touched-doc semi-join + two pair joins + per-pair array_intersect)
+    # and the exact leg — already a declared output (n_pairs_exact) — is
+    # computed once and persisted for all consumers.
+    # (test_minhash_verify_equals_exact_semijoin pins the equivalence.)
     ex = dedup.near_dup_pairs_exact(
         d, "doc_id", "text", k=3, threshold=0.7, shingles_df=sh
     ).persist(StorageLevel.MEMORY_AND_DISK)
     ex.count()
+    mh = dedup.near_dup_candidates(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, shingles_df=sh
+    ).join(
+        ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    mh.count()
     extra = mh.select("id_a", "id_b").join(
         ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )
@@ -2328,14 +2332,9 @@ def n12_incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataF
     sh.count()
     sh_b = sh.filter(F.col("__id") % 5 == 0)
     sh_c = sh.filter(F.col("__id") % 5 != 0)
-    inc = dedup.near_dup_pairs_incremental(
-        corpus, batch, "doc_id", "text", k=3, num_hashes=64, bands=16,
-        threshold=0.7, corpus_shingles=sh_c, batch_shingles=sh_b,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    inc.count()
-    # Exact cross-pair leg: the full exact pair set filtered to one-side-in-
-    # batch pairs (near_dup_pairs_exact emits id_a < id_b, so a cross pair
-    # may carry the batch doc on either side).
+    # Exact cross-pair leg FIRST: the full exact pair set filtered to one-
+    # side-in-batch pairs (near_dup_pairs_exact emits id_a < id_b, so a
+    # cross pair may carry the batch doc on either side).
     ex = (
         dedup.near_dup_pairs_exact(d, "doc_id", "text", k=3, threshold=0.7,
                                    shingles_df=sh)
@@ -2343,12 +2342,23 @@ def n12_incremental_neardup_documents(spark: SparkSession, sf_dir: str) -> DataF
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ex.count()
-    # Canonicalize the incremental pairs to (id_a, id_b) = (min, max) for the
-    # subset anti-join against the exact leg's id_a < id_b convention.
-    canon = inc.select(
+    # Shared verify leg (r13 verdict item 1, the n5 argument): a batch x
+    # corpus LSH candidate passes jaccard_verify at t iff its round-6 exact
+    # Jaccard clears t, i.e. iff the pair is in the exact pair set — and
+    # every incremental candidate is a cross pair, so the CROSS-filtered ex
+    # loses none of them. Canonicalize candidates to the exact leg's
+    # id_a < id_b convention and semi-join; the incremental engine's
+    # per-pair verify subtree (union frame + jaccard_verify) drops out.
+    canon = dedup.incremental_band_candidates(
+        corpus, batch, "doc_id", "text", k=3, num_hashes=64, bands=16,
+        corpus_shingles=sh_c, batch_shingles=sh_b,
+    ).select(
         F.least("batch_id", "corpus_id").alias("id_a"),
         F.greatest("batch_id", "corpus_id").alias("id_b"),
-    )
+    ).join(
+        ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    canon.count()
     extra = canon.join(ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
     return (
         batch.agg(F.count(F.lit(1)).alias("n_batch"))
@@ -6514,14 +6524,26 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
         similarity.lsh_bucket("v", planes).alias("bk"),
         l2_norm("v").alias("nn"),
     )
+    # UP-probe-only candidate generation (r13 verdict item 5, guide §2): a
+    # hamming-1 pair used to be generated from BOTH sides (each side probing
+    # the other's bucket) with the id_a < id_b filter discarding one of the
+    # two join rows AFTER the join materialized it. Probing only buckets
+    # >= the row's own (bk itself plus flips of UNSET bits) generates each
+    # cross-bucket pair exactly once — ~meanly 3.5 instead of 6 probe rows
+    # per vector, near-half the join output — while same-bucket pairs keep
+    # the id order filter (self-probe joins emit both directions). The
+    # removed id is canonicalized to greatest(id_a, id_b), which equals the
+    # old y-side id on every surviving row, so the distinct-id removal sets
+    # are unchanged (dot count is identical — only discarded join rows go).
     probes = F.array(
         F.col("bk"),
         *[F.col("bk").bitwiseXOR(F.lit(2 ** i)) for i in range(_SD2_PLANES)],
     )
+    up_probes = F.filter(probes, lambda p: p >= F.col("bk"))
     xm = b.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nn").alias("na"), F.col("bk").alias("ba"),
-        F.explode(probes).alias("bk"),
+        F.explode(up_probes).alias("bk"),
     )
     y = b.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
@@ -6529,7 +6551,11 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
     )
     qualified = (
         xm.join(y, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.when(
+                F.col("ba") == F.col("bk"), F.col("id_a") < F.col("id_b")
+            ).otherwise(F.lit(True))
+        )
         .filter(
             F.round(
                 dot_product(F.col("va"), F.col("vb"))
@@ -6538,7 +6564,10 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
             )
             >= F.lit(_SD2_TAU)
         )
-        .select("id_b", (F.col("ba") == F.col("bk")).alias("same"))
+        .select(
+            F.greatest("id_a", "id_b").alias("id_b"),
+            (F.col("ba") == F.col("bk")).alias("same"),
+        )
     )
     removed = qualified.agg(
         F.count_distinct(F.when(F.col("same"), F.col("id_b"))).cast("bigint").alias(

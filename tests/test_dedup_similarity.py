@@ -734,3 +734,62 @@ def test_prefix_filter_candidate_volume_shrinks(spark):
     )
     assert full_cands == 40 * 39 // 2  # common core makes every pair collide
     assert pref_cands == 0  # prefixes hold only df=1 tail shingles
+
+
+def test_minhash_verify_equals_exact_semijoin(spark):
+    """The r14 shared-verify restructure of n5/n12: for ANY candidate set,
+    jaccard_verify at threshold t keeps exactly the candidates present in
+    near_dup_pairs_exact(t) — a verified candidate has J >= t > 0, so it
+    shares a shingle and appears in the inverted-index pair set with the
+    identical round-6 Jaccard. Pinned on a corpus with exact dups, near
+    dups, sub-threshold pairs and empty-shingle docs."""
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),
+        (2, BASE),
+        (3, BASE.replace("quick", "slow").replace("garden", "yard")),
+        (4, "completely different text about spark shuffles and parquet"),
+        (5, "short"),
+        (6, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.5, 0.7):
+        sh = dedup.shingle_frame(d, "doc_id", "text", k=3)
+        cands = dedup.near_dup_candidates(
+            d, "doc_id", "text", k=3, num_hashes=64, bands=16, shingles_df=sh
+        )
+        verified = dedup.jaccard_verify(
+            d, cands, "doc_id", "text", k=3, threshold=t, shingles_df=sh
+        )
+        ex = dedup.near_dup_pairs_exact(
+            d, "doc_id", "text", k=3, threshold=t, shingles_df=sh
+        )
+        via_semi = cands.join(
+            ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+        )
+        got_verify = {(r.id_a, r.id_b) for r in verified.collect()}
+        got_semi = {(r.id_a, r.id_b) for r in via_semi.collect()}
+        assert got_verify == got_semi
+        # and the incremental shape: batch x corpus candidates, canonicalized
+        batch = d.filter(F.col("doc_id") % 2 == 0)
+        corpus = d.filter(F.col("doc_id") % 2 != 0)
+        icands = dedup.incremental_band_candidates(
+            corpus, batch, "doc_id", "text", k=3, num_hashes=64, bands=16
+        ).select(
+            F.least("batch_id", "corpus_id").alias("id_a"),
+            F.greatest("batch_id", "corpus_id").alias("id_b"),
+        )
+        inc_verified = dedup.near_dup_pairs_incremental(
+            corpus, batch, "doc_id", "text", k=3, threshold=t
+        ).select(
+            F.least("batch_id", "corpus_id").alias("id_a"),
+            F.greatest("batch_id", "corpus_id").alias("id_b"),
+        )
+        got_inc = {(r.id_a, r.id_b) for r in inc_verified.collect()}
+        got_inc_semi = {
+            (r.id_a, r.id_b)
+            for r in icands.join(
+                ex.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+            ).collect()
+        }
+        assert got_inc == got_inc_semi

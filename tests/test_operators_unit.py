@@ -687,3 +687,66 @@ def test_compact_many_tiny_files(spark, tmp_path):
     assert out2 == src
     assert len(glob.glob(src + "/part-*.parquet")) == 1
     assert spark.read.parquet(src).count() == 20_000
+
+
+def test_describe_bracketed_bit_identical(spark):
+    """The r14 two-pass bracketed exact quartiles must be BIT-identical to
+    the single-pass F.percentile plan on every distribution shape that
+    stresses the bracket math: high-cardinality, constant (lo==hi bracket),
+    bimodal massive boundary ties, tiny n (interpolation between two
+    values), +/-0.0 mixtures, nulls, and an all-null column."""
+    import random
+
+    from agent_data_wrangler_spark.operators.profile import (
+        _describe_numeric_onepass,
+        _exact_quartiles_bracketed,
+        describe_numeric,
+    )
+
+    rng = random.Random(7)
+    n = 999
+    rows = []
+    for i in range(n):
+        rows.append((
+            rng.uniform(-1e6, 1e6),                      # high-cardinality
+            7.25,                                        # constant
+            0.0 if i % 2 == 0 else 1.0,                  # bimodal ties
+            float(i % 4),                                # few distinct
+            rng.choice([-0.0, 0.0, 1.5, -2.5]),          # signed zeros
+            rng.uniform(0, 1) if i % 3 == 0 else None,   # nulls
+            None,                                        # all null
+        ))
+    cols = list("abcdefg")
+    df = spark.createDataFrame(
+        rows, ", ".join(f"{c} double" for c in cols))
+    # the bracketed path must actually engage here (None would mean every
+    # shape above silently fell back and the comparison proves nothing)
+    assert _exact_quartiles_bracketed(df, cols) is not None
+    # and NaN data must NOT take it
+    assert _exact_quartiles_bracketed(
+        spark.createDataFrame([(float("nan"),), (1.0,)], "x double"), ["x"]
+    ) is None
+    fast = describe_numeric(df, cols, bracket_min_bytes=0).collect()
+    slow = _describe_numeric_onepass(df, cols, approx=False).collect()
+    assert len(fast) == len(slow) == len(cols)
+    for fr, sr in zip(fast, slow):
+        for k in ("column", "count", "mean", "std", "min",
+                  "p25", "p50", "p75", "max"):
+            assert fr[k] == sr[k], (fr["column"], k, fr[k], sr[k])
+    # tiny frames exercise exact-rank interpolation between two values
+    tiny = spark.createDataFrame([(1.0,), (2.0,)], "x double")
+    f2 = describe_numeric(tiny, ["x"], bracket_min_bytes=0).collect()[0]
+    s2 = _describe_numeric_onepass(tiny, ["x"], approx=False).collect()[0]
+    assert (f2["p25"], f2["p50"], f2["p75"]) == (s2["p25"], s2["p50"], s2["p75"])
+    # NaN data must take the fallback path and still agree
+    nan_df = spark.createDataFrame(
+        [(float("nan"),), (1.0,), (2.0,), (3.0,)], "x double")
+    fn = describe_numeric(nan_df, ["x"], bracket_min_bytes=0).collect()[0]
+    sn = _describe_numeric_onepass(nan_df, ["x"], approx=False).collect()[0]
+    import struct as _s
+
+    def bits(v):  # NaN == NaN for this comparison; bit-level equality
+        return _s.pack(">d", v) if isinstance(v, float) else v
+
+    assert tuple(bits(fn[k]) for k in ("p25", "p50", "p75")) == tuple(
+        bits(sn[k]) for k in ("p25", "p50", "p75"))

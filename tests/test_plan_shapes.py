@@ -83,21 +83,28 @@ def test_windows_shuffle_once(spark, sf_dir, name):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
-def test_no_cartesian_product_anywhere(spark, sf_dir):
-    """Sweep every registered query plan: a CartesianProduct node means a
-    join lost its keys — the canonical accidental O(n^2). Intentional 1-row
-    crossJoins compile to BroadcastNestedLoopJoin over single-row sides and
-    are fine. Streaming queries are skipped (building them runs the stream)."""
+@pytest.fixture(scope="module")
+def all_query_plans(spark, sf_dir):
+    """Executed-plan strings for EVERY registered query, built once and
+    shared by the whole-registry sweep tests below — each sweep used to pay
+    its own full-registry construction (~45 s apiece; r14 suite-wall fix).
+    Streaming queries st1-st6 are excluded (building them runs the stream)."""
     skip = {"st1_streaming_window_counts", "st2_streaming_sessions",
             "st3_streaming_dedup_count", "st4_streaming_enriched_segments",
             "st5_incremental_rollup_events", "st6_stateful_user_totals"}
-    bad = []
-    for name, q in {**Q1, **Q2}.items():
-        if name in skip:
-            continue
-        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            bad.append(name)
+    return {
+        name: q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        for name, q in {**Q1, **Q2}.items()
+        if name not in skip
+    }
+
+
+def test_no_cartesian_product_anywhere(all_query_plans):
+    """Sweep every registered query plan: a CartesianProduct node means a
+    join lost its keys — the canonical accidental O(n^2). Intentional 1-row
+    crossJoins compile to BroadcastNestedLoopJoin over single-row sides and
+    are fine."""
+    bad = [n for n, plan in all_query_plans.items() if "CartesianProduct" in plan]
     assert not bad, f"cartesian products in: {bad}"
 
 
@@ -317,7 +324,7 @@ def test_ri1_single_child_scan(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
-def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
+def test_no_row_at_a_time_python_anywhere(all_query_plans):
     """Sweep every registered query plan: plain BatchEvalPython means a
     row-at-a-time Python UDF crept into a hot path — the Python boundary
     must always be Arrow-batched (ArrowEvalPython / *InPandas / PythonScan).
@@ -325,17 +332,12 @@ def test_no_row_at_a_time_python_anywhere(spark, sf_dir):
     (BatchEvalPythonUDTF — the UDTF surface itself)."""
     import re
 
-    skip = {"st1_streaming_window_counts", "st2_streaming_sessions",
-            "st3_streaming_dedup_count", "st4_streaming_enriched_segments",
-            "st5_incremental_rollup_events", "st6_stateful_user_totals",
-            "st7_stream_stream_join_events"}
-    bad = []
-    for name, q in {**Q1, **Q2}.items():
-        if name in skip:
-            continue
-        plan = q(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if re.search(r"BatchEvalPython(?!UDTF)", plan):
-            bad.append(name)
+    bad = [
+        name
+        for name, plan in all_query_plans.items()
+        if name != "st7_stream_stream_join_events"
+        and re.search(r"BatchEvalPython(?!UDTF)", plan)
+    ]
     assert not bad, f"row-at-a-time Python UDFs in: {bad}"
 
 
