@@ -39,13 +39,11 @@ _MERSENNE_31 = 2_147_483_647
 
 def _widen(df: DataFrame) -> DataFrame:
     """Repartition up to the session's default parallelism when the input has
-    fewer partitions than cores. Shingling/minhashing is CPU-bound map work;
-    a small local file arrives as ONE split and would pin one core. At real
-    scale the scan yields >> cores splits and this is a no-op (no shuffle)."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    fewer partitions than cores (no-op at real scale) — shared helper, see
+    sources/readers.py widen_scan."""
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
+    return widen_scan(df)
 
 
 def _lcg_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -875,6 +873,7 @@ def blocked_editdist_pairs(
     length_band: int = 16,
     max_block_size: int | None = None,
     with_metrics: bool = False,
+    keep_unverified: bool = False,
 ):
     """Record-linkage near-dup candidates: a deterministic blocking key
     (leading tokens + length band) restores an equi-join shape, then
@@ -906,6 +905,15 @@ def blocked_editdist_pairs(
     entirely. ``with_metrics=True`` additionally returns a 1-row DataFrame
     ``(n_blocks_refined, n_blocks_skipped, n_rows_skipped)`` so pipelines
     can alert on silent coverage loss instead of guessing.
+
+    ``keep_unverified=True`` keeps the candidate pairs whose distance
+    exceeded ``max_dist`` (their ``dist`` is the threshold form's ``-1``
+    sentinel) instead of filtering them. The join enumerates each in-block
+    unordered pair exactly once, so the UNFILTERED row count IS
+    ``sum nC2 over blocks`` — callers that need both the candidate volume
+    and the near-pair stats (bl1) get them from ONE join instead of paying
+    a second corpus scan + block-size aggregate for the count (guide §2.4:
+    remove shuffles outright).
     """
     bk = editdist_block_key(
         text_col, block_tokens=block_tokens, length_band=length_band
@@ -952,8 +960,9 @@ def blocked_editdist_pairs(
             F.col("b.__id").alias("id_b"),
             dist.alias("dist"),
         )
-        .filter(F.col("dist") >= 0)
     )
+    if not keep_unverified:
+        pairs = pairs.filter(F.col("dist") >= 0)
     if not with_metrics:
         return pairs
     if max_block_size is None:
@@ -1318,8 +1327,17 @@ def repeated_ngram_spans(
         # the min!=max fast path below implements exactly that, so a
         # min_docs=1 request would silently mean 2 — reject it instead.
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # r14-opt: the positional-gram pipeline (tokenize + per-position md5) is
+    # pure per-row CPU and is derived TWICE (aggregate side + probe side);
+    # on a one-split local file both passes ran inside single-task scan
+    # stages (stage-profiled 2.1 s + 1.3 s). _widen floors the scan
+    # parallelism at cores — no-op at real scale — and both derivations
+    # reuse the one spread exchange. All downstream aggregates are exact
+    # (md5 keys, integer min/max/count), so partitioning cannot perturb
+    # results.
     t = (
-        df.select(F.col(id_col).alias("__id"), tokens(F.lower(F.col(text_col))).alias("__toks"))
+        _widen(df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t")))
+        .select("__id", tokens(F.lower(F.col("__t"))).alias("__toks"))
         .select("__id", "__toks", F.size("__toks").alias("__nt"))
         .filter(F.col("__nt") >= n)
     )

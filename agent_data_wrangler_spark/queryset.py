@@ -1755,10 +1755,14 @@ def u4_udtf_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STAGED_ROUNDTRIP: dict[tuple[str, str], str] = {}
 
 
-def _staged_export(spark: SparkSession, sf_dir: str, fmt: str, filename: str) -> str:
+def _staged_export(
+    spark: SparkSession, sf_dir: str, fmt: str, filename: str,
+    spread: bool = False,
+) -> str:
     import os
     import tempfile
 
+    from agent_data_wrangler_spark.sources.readers import widen_scan
     from agent_data_wrangler_spark.sources.writers import write_versioned
 
     key = (sf_dir, fmt)
@@ -1768,6 +1772,15 @@ def _staged_export(spark: SparkSession, sf_dir: str, fmt: str, filename: str) ->
     ev = read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
+    if spread:
+        # r14-opt: export as cores-many files instead of one, so the
+        # re-read's schema-INFERENCE pass (the declared verified surface of
+        # the roundtrip queries — it must stay) and the parse both
+        # parallelize; a one-file XML export made xm1's inference a 3 s
+        # single-task stage. Opt-in per format: xm1's aggregates are exact
+        # integers, while the CSV/JSON roundtrips sum raw doubles whose
+        # partial-sum order the single-file layout keeps deterministic.
+        ev = widen_scan(ev)
     out = write_versioned(
         ev, os.path.join(tempfile.mkdtemp(prefix=f"adw_{fmt}_"), filename),
         fmt=fmt,
@@ -5473,7 +5486,7 @@ def rx1_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 def xm1_xml_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.sources.readers import read_xml
 
-    out = _staged_export(spark, sf_dir, "xml", "events.xml")
+    out = _staged_export(spark, sf_dir, "xml", "events.xml", spread=True)
     back = read_xml(spark, out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),

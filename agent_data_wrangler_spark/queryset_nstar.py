@@ -518,8 +518,16 @@ FROM allsh
 
 @query("n6_simhash_documents", oracle=_N6_ORACLE)
 def n6_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     d = read_table(spark, sf_dir, "documents")
-    sh = d.select(dedup.simhash("text", bits=_N6_BITS).alias("sh"))
+    # r14-opt: the per-row simhash fold (md5 per token + 32-bit vote
+    # accumulator) ran inside a single scan task on the one-split local
+    # file (stage-profiled 2.3 s single-task). widen_scan floors scan
+    # parallelism at cores; the count/countDistinct aggregate is exact.
+    sh = widen_scan(d.select("text")).select(
+        dedup.simhash("text", bits=_N6_BITS).alias("sh")
+    )
     return sh.agg(
         F.countDistinct("sh").alias("n_distinct_simhash"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -757,18 +765,29 @@ def n8_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark import StorageLevel
 
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     e = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     base = e.orderBy("vec_id").limit(_N8_PLANT)
     planted = base.select(
         (F.col("vec_id") + F.lit(_N8_OFFSET)).alias("vec_id"), "embedding"
     )
-    aug = e.unionByName(planted)
+    # r14-opt (guide §1.2/§2): derive the LSH plane count from the base
+    # table's count plus the known plant size instead of counting the
+    # union (the union count cannot use the scan's metadata path and was
+    # the query's single largest stage), and widen the one-split local
+    # scan so the bucket computation AND the per-pair cosine verify run
+    # across cores instead of inside two single-task branches. Exact same
+    # n reaches derive_lsh_params; all aggregates are integer counts.
+    aug = widen_scan(e.unionByName(planted))
+    num_planes = similarity.derive_lsh_params(e.count() + _N8_PLANT)[0]
     # The LSH self-join output is referenced twice (planted count + subset
     # check) and is tiny by construction; persist + materialize caps it at
     # one run (a lazy persist would recompute under the multi-reference
     # final action).
     pairs = similarity.similarity_join_lsh(
-        aug, aug, "embedding", threshold=0.95, id_col="vec_id"
+        aug, aug, "embedding", threshold=0.95, id_col="vec_id",
+        num_planes=num_planes,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     pairs.count()
     # Bounded exact leg: all pairs within the 50-row planted subset. The
@@ -1878,9 +1897,14 @@ END
 )
 def rh1_winnow_fingerprints_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.functions.text import winnow_fingerprints
+    from agent_data_wrangler_spark.sources.readers import widen_scan
 
     d = read_table(spark, sf_dir, "documents")
-    fps = d.select(
+    # r14-opt: winnowing (per-position k-gram md5 + sliding-window min) is
+    # per-row CPU that ran as one scan task on the one-split local file
+    # (stage-profiled 2.1 s single-task); widen_scan floors parallelism at
+    # cores (no-op at scale). Aggregates are exact counts/min-string.
+    fps = widen_scan(d.select("doc_id", "source", "text")).select(
         "doc_id", "source",
         F.explode(winnow_fingerprints("text", k=_RH1_K, w=_RH1_W)).alias("fp"),
     )
@@ -2090,22 +2114,24 @@ _BL1_DUCK_BK = ("split_part(lower(trim(text)), ' ', 1) || ' ' || "
     """,
 )
 def bl1_blocked_editdist_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from agent_data_wrangler_spark.operators.dedup import editdist_block_key
-
     d = read_table(spark, sf_dir, "documents")
-    block_sizes = d.groupBy(editdist_block_key("text").alias("bk")).agg(
-        F.count(F.lit(1)).alias("n")
+    # r14-opt (guide §2.4): the unfiltered in-block pair join enumerates
+    # each unordered candidate pair exactly once, so count(*) over it IS
+    # sum nC2 per block — the former separate scan + block-size aggregate
+    # branch (and the crossJoin stitching the two 1-row frames) is folded
+    # into the one join the near-pair stats already pay for. The dist
+    # sentinel (-1 = beyond max_dist) partitions candidates from near
+    # pairs inside a single aggregate; oracle output is unchanged.
+    pairs = dedup.blocked_editdist_pairs(
+        d, "doc_id", "text", max_dist=40, keep_unverified=True
     )
-    candidates = block_sizes.agg(
-        F.sum((F.col("n") * (F.col("n") - 1)) / 2).cast("bigint")
-         .alias("n_candidate_pairs")
+    near_d = F.when(F.col("dist") >= 0, F.col("dist"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.count(near_d).cast("bigint").alias("n_near_pairs"),
+        F.min(near_d).cast("bigint").alias("min_dist"),
+        F.round(F.avg(near_d), 4).alias("avg_near_dist"),
     )
-    near = dedup.blocked_editdist_pairs(d, "doc_id", "text", max_dist=40).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_near_pairs"),
-        F.min("dist").cast("bigint").alias("min_dist"),
-        F.round(F.avg("dist"), 4).alias("avg_near_dist"),
-    )
-    return candidates.crossJoin(near)
 
 
 # ---------------------------------------------------------------------------
@@ -6063,8 +6089,18 @@ def _li1_frames(
             else suffix.when(F.col("lang") == code, lit)
         )
     suffix = suffix.otherwise(F.lit(""))
+    # r14-opt (guide §2): the sf-local documents file is ONE split, so the
+    # whole gram explode + partial aggregate used to run whole-stage-fused
+    # into a single scan task (stage-profiled: 2.8 s + 2.5 s single-task
+    # stages = the bulk of li1). widen_scan floors the parallelism at the
+    # session's cores — a no-op at real scale where the scan has >> cores
+    # splits. Projected FIRST so the one-time spread shuffle carries only
+    # (doc_id, lang, text); every aggregate downstream is exact-integer,
+    # so partition order cannot perturb results.
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     base = hash_split(
-        d.select(
+        widen_scan(d.select("doc_id", "lang", "text")).select(
             "doc_id", "lang", F.concat(F.lower("text"), suffix).alias("t")
         ),
         "doc_id", _LI1_SPLIT, salt=_LI1_SALT,

@@ -144,6 +144,31 @@ def _path_identity(path: str) -> str:
     return "|".join(parts)
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Scale-adaptive scan-parallelism floor for CPU-heavy map passes
+    (guide §2: derive partitioning from the input, never a local constant).
+
+    A small local parquet file is ONE split (row groups are the atomic
+    unit), so everything whole-stage-fused into its scan — shingling,
+    n-gram explodes, per-row hashing, XML/regex parsing — pins a single
+    core while the other N-1 idle. Repartition up to the session's default
+    parallelism ONLY when the input has fewer partitions than cores; at
+    real scale the scan yields >> cores splits and this is a no-op (no
+    shuffle, no plan change). Apply it where the downstream work is
+    per-row CPU with order-insensitive EXACT aggregation (counts, integer
+    sums, hashes, min/max) — double-summing pipelines keep their scan
+    layout so partial-sum order stays put.
+
+    Promoted from operators/dedup.py `_widen` (which now delegates here)
+    so the non-dedup corpus passes — li1's gram pipeline, rs1's positional
+    n-grams, simhash/winnowing profiles — share the same floor.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Primary scan path: splittable, column-pruned, filter-pushdown-capable.
 

@@ -329,6 +329,46 @@ def test_blocked_editdist_finds_planted_corruption(spark):
     assert all({a, b} == {1, 2} for a, b in pairs), pairs
 
 
+def test_blocked_editdist_keep_unverified_is_candidate_enumeration(spark):
+    """keep_unverified=True returns one row per in-block unordered pair —
+    exactly sum nC2 over blocks (the bl1 r14 fold rests on this) — with the
+    -1 sentinel on pairs beyond max_dist, and filtering the sentinel out
+    reproduces the default output bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from agent_data_wrangler_spark.operators.dedup import (
+        blocked_editdist_pairs,
+        editdist_block_key,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base.replace("gamma", "gamna")),            # 1 edit, same block
+        (3, base.replace("delta", "de1ta x")),          # same block, 3 edits
+        (4, base + " " + "padding " * 40),              # same first tokens, far band
+        (5, "omega " + base[6:]),                       # different block
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    blocks = (
+        df.groupBy(editdist_block_key("text").alias("bk"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    expected_cands = sum(r.n * (r.n - 1) // 2 for r in blocks)
+    unfiltered = blocked_editdist_pairs(
+        df, "doc_id", "text", max_dist=2, keep_unverified=True
+    ).collect()
+    assert len(unfiltered) == expected_cands
+    assert {r.dist for r in unfiltered} >= {-1}  # sentinel present (pair 1-3)
+    default = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_editdist_pairs(df, "doc_id", "text", max_dist=2).collect()
+    }
+    refiltered = {(r.id_a, r.id_b, r.dist) for r in unfiltered if r.dist >= 0}
+    assert default == refiltered == {(1, 2, 1)}
+
+
 def test_derive_lsh_params_scaling():
     """Size-derived LSH defaults: mean bucket ~64 rows, probed fraction
     shrinks with n (the no-magic-numbers contract from round 4's verdict)."""
