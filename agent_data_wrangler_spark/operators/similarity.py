@@ -119,11 +119,27 @@ def derive_semdedup_params(
     return max(4, min(max_lists, round(n / target_cluster)))
 
 
+def _lit_double_array(values: Sequence[float]) -> Column:
+    """Literal array<double> built as ONE parsed expression instead of one
+    py4j ``F.lit`` round-trip per element (r14-opt, guide §1.2 driver cost:
+    the PQ ADC LUT alone is m*ksub = 1024 elements, and per-element
+    construction measured ~0.6 s of pure plan-build time per query vs
+    ~0.02 s through the parser). ``repr`` emits the shortest round-tripping
+    decimal and the ``D`` suffix pins the SQL literal to DOUBLE, so the
+    parsed values are bit-identical to the ``F.lit(float(v))`` form
+    (verified over denormal/huge/accumulated-error cases). Non-finite
+    values fall back to the per-element form, which handles them."""
+    vals = [float(v) for v in values]
+    if all(math.isfinite(v) for v in vals):
+        return F.expr("array(" + ",".join(f"{v!r}D" for v in vals) + ")")
+    return F.array(*[F.lit(v) for v in vals])
+
+
 def _dot_literal(vec_col: Column, plane: Sequence[float]) -> Column:
     """vec · literal-plane. The literal array is a foldable expression —
     Catalyst constant-folds it once; the zip_with+aggregate fold stays in
     whole-stage codegen."""
-    lit_plane = F.array(*[F.lit(float(p)) for p in plane])
+    lit_plane = _lit_double_array(plane)
     return F.aggregate(
         F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
         F.lit(0.0),
@@ -143,7 +159,7 @@ def lsh_bucket(vec_col: Column | str, planes: Sequence[Sequence[float]]) -> Colu
 
 
 def _query_literal(query_vec: Sequence[float]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in query_vec])
+    return _lit_double_array(query_vec)
 
 
 def topk_cosine(
@@ -978,20 +994,30 @@ def similarity_join_lsh(
     # expression, just factored.
     from agent_data_wrangler_spark.functions.vectors import dot_product, l2_norm
 
+    # r14-opt (the sd2 lesson): the per-pair dot products run in the
+    # bucket join's reduce stage, whose shuffle BYTES are small — AQE's
+    # size-based coalescing folds it to 1-2 tasks while the per-task CPU
+    # is ~|bucket|² interpreted dots. Pin the join partitioning with an
+    # explicit numbered repartition on the bucket key (exempt from AQE
+    # coalescing); parallelism is capped by 2^num_planes, the quantizer's
+    # own scale lever. Byte-identical output.
+    _tgt = left.sparkSession.sparkContext.defaultParallelism
     if self_join:
         key = id_col or left.columns[0]
         a = lb.select(
             F.col(key).alias(left_id), F.col(vec_col).alias("__va"),
             l2_norm(vec_col).alias("__na"), "__bucket",
-        )
+        ).repartition(_tgt, "__bucket")
         b = lb.select(
             F.col(key).alias(right_id), F.col(vec_col).alias("__vb"),
             l2_norm(vec_col).alias("__nb"), "__bucket",
-        )
+        ).repartition(_tgt, "__bucket")
         joined = a.join(b, "__bucket").filter(F.col(left_id) < F.col(right_id))
     else:
         a = lb.withColumnRenamed(vec_col, "__va").withColumn("__na", l2_norm("__va"))
         b = rb.withColumnRenamed(vec_col, "__vb").withColumn("__nb", l2_norm("__vb"))
+        a = a.repartition(_tgt, "__bucket")
+        b = b.repartition(_tgt, "__bucket")
         joined = a.join(b, "__bucket")
     score = dot_product(F.col("__va"), F.col("__vb")) / F.nullif(
         F.col("__na") * F.col("__nb"), F.lit(0.0)
@@ -1185,7 +1211,16 @@ def pq_fit_codebooks(
         k = min(ksub, len(sub))
         cent = sub[order[np.linspace(0, len(sub) - 1, k).astype(int)]].copy()
         for _ in range(max_iter):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # r14-opt: assignment needs only argmin_j ||x - c_j||², and the
+            # ||x||² term is constant per row — so rank by
+            # ||c_j||² − 2·x·c_j via one matmul instead of materializing the
+            # (n, ksub, dsub) broadcast-subtract cube (measured ~0.7 s of
+            # the 16-book fit). Same argmin up to float association on
+            # exact distance ties — the accepted Lloyd caveat this fit
+            # already carries (see _lloyd_update docstring, r12 matmul
+            # precedent); downstream oracles are recall/planted-copy
+            # robust.
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
             assign = d2.argmin(axis=1)
             cent, moved = _lloyd_update(sub, assign, cent)
             if not moved:
@@ -1256,7 +1291,7 @@ def pq_adc_score(
     for j in range(m):
         qsub = q[j * dsub : (j + 1) * dsub]
         lut = [sum(a * b for a, b in zip(cent, qsub)) for cent in codebooks[j]]
-        lut_arr = F.array(*[F.lit(float(v)) for v in lut])
+        lut_arr = _lit_double_array(lut)
         score = score + F.element_at(lut_arr, F.element_at(c, j + 1) + 1)
     return score
 

@@ -1831,8 +1831,16 @@ def gq1_repetition_quality_documents(spark: SparkSession, sf_dir: str) -> DataFr
 
     d = read_table(spark, sf_dir, "documents")
     from agent_data_wrangler_spark.functions.text import bpe_ish_token_count
+    from agent_data_wrangler_spark.sources.readers import widen_scan
 
-    per_doc = d.select(
+    # r14-opt: the four per-row quality metrics (ngram dup fraction, top
+    # token fraction, token stats) ran inside one single-task scan stage
+    # on the one-split local file (stage-profiled 1.75 s). widen_scan
+    # floors parallelism at cores (no-op at scale). The per-source avgs
+    # are rounded to 6 digits, which absorbs the ~1e-16-relative partial-
+    # sum reordering; counts/int sums are exact. Parity re-proven at both
+    # small SFs after the change.
+    per_doc = widen_scan(d.select("source", "text")).select(
         "source",
         dup_ngram_fraction("text", n=2).alias("dup2"),
         top_token_fraction("text").alias("top1"),
@@ -4677,8 +4685,19 @@ def sg1_skipgram_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pm1_pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     d = read_table(spark, sf_dir, "documents")
-    dd = d.select(tokens(F.lower(F.col("text"))).alias("toks"))
+    # r14-opt: the token/bigram explode is re-derived by THREE consumers
+    # (unigram counts, bigram counts, pair total) and each ran as a
+    # single scan task on the one-split local file (stage-profiled 4
+    # single-task stages totaling ~2.5 s task time). widen_scan floors
+    # parallelism at cores and the consumers share the one spread
+    # exchange; all model counts are exact integers, PMI derives from
+    # them deterministically.
+    dd = widen_scan(d.select("text")).select(
+        tokens(F.lower(F.col("text"))).alias("toks")
+    )
     toks = F.col("toks")
     n = F.size(toks)
     uni = (
@@ -4794,8 +4813,17 @@ def bm1_bm25_rank_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     k1, b = 1.2, 0.75
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     d = read_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(F.lower("text")).alias("toks"))
+    # r14-opt: widen the one-split local scan so the tokenize + explode
+    # passes parallelize (no-op at scale). The corpus stats sum integer
+    # token counts (integer-valued doubles sum exactly below 2^53) and
+    # the BM25 scores derive per (doc, term) from exact integers, so
+    # partitioning cannot perturb the output.
+    toks = widen_scan(d.select("doc_id", "text")).select(
+        "doc_id", tokens(F.lower("text")).alias("toks")
+    )
     stats = toks.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.sum(F.size("toks")).cast("double").alias("__sum_dl"),
@@ -5560,8 +5588,18 @@ def px1_bigram_xent_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from agent_data_wrangler_spark.operators import lm
     from agent_data_wrangler_spark.operators.splits import hash_split
 
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     d = read_table(spark, sf_dir, "documents")
-    split = hash_split(d, "doc_id", _PX1_SPLIT, salt=_PX1_SALT)
+    # r14-opt: widen the one-split local scan (no-op at scale) so the
+    # bigram explode passes on both split branches parallelize. Model
+    # counts are exact integers; the per-doc score join already scatters
+    # a doc's bigrams by bigram key, so its summation order was never
+    # partition-layout-dependent to begin with.
+    split = hash_split(
+        widen_scan(d.select("doc_id", "text")), "doc_id", _PX1_SPLIT,
+        salt=_PX1_SALT,
+    )
     train = split.filter(F.col("split") == "train")
     ev = split.filter(F.col("split") == "eval")
     model, ctx, vocab = lm.bigram_lm(train, "doc_id", "text")
@@ -5895,8 +5933,14 @@ def fw1_web_pipeline_funnel_documents(spark: SparkSession, sf_dir: str) -> DataF
 
     from agent_data_wrangler_spark.operators import web
 
+    from agent_data_wrangler_spark.sources.readers import widen_scan
+
     d = read_table(spark, sf_dir, "documents")
-    src = (
+    # r14-opt: widen the one-split local scan so the per-doc key
+    # derivation below (URL canonicalization + quality + fingerprint
+    # folds, all per-row CPU) parallelizes; funnel counts are exact
+    # integers. No-op at real scale.
+    src = widen_scan(
         d.select("doc_id", "text", "url")
         if "url" in d.columns
         else d.select("doc_id", "text", _ur1_url_col().alias("url"))
@@ -6576,15 +6620,25 @@ def sd2_semantic_dedup_recall_embeddings(spark: SparkSession, sf_dir: str) -> Da
         *[F.col("bk").bitwiseXOR(F.lit(2 ** i)) for i in range(_SD2_PLANES)],
     )
     up_probes = F.filter(probes, lambda p: p >= F.col("bk"))
+    # r14-opt (guide §2.5-adjacent): the per-pair dot products run in the
+    # join's REDUCE stage, whose shuffle is a few KB — AQE's size-based
+    # coalescing folded it to 1-2 tasks while each task carried ~100k
+    # interpreted 64-dim dots (stage-profiled 3.2 s / 2 tasks). Pin the
+    # join partitioning with an explicit numbered repartition on the join
+    # key (user repartitions are exempt from AQE coalescing): parallelism
+    # is capped by the 2^planes bucket cardinality, which is exactly the
+    # quantizer's documented scale lever (plane count grows with n).
+    # Byte-identical output — only task placement changes.
+    _tgt = spark.sparkContext.defaultParallelism
     xm = b.select(
         F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
         F.col("nn").alias("na"), F.col("bk").alias("ba"),
         F.explode(up_probes).alias("bk"),
-    )
+    ).repartition(_tgt, "bk")
     y = b.select(
         F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
         F.col("nn").alias("nb"), "bk",
-    )
+    ).repartition(_tgt, "bk")
     qualified = (
         xm.join(y, "bk")
         .filter(
