@@ -1174,8 +1174,21 @@ def near_dup_pairs_prefix(
     prefix_len = (
         F.col("__n") - F.floor(F.lit(threshold) * F.col("__n")) + F.lit(1)
     ).cast("int")
+    # r14-opt: (a) the per-doc rebuild (groupBy + sort_array(collect_list)
+    # + posexplode) is CPU-dense per shuffle byte, and AQE's size-based
+    # coalescing folded it to 2 tasks — pin the groupBy's partitioning
+    # with an explicit numbered repartition on the doc id (exempt from
+    # coalescing; the sd2 lesson). (b) BOTH candidate join sides read
+    # ``pref``, and the stage profile showed the whole rebuild executing
+    # TWICE (the a/b selects canonicalize differently, so no exchange
+    # reuse) — persist the prefix frame, which is the ~(1−t) RAREST
+    # fraction of shingle occurrences, i.e. strictly smaller than the
+    # shingle frame callers already persist for this pipeline; released
+    # below the moment the candidate set is materialized.
+    target = df.sparkSession.sparkContext.defaultParallelism
     pref = (
         ex.join(dfc, "__h")
+        .repartition(target, "__id")
         .groupBy("__id", "__n")
         .agg(
             F.sort_array(
@@ -1199,6 +1212,7 @@ def near_dup_pairs_prefix(
             (F.col("__p0") + F.lit(1)).alias("__p"),
             F.col("__e.__h").alias("__h"),
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = pref.select(
         F.col("__id").alias("id_a"),
@@ -1261,6 +1275,9 @@ def near_dup_pairs_prefix(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cand.count()
+    # The candidate set is materialized — the prefix frame has served both
+    # join sides and is released before the verify stage runs.
+    pref.unpersist()
     verified = jaccard_verify(
         df, cand, id_col, text_col, k=k, threshold=threshold, shingles_df=sh
     )

@@ -3842,7 +3842,8 @@ def bp3_bpe_train_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bp3_train(
-    spark: SparkSession, sf_dir: str, driver_fit_limit: int = 1_000_000
+    spark: SparkSession, sf_dir: str, driver_fit_limit: int = 1_000_000,
+    driver_fit_byte_budget: int = 256 << 20,
 ) -> DataFrame:
     us = "\x1f"
     # n_symbols(word) = n_pairs(word) + 1 and words never vanish, so the
@@ -3861,13 +3862,19 @@ def _bp3_train(
     # trainer uses (distributed count, in-memory merges). The distributed
     # loop below remains the >limit path and is pinned equal by unit test.
     j = _bp3_dict(spark, sf_dir).persist()
-    n_words, vocab = (
+    # r14 (ADVICE): the driver-fit gate is row-count AND byte-aware — a
+    # corpus of very long word types could collect hundreds of MB under a
+    # row-only limit. The char total rides the same aggregate for free;
+    # over budget lands on the distributed path, which the unit test pins
+    # equal.
+    n_words, vocab, dict_chars = (
         j.agg(
             F.coalesce(F.sum("cnt"), F.lit(0)).alias("n"),
             F.count(F.lit(1)).alias("v"),
+            F.coalesce(F.sum(F.length("j")), F.lit(0)).alias("c"),
         ).collect()[0]
     )
-    if vocab <= driver_fit_limit:
+    if vocab <= driver_fit_limit and dict_chars <= driver_fit_byte_budget:
         try:
             words = [(r["j"], r["cnt"]) for r in j.collect()]
         finally:
@@ -5443,11 +5450,24 @@ def ix1_index_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy2(src, dst, follow_symlinks=follow_symlinks)
         return dst
 
+    from agent_data_wrangler_spark.sources.readers import _path_identity
+
+    # r14 (ADVICE): the hard-linked copy shares inodes with the live staged
+    # layout — safe ONLY while the tamper is unlink/rmtree-shaped. Enforce
+    # the invariant instead of trusting the comment: fingerprint the source
+    # layout (per-file mtime_ns:size) before the tamper and verify it is
+    # untouched after, so any future in-place write to the tampered copy
+    # fails loudly here rather than silently corrupting the source.
+    src_ident = _path_identity(path)
     shutil.copytree(path, tampered_dir, copy_function=_link_or_copy)
     victim = sorted(
         d for d in os.listdir(tampered_dir) if d.startswith("__list=")
     )[0]
     shutil.rmtree(os.path.join(tampered_dir, victim))
+    if _path_identity(path) != src_ident:
+        raise RuntimeError(
+            "ix1 tamper fixture mutated the live staged layout through a "
+            "shared inode — the tamper step must only unlink/rmtree")
     try:
         tampered = similarity.audit_ivf_layout(
             spark, tampered_dir, e, id_col="vec_id"

@@ -118,16 +118,20 @@ def _conf_get(spark: SparkSession, key: str) -> str | None:
         return None
 
 
-#: Inferred-schema memo: (abs path, file-identity fingerprint) → StructType.
+#: Inferred-schema memo: abs path → (file-identity fingerprint, StructType).
 #: ``spark.read.parquet(path)`` runs a driver-side schema-inference job on
 #: EVERY call (measured 185-235 ms/call at sf0.1) and registered queries
 #: construct their scans once per bench pass — across a 228-query sweep
 #: that is pure fixed cost. A schema keyed by the files' (relpath,
 #: mtime_ns, size) identity is exactly what a catalog/metastore provides;
-#: rewritten or regenerated files change the key and re-infer, so a stale
-#: schema can never be served (r13-opt, guide §6 "pin the merged schema in
-#: a catalog"). Values are metadata only — no row data is ever memoized.
-_SCHEMA_MEMO: dict[tuple[str, str], StructType] = {}
+#: rewritten or regenerated files change the fingerprint and re-infer, so a
+#: stale schema can never be served (r13-opt, guide §6 "pin the merged
+#: schema in a catalog"). Values are metadata only — no row data is ever
+#: memoized. r14 (ADVICE): keyed by abspath with the fingerprint INSIDE the
+#: value, so a path that is rewritten replaces its entry instead of
+#: accumulating one dead entry per (path, fingerprint) generation — long
+#: sessions re-staging scratch dirs no longer grow the memo without bound.
+_SCHEMA_MEMO: dict[str, tuple[str, StructType]] = {}
 
 
 def _path_identity(path: str) -> str:
@@ -195,13 +199,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     # The two confs above change what inference produces, but both are
     # pinned to fixed values by this point — the memo key needs only the
     # file identity.
-    key = (os.path.abspath(path), _path_identity(path))
-    schema = _SCHEMA_MEMO.get(key)
-    if schema is None:
+    abspath = os.path.abspath(path)
+    identity = _path_identity(path)
+    memo = _SCHEMA_MEMO.get(abspath)
+    if memo is None or memo[0] != identity:
         df = spark.read.parquet(path)
-        _SCHEMA_MEMO[key] = df.schema
+        _SCHEMA_MEMO[abspath] = (identity, df.schema)
     else:
-        df = spark.read.schema(schema).parquet(path)
+        df = spark.read.schema(memo[1]).parquet(path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
